@@ -1,0 +1,67 @@
+"""Frozen engine constants + SparkSession builder.
+
+The tokenizer/BM25 constants here are the single source of truth shared by
+the engine, the pure-Python oracle (tests/oracle_bm25.py), and the fixture
+generator — FIXTURES.md §T freezes them so rank-identity can never drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+# --- §T frozen tokenizer spec -------------------------------------------------
+TOKEN_RE = r"[a-z0-9_]+"
+MIN_TOKEN_LEN = 2
+MAX_TOKEN_LEN = 64
+MAX_TOKENS_PER_DOC = 50_000
+
+# --- §T.4 BM25 constants (Robertson & Zaragoza 2009) ---------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# --- index layout ---------------------------------------------------------------
+BLOCK_SIZE = 128          # postings per compressed block = skip granularity
+N_BUCKETS = 32            # dictionary/segment hash buckets (partition pruning)
+DEFAULT_TARGET_RANGES = 256  # ~ranges per corpus at default range size
+
+
+def default_range_size(n_docs: int) -> int:
+    """Deterministic doc-range width D for global range-salting (SURVEY K8).
+
+    salt = doc_id // D bounds every (term, salt) posting group at D entries —
+    this is the hot-term skew defuser. D depends ONLY on corpus size (never on
+    parallelism) so the built index is byte-identical across local[8]/local[32]
+    and across cluster sizes (BASELINE.md "index determinism").
+
+    Power of two, ≥ 1024, targeting ~DEFAULT_TARGET_RANGES ranges. At 10^12
+    docs this yields D = 2^32-ish groups of ~4G postings — too big; the cap
+    keeps group payloads executor-sized at any scale.
+    """
+    d = 1024
+    while n_docs // d > DEFAULT_TARGET_RANGES and d < (1 << 20):
+        d <<= 1
+    return d
+
+
+def get_spark(app: str = "donkey_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None):
+    """Local-mode session tuned per BASELINE.md protocol notes."""
+    from pyspark.sql import SparkSession
+
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sp = shuffle_partitions or cores
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # content strings are multi-KB: keep Arrow batches modest so the
+        # tokenize UDF's working set stays bounded (SURVEY §7.4.6)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,62 @@
+"""K1/K2 kernels: delta coding + vectorized LEB128 varint (SURVEY §2.8).
+
+Both directions are fully vectorized numpy (no per-int Python loop), per the
+BASELINE.json input_hint "no per-row Python". Encoding layout is standard
+LEB128: little-endian 7-bit groups, MSB = continuation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# value >= _THRESH[k-1]  ⇒  needs more than k bytes
+_THRESH = np.array([np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)],
+                   dtype=np.uint64)
+
+
+def varint_encode(values) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints (any int dtype)."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _THRESH:
+        nbytes += (a >= t)
+    width = int(nbytes.max())
+    shifts = np.arange(width, dtype=np.uint64) * np.uint64(7)
+    mat = ((a[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    j = np.arange(width)
+    keep = j[None, :] < nbytes[:, None]
+    cont = j[None, :] < (nbytes[:, None] - 1)
+    mat = np.where(cont, mat | np.uint8(0x80), mat)
+    return mat[keep].tobytes()          # row-major ⇒ valid LEB128 stream
+
+
+def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
+    """Decode a LEB128 stream to uint64. Vectorized via bitwise_or.reduceat."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = (b & 0x80) == 0
+    starts = np.flatnonzero(np.concatenate(([True], ends[:-1])))
+    gid = np.cumsum(np.concatenate(([False], ends[:-1])))
+    pos = np.arange(b.size, dtype=np.int64) - starts[gid]
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (
+        pos.astype(np.uint64) * np.uint64(7))
+    return np.bitwise_or.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_ids) -> np.ndarray:
+    """d[0]=x[0], d[i]=x[i]-x[i-1] over an ascending int array (K1)."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas) -> np.ndarray:
+    a = np.ascontiguousarray(deltas, dtype=np.uint64)
+    return np.cumsum(a, dtype=np.uint64)

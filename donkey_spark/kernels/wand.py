@@ -1,0 +1,90 @@
+"""K7 kernel: block-max-pruned top-k scoring within one doc range (+ op 36 heap).
+
+Donkey bounds its candidate stage with hint_K / approximate ANN pruning
+(`[donkey:src/donkey.h]` SearchRequest — unverified, see SURVEY §0); the exact
+analog here is *safe-up-to-k* block-max pruning [Broder et al. CIKM 2003;
+Ding & Suel SIGIR 2011], adapted to term-at-a-time over a dense doc-range
+accumulator:
+
+  * terms are applied in descending upper-bound (idf · max tf-part) order;
+  * before decoding a block we test
+        max(acc over block span) + idf·block_max_tfpart + Σ UB(remaining terms)
+    against θ, the current k-th best accumulated score (a lower bound on the
+    final k-th best, since scores only grow). Strictly-below ⇒ no doc in the
+    block can reach the final top-k ⇒ skip the decode. Exactness: ties are
+    kept (strict <) and the doc_id tie-break is applied on final scores only.
+  * the per-range result is a bounded top-k (np.argpartition = the min-heap
+    analog), so only k rows per range reach the global exchange.
+
+Every (term, salt) group shares the global range salt (config.default_range_size)
+so a doc's entire score accumulates inside ONE range — per-range top-k is
+globally safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .blocks import decode_doc_ids, decode_tfs
+from .bm25 import tf_part
+
+
+class TermBlocks:
+    """Posting blocks of one term within one doc range (lazy decode)."""
+
+    __slots__ = ("idf", "blocks", "ub")
+
+    def __init__(self, idf: float, blocks: list[dict]):
+        # blocks: dicts with first_doc_id, max_doc_id, block_max_tfpart,
+        #         docids_blob, tfs_blob, codec
+        self.idf = float(idf)
+        self.blocks = blocks
+        self.ub = self.idf * max(b["block_max_tfpart"] for b in blocks)
+
+
+def score_range_topk(base: int, size: int, dls: np.ndarray,
+                     terms: list[TermBlocks], avgdl: float, k: int,
+                     stats: dict | None = None):
+    """Exact top-k for one query within one doc range.
+
+    dls: int array of doc lengths aligned to doc_id - base (length = size).
+    Returns (doc_ids int64, scores float64) with score desc, doc_id asc.
+    """
+    if not terms or k <= 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    acc = np.zeros(size, dtype=np.float64)
+    order = sorted(terms, key=lambda t: -t.ub)
+    ubs = np.array([t.ub for t in order], dtype=np.float64)
+    suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+    theta = 0.0
+    for i, t in enumerate(order):
+        rem = suffix[i]
+        for blk in t.blocks:
+            lo = blk["first_doc_id"] - base
+            hi = blk["max_doc_id"] - base
+            if theta > 0.0:
+                potential = (acc[lo:hi + 1].max() + t.idf * blk["block_max_tfpart"]
+                             + rem)
+                if potential < theta:
+                    if stats is not None:
+                        stats["blocks_skipped"] = stats.get("blocks_skipped", 0) + 1
+                    continue
+            codec = blk.get("codec", "varint")
+            ids = decode_doc_ids(blk["docids_blob"], codec) - base
+            tfs = decode_tfs(blk["tfs_blob"], codec)
+            acc[ids] += t.idf * tf_part(tfs, dls[ids], avgdl)
+            if stats is not None:
+                stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
+                stats["postings_scored"] = stats.get("postings_scored", 0) + ids.size
+        if np.count_nonzero(acc) >= k:
+            theta = np.partition(acc, acc.size - k)[acc.size - k]
+    nz = np.flatnonzero(acc)
+    if nz.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if nz.size > k:  # bounded selection before the full sort (op 36)
+        kth = np.partition(acc[nz], nz.size - k)[nz.size - k]
+        keep = acc[nz] >= kth      # ≥ keeps boundary ties; doc_id break below
+        nz = nz[keep]
+    sc = acc[nz]
+    ordix = np.lexsort((nz, -sc))[:k]
+    return ((nz[ordix] + base).astype(np.int64), sc[ordix])
