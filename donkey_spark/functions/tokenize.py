@@ -1,0 +1,72 @@
+"""Tokenizer — donkey's Extractor analog (SURVEY op 10).
+
+Donkey plugs a per-media extractor (raw bytes → feature bag) into its
+pipeline `[donkey:src/donkey.h plugin contract — unverified, SURVEY §0]`;
+here the extractor is a deterministic code tokenizer, frozen in FIXTURES.md
+§T so the engine, the pure-Python oracle, and the fixtures can never drift.
+
+Two implementations, tested equal on every fixture:
+
+* ``tokenize_pandas_udf`` — Arrow-vectorized pandas UDF (true NFC normalize);
+  the engine default, per BASELINE.json input_hint ("vectorized pandas/Arrow
+  UDFs, no per-row Python").
+* ``tokenize_expr`` — pure JVM Catalyst expression (lower → regexp_extract_all
+  → filter → slice). Whole-stage-codegen'd, no Python worker at all; used by
+  the ◇ oracle queries and available as the fast path for NFC-clean corpora
+  (it cannot NFC-normalize — the one behavior difference, covered by a test).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import (MAX_TOKEN_LEN, MAX_TOKENS_PER_DOC, MIN_TOKEN_LEN,
+                      TOKEN_RE)
+
+
+_RE = re.compile(TOKEN_RE)
+
+
+def tokenize_py(content: str | None) -> list[str]:
+    """Driver-side §T tokenizer (query parsing — a handful of strings)."""
+    if content is None:
+        return []
+    s = unicodedata.normalize("NFC", content).lower()
+    toks = [t for t in _RE.findall(s)
+            if MIN_TOKEN_LEN <= len(t) <= MAX_TOKEN_LEN]
+    return toks[:MAX_TOKENS_PER_DOC]
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_pandas_udf(content: pd.Series) -> pd.Series:
+    s = content.fillna("").map(lambda x: unicodedata.normalize("NFC", x))
+    s = s.str.lower()
+    toks = s.str.findall(TOKEN_RE)
+    lo, hi, cap = MIN_TOKEN_LEN, MAX_TOKEN_LEN, MAX_TOKENS_PER_DOC
+    return toks.map(lambda ts: [t for t in ts if lo <= len(t) <= hi][:cap])
+
+
+def tokenize_expr(content: Column) -> Column:
+    """JVM twin of the §T tokenizer (assumes NFC-normalized input)."""
+    toks = F.regexp_extract_all(F.lower(content), F.lit(TOKEN_RE), 0)
+    toks = F.filter(toks, lambda t: (F.length(t) >= MIN_TOKEN_LEN)
+                    & (F.length(t) <= MAX_TOKEN_LEN))
+    return F.slice(toks, 1, MAX_TOKENS_PER_DOC)
+
+
+def doc_terms_expr(df, id_col: str = "doc_id", tokens_col: str = "tokens"):
+    """Exploded (doc_id, dl, term, tf) from a tokens column — built-ins only
+    (SURVEY op 11 ◇ oracle path). dl counts ALL kept tokens, including those
+    of tf>1; docs with zero tokens drop out here (rejoined via the docs
+    table where needed)."""
+    return (df
+            .withColumn("dl", F.size(F.col(tokens_col)))
+            .select(id_col, "dl", F.explode(tokens_col).alias("term"))
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count("*").cast("int").alias("tf")))

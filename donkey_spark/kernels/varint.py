@@ -14,14 +14,20 @@ _THRESH = np.array([np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)],
                    dtype=np.uint64)
 
 
+def varint_lengths(a: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (uint64 array in)."""
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _THRESH:
+        nbytes += (a >= t)
+    return nbytes
+
+
 def varint_encode(values) -> bytes:
     """LEB128-encode a 1-D array of non-negative ints (any int dtype)."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
         return b""
-    nbytes = np.ones(a.size, dtype=np.int64)
-    for t in _THRESH:
-        nbytes += (a >= t)
+    nbytes = varint_lengths(a)
     width = int(nbytes.max())
     shifts = np.arange(width, dtype=np.uint64) * np.uint64(7)
     mat = ((a[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)

@@ -42,13 +42,14 @@ class TermBlocks:
         self.ub = self.idf * max(b["block_max_tfpart"] for b in blocks)
 
 
-def score_range_topk(base: int, size: int, dls: np.ndarray,
+def score_range_topk(base: int, size: int,
                      terms: list[TermBlocks], avgdl: float, k: int,
                      stats: dict | None = None):
     """Exact top-k for one query within one doc range.
 
-    dls: int array of doc lengths aligned to doc_id - base (length = size).
-    Returns (doc_ids int64, scores float64) with score desc, doc_id asc.
+    Doc lengths come from each block's own dls_blob (co-stored with the
+    postings — no side table). Returns (doc_ids int64, scores float64)
+    with score desc, doc_id asc.
     """
     if not terms or k <= 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
@@ -72,7 +73,8 @@ def score_range_topk(base: int, size: int, dls: np.ndarray,
             codec = blk.get("codec", "varint")
             ids = decode_doc_ids(blk["docids_blob"], codec) - base
             tfs = decode_tfs(blk["tfs_blob"], codec)
-            acc[ids] += t.idf * tf_part(tfs, dls[ids], avgdl)
+            dls = decode_tfs(blk["dls_blob"], codec)
+            acc[ids] += t.idf * tf_part(tfs, dls, avgdl)
             if stats is not None:
                 stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
                 stats["postings_scored"] = stats.get("postings_scored", 0) + ids.size

@@ -1,0 +1,64 @@
+"""Op 9 — deterministic dense doc_id assignment (SURVEY §2.2).
+
+Donkey maps object keys to internal ids at insert `[donkey:src/donkey.cpp —
+unverified, SURVEY §0]`; here ids must additionally be **dense and globally
+reproducible** (0..N-1 in `(repo, path, commit)` order) because they feed
+delta-encoded postings, the doc-range salt, and the rank tie-break.
+
+NOT `monotonically_increasing_id` (partition-layout-dependent). Two-phase,
+no single-partition global sort:
+
+  1. range-repartition + sort-within-partitions by the key, persist;
+  2. count rows per partition (job 1), prefix-sum the counts on the driver
+     (tiny — one int per partition), then a narrow mapInPandas adds
+     `offset[pid] + local_rank` (job 2 over the SAME persisted partitions,
+     so the sampled range boundaries cannot shift between jobs).
+
+Scale: the only full shuffle is the range partition; the offset table is
+O(partitions). The small-scale oracle is `row_number() OVER (ORDER BY keys)`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+
+def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = ("repo", "path",
+                                                           "commit"),
+                   num_partitions: int | None = None) -> DataFrame:
+    """Add a dense long `doc_id` = global rank by `keys` (0-based)."""
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    part = (df.repartitionByRange(n_part, *[F.col(k) for k in keys])
+              .sortWithinPartitions(*keys)
+              .withColumn("_pid", F.spark_partition_id())
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    counts = {r["_pid"]: r["cnt"] for r in
+              part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_off = spark.sparkContext.broadcast(offsets)
+
+    out_schema = part.drop("_pid").schema.add("doc_id", "long", False)
+
+    def add_ids(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            start = b_off.value[pid] + seen
+            seen += len(pdf)
+            out = pdf.drop(columns=["_pid"])
+            out["doc_id"] = range(start, start + len(pdf))
+            yield out
+
+    result = part.mapInPandas(add_ids, schema=out_schema)
+    return result

@@ -1,0 +1,2 @@
+from .build import build_index           # noqa: F401
+from .query import Index                  # noqa: F401

@@ -1,0 +1,148 @@
+"""Entry point A — index build (SURVEY §3.2).
+
+Donkey's lifecycle analog: journal replay → Index::rebuild → persist
+`[donkey:src/donkey.cpp — unverified, SURVEY §0]`, re-expressed as a
+three-stage Catalyst pipeline:
+
+  scan → sha256-check → dedupe → assign_doc_ids → tokenize (Arrow UDF,
+  content dropped immediately) → doc_terms (vectorized tf) →
+  groupBy(term, salt).applyInPandas build → bucket-partitioned parquet
+  + dictionary + meta + manifest/metrics.
+
+Checkpoint-resume (north_rule): the corpus is cut into contiguous doc-id
+chunks (chunk boundaries are multiples of the range salt, so chunk outputs
+are disjoint (term, salt) sets and the final index is their plain union).
+Each chunk writes to its own directory, idempotently (overwrite), and a
+manifest row with per-partition lineage + metrics commits it. Resume =
+anti-join of chunk ids against manifest status='done' (SURVEY op 29).
+
+Index layout:
+  out/docs/        doc_id, repo, path, commit, lang, dl, sha256
+  out/segments/    chunk=<c>/bucket=<b>/*.parquet   (block rows)
+  out/dictionary/  bucket=<b>/*.parquet             (term, df, cf, ...)
+  out/meta/        1-row parquet (n_docs, avgdl, range_size, codec, ...)
+  out/manifest/    chunk lineage + metrics (append-only journal analog)
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from ..config import BLOCK_SIZE, N_BUCKETS, default_range_size
+from ..functions.tokenize import tokenize_pandas_udf
+from ..operators.doc_ids import assign_doc_ids
+from ..operators.postings import (build_segments, dictionary_from_segments,
+                                  merge_segments)
+from ..operators.terms import doc_terms_vectorized
+from ..sources.corpus import check_sha256
+
+
+def _manifest_done(spark: SparkSession, manifest_dir: str) -> set[int]:
+    try:
+        m = spark.read.parquet(manifest_dir)
+    except Exception:
+        return set()
+    return {r["chunk"] for r in
+            m.where(F.col("status") == "done").select("chunk").collect()}
+
+
+def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
+                codec: str = "varint", range_size: int | None = None,
+                block_size: int = BLOCK_SIZE, n_chunks: int = 1,
+                resume: bool = False, ref_hashes: DataFrame | None = None,
+                job_id: str = "job-0") -> dict:
+    """Build the full inverted index; returns build info/metrics dict."""
+    t0 = time.monotonic()
+    if ref_hashes is not None:
+        check_sha256(corpus, ref_hashes)          # op 2, fails on mismatch
+
+    deduped = corpus.dropDuplicates(["repo", "path", "commit"])  # op 21
+    docs_full = assign_doc_ids(deduped)                           # op 9
+
+    # op 8/10: content is dropped the moment tokens exist — nothing wider
+    # than the token arrays crosses into the big shuffle.
+    docs_tok = (docs_full.select(
+        "doc_id", "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        tokenize_pandas_udf(F.col("content")).alias("tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    stats = (docs_tok.agg(F.count("*").alias("n"),
+                          F.sum(F.size("tokens")).alias("sum_dl"))
+             .collect()[0])
+    n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"] or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    rsize = range_size or default_range_size(n_docs)
+
+    docs = docs_tok.select("doc_id", "repo", "path", "commit", "lang",
+                           F.size("tokens").cast("int").alias("dl"), "sha256")
+    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+
+    # --- chunked, resumable segment build --------------------------------
+    chunk_docs = max(rsize, math.ceil(n_docs / max(n_chunks, 1) / rsize) * rsize)
+    n_chunks_eff = max(1, math.ceil(n_docs / chunk_docs))
+    manifest_dir = f"{out_dir}/manifest"
+    done = _manifest_done(spark, manifest_dir) if resume else set()
+    sc_parallelism = spark.sparkContext.defaultParallelism
+
+    built, skipped = 0, 0
+    for cid in range(n_chunks_eff):
+        if cid in done:
+            skipped += 1
+            continue
+        tc0 = time.monotonic()
+        lo, hi = cid * chunk_docs, (cid + 1) * chunk_docs
+        chunk = docs_tok.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        dt = doc_terms_vectorized(chunk.select("doc_id", "tokens"))  # op 11
+        seg = merge_segments(
+            build_segments(dt, avgdl, rsize, codec=codec,
+                           block_size=block_size))                   # ops 22/23
+        seg_dir = f"{out_dir}/segments/chunk={cid}"
+        (seg.repartitionByRange(sc_parallelism, "bucket", "term", "salt")
+            .sortWithinPartitions("bucket", "term", "salt", "block_id")
+            .write.mode("overwrite").partitionBy("bucket").parquet(seg_dir))
+        # lineage/metrics from the committed files (block-granular scan)
+        m = (spark.read.parquet(seg_dir)
+             .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
+                  F.count("*").alias("n_blocks"),
+                  F.coalesce(F.sum(F.length("docids_blob")
+                                   + F.length("tfs_blob")
+                                   + F.length("dls_blob")), F.lit(0))
+                  .alias("bytes_out")).collect()[0])
+        row = [(cid, "done", int(min(hi, n_docs) - lo), int(m["n_postings"]),
+                int(m["n_blocks"]), int(m["bytes_out"]),
+                int((time.monotonic() - tc0) * 1000), 1, job_id)]
+        (spark.createDataFrame(
+            row, "chunk int, status string, n_docs long, n_postings long, "
+                 "n_blocks long, bytes_out long, wall_ms long, attempt int, "
+                 "job_id string")
+            .write.mode("append").parquet(manifest_dir))
+        built += 1
+
+    # --- finalize: dictionary + meta from the committed segments ---------
+    seg_all = spark.read.option("basePath", f"{out_dir}/segments").parquet(
+        f"{out_dir}/segments")
+    (dictionary_from_segments(seg_all)
+        .repartitionByRange(max(1, N_BUCKETS // 4), "bucket", "term")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{out_dir}/dictionary"))
+    n_postings = int(seg_all.agg(F.coalesce(F.sum("n_docs"), F.lit(0)))
+                     .collect()[0][0])
+    meta = [(1, n_docs, float(avgdl), int(n_postings), int(rsize),
+             int(block_size), codec, int(N_BUCKETS), int(n_chunks_eff))]
+    (spark.createDataFrame(
+        meta, "version int, n_docs long, avgdl double, n_postings long, "
+              "range_size long, block_size int, codec string, "
+              "n_buckets int, n_chunks int")
+        .write.mode("overwrite").parquet(f"{out_dir}/meta"))
+    docs_tok.unpersist()
+    return {"n_docs": n_docs, "avgdl": avgdl, "n_postings": n_postings,
+            "range_size": rsize, "codec": codec, "n_chunks": n_chunks_eff,
+            "chunks_built": built, "chunks_skipped": skipped,
+            "wall_s": time.monotonic() - t0}

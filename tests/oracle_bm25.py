@@ -1,0 +1,72 @@
+"""Pure-Python reference engine (SURVEY §0 / §7.4.7).
+
+The reference checkout at /root/reference is empty in this sandbox, so THIS
+transparent, loop-based engine is the stand-in reference for the north_rule's
+"rank-identical to the reference engine" contract. Its spec is frozen in
+FIXTURES.md §T: the tokenizer, BM25 constants, float64 scores, and the
+ascending-doc_id tie-break can never drift without failing tests.
+
+Deliberately naive (dict-of-lists postings, per-doc loops) — clarity over
+speed; it is the oracle, not the engine.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections import Counter
+
+import math
+
+from donkey_spark.config import (BM25_B, BM25_K1, MAX_TOKEN_LEN,
+                                 MAX_TOKENS_PER_DOC, MIN_TOKEN_LEN, TOKEN_RE)
+
+_RE = re.compile(TOKEN_RE)
+
+
+def tokenize(content: str) -> list[str]:
+    """§T: NFC → lower → [a-z0-9_]+ runs → len∈[2,64] → cap 50k."""
+    if content is None:
+        return []
+    s = unicodedata.normalize("NFC", content).lower()
+    toks = [t for t in _RE.findall(s)
+            if MIN_TOKEN_LEN <= len(t) <= MAX_TOKEN_LEN]
+    return toks[:MAX_TOKENS_PER_DOC]
+
+
+class OracleIndex:
+    """In-memory inverted index + BM25 scorer over (doc_id, content) pairs."""
+
+    def __init__(self, docs: list[tuple[int, str]]):
+        self.postings: dict[str, list[tuple[int, int]]] = {}
+        self.dl: dict[int, int] = {}
+        for doc_id, content in docs:
+            toks = tokenize(content)
+            self.dl[doc_id] = len(toks)
+            for term, tf in sorted(Counter(toks).items()):
+                self.postings.setdefault(term, []).append((doc_id, tf))
+        for plist in self.postings.values():
+            plist.sort()
+        self.n_docs = len(self.dl)
+        self.avgdl = (sum(self.dl.values()) / self.n_docs
+                      if self.n_docs else 0.0)
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, ()))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def search(self, query: str, k: int) -> list[tuple[int, int, float]]:
+        """→ [(rank, doc_id, score)] ordered by (score desc, doc_id asc)."""
+        acc: dict[int, float] = {}
+        for term in sorted(set(tokenize(query))):
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            w = self.idf(term)
+            for doc_id, tf in plist:
+                dl = self.dl[doc_id]
+                part = tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
+                acc[doc_id] = acc.get(doc_id, 0.0) + w * part
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]

@@ -79,8 +79,10 @@ def test_block_roundtrip(codec):
         assert sum(r["n_docs"] for r in rows) == n
         got_ids = np.concatenate([decode_doc_ids(r["docids_blob"], codec) for r in rows])
         got_tfs = np.concatenate([decode_tfs(r["tfs_blob"], codec) for r in rows])
+        got_dls = np.concatenate([decode_tfs(r["dls_blob"], codec) for r in rows])
         np.testing.assert_array_equal(got_ids, ids)
         np.testing.assert_array_equal(got_tfs, tfs)
+        np.testing.assert_array_equal(got_dls, dls)
         for r in rows:
             bi = decode_doc_ids(r["docids_blob"], codec)
             bt = decode_tfs(r["tfs_blob"], codec)
@@ -137,7 +139,7 @@ def test_wand_matches_brute_force_200_corpora():
             w = idf(n_docs, ids.size)
             terms.append(TermBlocks(w, _make_term_blocks(ids, tfs, dls, avgdl,
                                                          n_docs)))
-        got_ids, got_sc = score_range_topk(0, n_docs, dls, terms, avgdl, k)
+        got_ids, got_sc = score_range_topk(0, n_docs, terms, avgdl, k)
         np.testing.assert_array_equal(got_ids, exp_ids)
         np.testing.assert_allclose(got_sc, exp_sc, atol=1e-9)
 
@@ -158,5 +160,5 @@ def test_wand_actually_skips_blocks():
                    _make_term_blocks(hot_ids, hot_tfs, dls, avgdl, n_docs)),
     ]
     stats: dict = {}
-    score_range_topk(0, n_docs, dls, terms, avgdl, 10, stats=stats)
+    score_range_topk(0, n_docs, terms, avgdl, 10, stats=stats)
     assert stats.get("blocks_skipped", 0) > 0
