@@ -58,9 +58,17 @@ def get_spark(app: str = "donkey_spark", cores: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # content strings are multi-KB: keep Arrow batches modest so the
-        # tokenize UDF's working set stays bounded (SURVEY §7.4.6)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # content strings are multi-KB: 8k rows ≈ tens of MB per Arrow batch
+        # keeps the extractor UDF's working set bounded (SURVEY §7.4.6)
+        # while posting-row batches stay large enough to amortize dispatch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # doc-id tables up to ~10^6 keys are cheaper to broadcast than to
+        # shuffle the corpus payload for (SMJ takes over beyond this)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # code corpora compress ~2.5x in parquet and the extractor is
+        # CPU-bound per byte: smaller input splits keep every core busy on
+        # the scan→UDF stage (128m default gives too few tasks locally)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

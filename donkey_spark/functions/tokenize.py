@@ -31,6 +31,11 @@ from ..config import (MAX_TOKEN_LEN, MAX_TOKENS_PER_DOC, MIN_TOKEN_LEN,
 
 
 _RE = re.compile(TOKEN_RE)
+# Length-enforcing twin of TOKEN_RE: same token set as findall+filter, but
+# the length bounds live in the pattern (lookarounds reject longer runs), so
+# no Python-level filter loop runs over hundreds of millions of tokens.
+_RE_LEN = re.compile(
+    rf"(?<![a-z0-9_])[a-z0-9_]{{{MIN_TOKEN_LEN},{MAX_TOKEN_LEN}}}(?![a-z0-9_])")
 
 
 def tokenize_py(content: str | None) -> list[str]:
@@ -38,18 +43,15 @@ def tokenize_py(content: str | None) -> list[str]:
     if content is None:
         return []
     s = unicodedata.normalize("NFC", content).lower()
-    toks = [t for t in _RE.findall(s)
-            if MIN_TOKEN_LEN <= len(t) <= MAX_TOKEN_LEN]
-    return toks[:MAX_TOKENS_PER_DOC]
+    return _RE_LEN.findall(s)[:MAX_TOKENS_PER_DOC]
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_pandas_udf(content: pd.Series) -> pd.Series:
-    s = content.fillna("").map(lambda x: unicodedata.normalize("NFC", x))
-    s = s.str.lower()
-    toks = s.str.findall(TOKEN_RE)
-    lo, hi, cap = MIN_TOKEN_LEN, MAX_TOKEN_LEN, MAX_TOKENS_PER_DOC
-    return toks.map(lambda ts: [t for t in ts if lo <= len(t) <= hi][:cap])
+    findall, norm, cap = _RE_LEN.findall, unicodedata.normalize, \
+        MAX_TOKENS_PER_DOC
+    return content.map(
+        lambda x: findall(norm("NFC", x).lower())[:cap] if x else [])
 
 
 def tokenize_expr(content: Column) -> Column:
@@ -58,6 +60,34 @@ def tokenize_expr(content: Column) -> Column:
     toks = F.filter(toks, lambda t: (F.length(t) >= MIN_TOKEN_LEN)
                     & (F.length(t) <= MAX_TOKEN_LEN))
     return F.slice(toks, 1, MAX_TOKENS_PER_DOC)
+
+
+_FEATURES_T = T.StructType([
+    T.StructField("terms", T.ArrayType(T.StringType())),
+    T.StructField("tfs", T.ArrayType(T.IntegerType())),
+    T.StructField("dl", T.IntegerType()),
+])
+
+
+@F.pandas_udf(_FEATURES_T)
+def doc_features_udf(content: pd.Series) -> pd.DataFrame:
+    """Fused extractor: content -> (unique terms, tfs, dl) in ONE Arrow pass.
+
+    Donkey's Extractor emits the full feature bag; fusing tokenize + count
+    here means raw token arrays never cross the Arrow boundary (≈3–10×
+    fewer bytes than tokens on code corpora) and no second UDF stage runs.
+    """
+    from collections import Counter
+    findall, norm = _RE_LEN.findall, unicodedata.normalize
+    cap = MAX_TOKENS_PER_DOC
+    out_t, out_f, out_dl = [], [], []
+    for x in content:
+        toks = findall(norm("NFC", x).lower())[:cap] if x else []
+        c = Counter(toks)
+        out_t.append(list(c.keys()))
+        out_f.append(list(c.values()))
+        out_dl.append(len(toks))
+    return pd.DataFrame({"terms": out_t, "tfs": out_f, "dl": out_dl})
 
 
 def doc_terms_expr(df, id_col: str = "doc_id", tokens_col: str = "tokens"):

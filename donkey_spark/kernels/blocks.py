@@ -65,23 +65,20 @@ def _encode_column(vals: np.ndarray, bstart: np.ndarray, bend: np.ndarray,
     raise ValueError(f"unknown codec {codec!r}")
 
 
-def encode_groups(terms: np.ndarray, salts: np.ndarray, ids: np.ndarray,
-                  tfs: np.ndarray, dls: np.ndarray, avgdl: float,
-                  block_size: int = BLOCK_SIZE, codec: str = "varint") -> dict:
-    """Vectorized block build over a slice sorted by (term, salt, doc_id).
+def encode_groups_core(new_group: np.ndarray, ids: np.ndarray,
+                       tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+                       block_size: int = BLOCK_SIZE,
+                       codec: str = "varint") -> tuple[np.ndarray, dict]:
+    """Vectorized block build over a slice sorted by (group, doc_id).
 
-    Returns a dict of aligned column arrays/lists, one entry per block,
-    matching operators.postings.SEGMENT_SCHEMA.
+    new_group[i] marks the first row of each (term, salt) group. Returns
+    (bstart row indices — callers gather their own group-key columns with
+    them, e.g. an Arrow take — and the block metadata/blob columns).
     """
     n = ids.size
-    if n == 0:
-        return {}
     ids = np.ascontiguousarray(ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
-    new_group = np.empty(n, dtype=bool)
-    new_group[0] = True
-    new_group[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
     bad = (~new_group[1:]) & (ids[1:] <= ids[:-1])
     if bad.any():
         raise ValueError("doc_ids must be strictly ascending within a group")
@@ -98,9 +95,7 @@ def encode_groups(terms: np.ndarray, salts: np.ndarray, ids: np.ndarray,
     delta[bstart] = ids_u[bstart]          # per-block restart, absolute first
 
     parts = tf_part(tfs, dls, avgdl)
-    return {
-        "term": terms[bstart],
-        "salt": salts[bstart],
+    return bstart, {
         "block_id": (rank[bstart] // block_size).astype(np.int32),
         "first_doc_id": ids[bstart],
         "max_doc_id": ids[bend - 1],
@@ -112,6 +107,23 @@ def encode_groups(terms: np.ndarray, salts: np.ndarray, ids: np.ndarray,
         "tfs_blob": _encode_column(tfs.astype(np.uint64), bstart, bend, codec),
         "dls_blob": _encode_column(dls.astype(np.uint64), bstart, bend, codec),
     }
+
+
+def encode_groups(terms: np.ndarray, salts: np.ndarray, ids: np.ndarray,
+                  tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+                  block_size: int = BLOCK_SIZE, codec: str = "varint") -> dict:
+    """encode_groups_core with numpy group keys (tests / pandas callers)."""
+    n = ids.size
+    if n == 0:
+        return {}
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    bstart, cols = encode_groups_core(new_group, ids, tfs, dls, avgdl,
+                                      block_size, codec)
+    cols["term"] = terms[bstart]
+    cols["salt"] = salts[bstart]
+    return cols
 
 
 def build_blocks(doc_ids, tfs, dls, avgdl: float,

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import BLOCK_SIZE, N_BUCKETS
-from ..kernels.blocks import encode_groups
+from ..kernels.blocks import encode_groups_core
+
+
+def to_arrow_segment_schema():
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    return to_arrow_schema(SEGMENT_SCHEMA)
 
 SEGMENT_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
@@ -65,15 +71,24 @@ def build_segments(doc_terms: DataFrame, avgdl: float, range_size: int,
     """(doc_id, dl, term, tf) -> compressed block rows.
 
     THE big exchange of the build (SURVEY §3.2 stage B): hash-repartition by
-    (term, salt) + sortWithinPartitions, then ONE mapInPandas whose kernel
-    (kernels.blocks.encode_groups) encodes every group in a batch in a single
-    vectorized pass. groupBy().applyInPandas would invoke Python once per
-    (term, salt) group (~2 ms each — measured); at vocab × ranges groups that
-    dominates the build, so the per-group dispatch is eliminated instead of
-    tuned. Arrow batches can split a group, so a carry-over buffer defers the
-    trailing (possibly incomplete) group to the next batch; groups never span
-    partitions (hash partitioning), so the flush at end-of-partition is exact.
+    (term, salt) + sortWithinPartitions, then ONE mapInArrow whose kernel
+    (kernels.blocks.encode_groups_core) encodes every group in a batch in a
+    single vectorized pass.
+
+    Why this exact physical shape (each alternative was measured):
+    * groupBy().applyInPandas dispatches Python per (term, salt) group
+      (~2 ms each) — fatal at vocab × ranges groups;
+    * mapInPandas materializes every term as a Python str (50M+ objects);
+      mapInArrow keeps the term column an Arrow array end-to-end — group
+      boundaries come from C-level pa.compute.not_equal on adjacent slices
+      and the output term column is a take() of block starts.
+    Arrow batches can split a group, so flushes defer the trailing
+    (possibly incomplete) group; groups never span partitions (hash
+    partitioning), so the end-of-partition flush is exact.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     spark = doc_terms.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     dt = (doc_terms
@@ -81,35 +96,69 @@ def build_segments(doc_terms: DataFrame, avgdl: float, range_size: int,
           .repartition(n_part, "term", "salt")
           .sortWithinPartitions("term", "salt", "doc_id"))
 
+    out_type = to_arrow_segment_schema()
+    flush_rows = 1 << 18          # decouple kernel calls from Arrow batching
+
+    def encode_table(tbl: pa.Table) -> pa.RecordBatch:
+        n = tbl.num_rows
+        term = tbl.column("term").combine_chunks()
+        salts = tbl.column("salt").to_numpy()
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        if n > 1:
+            neq = pc.not_equal(term.slice(1), term.slice(0, n - 1))
+            new_group[1:] = (neq.to_numpy(zero_copy_only=False)
+                             | (salts[1:] != salts[:-1]))
+        bstart, cols = encode_groups_core(
+            new_group, tbl.column("doc_id").to_numpy(),
+            tbl.column("tf").to_numpy(), tbl.column("dl").to_numpy(),
+            avgdl, block_size=block_size, codec=codec)
+        arrays = [pc.take(term, pa.array(bstart)),
+                  pa.array(salts[bstart], pa.int64()),
+                  pa.array(cols["block_id"], pa.int32()),
+                  pa.array(cols["first_doc_id"], pa.int64()),
+                  pa.array(cols["max_doc_id"], pa.int64()),
+                  pa.array(cols["n_docs"], pa.int32()),
+                  pa.array(cols["max_tf"], pa.int32()),
+                  pa.array(cols["sum_tf"], pa.int64()),
+                  pa.array(cols["block_max_tfpart"], pa.float64()),
+                  pa.array(cols["docids_blob"], pa.binary()),
+                  pa.array(cols["tfs_blob"], pa.binary()),
+                  pa.array(cols["dls_blob"], pa.binary())]
+        return pa.RecordBatch.from_arrays(arrays, schema=out_type)
+
+    def cut_point(tbl: pa.Table) -> int:
+        """Index of the first row of the trailing (term, salt) group."""
+        n = tbl.num_rows
+        term = tbl.column("term")
+        salts = tbl.column("salt")
+        last_t, last_s = term[n - 1], salts[n - 1]
+        in_last = pc.and_(pc.equal(term, last_t),
+                          pc.equal(salts, last_s)).to_numpy(
+            zero_copy_only=False)
+        before = np.flatnonzero(~in_last)
+        return int(before[-1]) + 1 if before.size else 0
+
     def encode_stream(batches):
-        carry: pd.DataFrame | None = None
-
-        def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-            cols = encode_groups(pdf["term"].to_numpy(),
-                                 pdf["salt"].to_numpy(),
-                                 pdf["doc_id"].to_numpy(),
-                                 pdf["tf"].to_numpy(),
-                                 pdf["dl"].to_numpy(),
-                                 avgdl, block_size=block_size, codec=codec)
-            return pd.DataFrame(cols)
-
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        buf: list[pa.RecordBatch] = []
+        nrows = 0
+        for rb in batches:
+            if rb.num_rows:
+                buf.append(rb)
+                nrows += rb.num_rows
+            if nrows < flush_rows:
                 continue
-            t = pdf["term"].to_numpy()
-            s = pdf["salt"].to_numpy()
-            in_last = (t == t[-1]) & (s == s[-1])
-            before = np.flatnonzero(~in_last)
-            cut = int(before[-1]) + 1 if before.size else 0
+            whole = pa.Table.from_batches(buf).combine_chunks()
+            cut = cut_point(whole)
             if cut:
-                yield encode(pdf.iloc[:cut])
-            carry = pdf.iloc[cut:]
-        if carry is not None and len(carry):
-            yield encode(carry)
+                yield encode_table(whole.slice(0, cut))
+            carry = whole.slice(cut)
+            buf = carry.to_batches() if carry.num_rows else []
+            nrows = carry.num_rows
+        if nrows:
+            yield encode_table(pa.Table.from_batches(buf).combine_chunks())
 
-    return dt.mapInPandas(encode_stream, SEGMENT_SCHEMA)
+    return dt.mapInArrow(encode_stream, SEGMENT_SCHEMA)
 
 
 def merge_segments(segments: DataFrame) -> DataFrame:

@@ -34,11 +34,10 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from ..config import BLOCK_SIZE, N_BUCKETS, default_range_size
-from ..functions.tokenize import tokenize_pandas_udf
+from ..functions.tokenize import doc_features_udf
 from ..operators.doc_ids import assign_doc_ids
 from ..operators.postings import (build_segments, dictionary_from_segments,
                                   merge_segments)
-from ..operators.terms import doc_terms_vectorized
 from ..sources.corpus import check_sha256
 
 
@@ -58,37 +57,63 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                 job_id: str = "job-0") -> dict:
     """Build the full inverted index; returns build info/metrics dict."""
     t0 = time.monotonic()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.monotonic()
+        phases[name] = round(phases.get(name, 0.0) + now - _last[0], 2)
+        _last[0] = now
+
     if ref_hashes is not None:
         check_sha256(corpus, ref_hashes)          # op 2, fails on mismatch
+        _mark("sha_check")
 
-    deduped = corpus.dropDuplicates(["repo", "path", "commit"])  # op 21
-    docs_full = assign_doc_ids(deduped)                           # op 9
+    # op 21: dedupe — detect on the NARROW key frame first so the common
+    # (already-unique) case never shuffles the full content payload.
+    pk = corpus.select("repo", "path", "commit")
+    dup = pk.agg(F.count("*").alias("n"),
+                 F.count_distinct("repo", "path", "commit").alias("k")
+                 ).collect()[0]
+    n_rows, n_keys = int(dup["n"]), int(dup["k"])
+    deduped = (corpus.dropDuplicates(["repo", "path", "commit"])
+               if n_keys != n_rows else corpus)
 
-    # op 8/10: content is dropped the moment tokens exist — nothing wider
-    # than the token arrays crosses into the big shuffle.
-    docs_tok = (docs_full.select(
-        "doc_id", "repo", "path", "commit", "lang",
-        F.sha2(F.col("content"), 256).alias("sha256"),
-        tokenize_pandas_udf(F.col("content")).alias("tokens"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    _mark("dedupe_detect")
 
-    stats = (docs_tok.agg(F.count("*").alias("n"),
-                          F.sum(F.size("tokens")).alias("sum_dl"))
+    # op 9 on the narrow key frame only — the payload never range-shuffles
+    # or round-trips Arrow for id assignment; it joins back JVM-side (the
+    # id table broadcasts at small scale, SMJ at 10^12).
+    ids = assign_doc_ids(pk.distinct())
+    _mark("assign_ids")
+
+    # ops 8/10/11 fused: content crosses Arrow exactly once and is dropped
+    # in the same projection; unique (term, tf) pairs — never raw tokens —
+    # are all that flows toward the big shuffle.
+    docs_feat = (deduped.join(ids, ["repo", "path", "commit"])
+                 .select("doc_id", "repo", "path", "commit", "lang",
+                         F.sha2(F.col("content"), 256).alias("sha256"),
+                         doc_features_udf(F.col("content")).alias("f"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+
+    stats = (docs_feat.agg(F.count("*").alias("n"),
+                           F.sum("f.dl").alias("sum_dl"))
              .collect()[0])
     n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"] or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     rsize = range_size or default_range_size(n_docs)
+    _mark("extract_persist")
 
-    docs = docs_tok.select("doc_id", "repo", "path", "commit", "lang",
-                           F.size("tokens").cast("int").alias("dl"), "sha256")
+    docs = docs_feat.select("doc_id", "repo", "path", "commit", "lang",
+                            F.col("f.dl").alias("dl"), "sha256")
     docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    _mark("docs_write")
 
     # --- chunked, resumable segment build --------------------------------
     chunk_docs = max(rsize, math.ceil(n_docs / max(n_chunks, 1) / rsize) * rsize)
     n_chunks_eff = max(1, math.ceil(n_docs / chunk_docs))
     manifest_dir = f"{out_dir}/manifest"
     done = _manifest_done(spark, manifest_dir) if resume else set()
-    sc_parallelism = spark.sparkContext.defaultParallelism
 
     built, skipped = 0, 0
     for cid in range(n_chunks_eff):
@@ -97,15 +122,23 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             continue
         tc0 = time.monotonic()
         lo, hi = cid * chunk_docs, (cid + 1) * chunk_docs
-        chunk = docs_tok.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        dt = doc_terms_vectorized(chunk.select("doc_id", "tokens"))  # op 11
+        chunk = docs_feat.where((F.col("doc_id") >= lo)
+                                & (F.col("doc_id") < hi))
+        dt = (chunk
+              .select("doc_id", F.col("f.dl").alias("dl"),
+                      F.explode(F.arrays_zip("f.terms", "f.tfs")).alias("e"))
+              .select("doc_id", "dl", F.col("e.terms").alias("term"),
+                      F.col("e.tfs").alias("tf")))
         seg = merge_segments(
             build_segments(dt, avgdl, rsize, codec=codec,
                            block_size=block_size))                   # ops 22/23
         seg_dir = f"{out_dir}/segments/chunk={cid}"
-        (seg.repartitionByRange(sc_parallelism, "bucket", "term", "salt")
-            .sortWithinPartitions("bucket", "term", "salt", "block_id")
-            .write.mode("overwrite").partitionBy("bucket").parquet(seg_dir))
+        # no extra layout shuffle: the encode stage's partitions are already
+        # sorted by (term, salt), so each bucket=<b> file written here keeps
+        # term-clustered rows → tight parquet min/max stats for the query
+        # path's term row-group pruning.
+        seg.write.mode("overwrite").partitionBy("bucket").parquet(seg_dir)
+        _mark("segments_encode_write")
         # lineage/metrics from the committed files (block-granular scan)
         m = (spark.read.parquet(seg_dir)
              .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
@@ -122,6 +155,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                  "n_blocks long, bytes_out long, wall_ms long, attempt int, "
                  "job_id string")
             .write.mode("append").parquet(manifest_dir))
+        _mark("chunk_metrics_manifest")
         built += 1
 
     # --- finalize: dictionary + meta from the committed segments ---------
@@ -141,8 +175,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
               "range_size long, block_size int, codec string, "
               "n_buckets int, n_chunks int")
         .write.mode("overwrite").parquet(f"{out_dir}/meta"))
-    docs_tok.unpersist()
+    docs_feat.unpersist()
+    _mark("dictionary_meta")
     return {"n_docs": n_docs, "avgdl": avgdl, "n_postings": n_postings,
             "range_size": rsize, "codec": codec, "n_chunks": n_chunks_eff,
             "chunks_built": built, "chunks_skipped": skipped,
-            "wall_s": time.monotonic() - t0}
+            "phases": phases, "wall_s": time.monotonic() - t0}
