@@ -33,8 +33,7 @@ def main() -> None:
     from donkey_spark.sources.corpus import scan_corpus
 
     shutil.rmtree(a.out, ignore_errors=True)
-    spark = get_spark(f"build_c{a.cores}", cores=a.cores,
-                      shuffle_partitions=a.cores)
+    spark = get_spark(f"build_c{a.cores}", cores=a.cores)
     spark.sparkContext.setLogLevel("ERROR")
     corpus = scan_corpus(spark, f"{a.data}/corpus_files.parquet")
     t0 = time.monotonic()

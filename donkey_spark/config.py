@@ -49,7 +49,9 @@ def get_spark(app: str = "donkey_spark", cores: int | None = None,
     from pyspark.sql import SparkSession
 
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sp = shuffle_partitions or cores
+    # 2x slots: evens out skewed task durations (tail tasks don't leave
+    # cores idle for half a wave)
+    sp = shuffle_partitions or 2 * cores
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -68,7 +70,9 @@ def get_spark(app: str = "donkey_spark", cores: int | None = None,
         # code corpora compress ~2.5x in parquet and the extractor is
         # CPU-bound per byte: smaller input splits keep every core busy on
         # the scan→UDF stage (128m default gives too few tasks locally)
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # NOT bigger-is-better: 48g measured 2.5x SLOWER than 16g on the
+        # 200k build (G1 humongous-region churn with ~60MB Arrow batches)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -269,9 +269,83 @@ def q_bm25_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline ◇ ops (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_minhash_bands(spark, sf_dir):
+    """MinHash+LSH band signatures (portable sha-derived hash)."""
+    from .pipeline.dedup import minhash_bands
+    return minhash_bands(_docs(spark, sf_dir))
+
+
+def q_neardup_pairs(spark, sf_dir):
+    """LSH candidate near-duplicate pairs (bucket join, no all-pairs)."""
+    from .pipeline.dedup import neardup_pairs
+    return neardup_pairs(_docs(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard over LSH candidates, thresholded."""
+    from .pipeline.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def _probe_vec(spark, sf_dir) -> list[float]:
+    row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") == 0).select("embedding").collect())
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 probe (codegen, no UDF)."""
+    from .pipeline.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, _probe_vec(spark, sf_dir), k=10)
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-overlap language id heuristic."""
+    from .pipeline.textqual import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    """Length/punctuation/stopword quality heuristics."""
+    from .pipeline.textqual import quality_score
+    return quality_score(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # rows-only entries (engine internals — no SQL equivalent; driver records a
 # weaker rows>0 check, SURVEY §3.4)
 # ---------------------------------------------------------------------------
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (bit-parallel numpy; tested vs a
+    pure-Python oracle in tests/test_pipeline.py)."""
+    from .pipeline.dedup import simhash64
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003)."""
+    from .pipeline.textqual import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN over embeddings (recall tested vs brute
+    force in tests/test_pipeline.py)."""
+    from .pipeline.similarity import lsh_ann_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, _probe_vec(spark, sf_dir), k=10)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> feature vectors via
+    mapInPandas (decode stubbed deterministically — no codecs in image)."""
+    from .pipeline.multimodal import extract_media_features, synth_media
+    return extract_media_features(synth_media(spark, n=64), decode="fake")
 
 def q_index_manifest(spark, sf_dir):
     """op 4/29 surface — per-chunk lineage + metrics journal."""
@@ -341,7 +415,117 @@ FROM ranked WHERE rank <= k
 """
 
 
+_H60 = ("CAST(CAST('0x'||substr(sha256(t||'#{i}'),1,15) AS UBIGINT) "
+        "AS BIGINT)")
+_SIGS_CTE = f"""
+dtoks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS t FROM documents
+), sigs AS (
+  SELECT doc_id,
+         {', '.join(f'min({_H60.format(i=i)}) AS h{i}' for i in range(8))}
+  FROM dtoks GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, h0::VARCHAR||'_'||h1::VARCHAR AS band_key FROM sigs
+  UNION ALL SELECT doc_id, 1, h2::VARCHAR||'_'||h3::VARCHAR FROM sigs
+  UNION ALL SELECT doc_id, 2, h4::VARCHAR||'_'||h5::VARCHAR FROM sigs
+  UNION ALL SELECT doc_id, 3, h6::VARCHAR||'_'||h7::VARCHAR FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)"""
+
+_DOT = ("list_sum(list_transform(range(1, len({a})+1), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+_STOP_SQL = {
+    "en": "['the','and','of','to','is','in','that','it','for','on']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','zu']",
+    "fr": "['le','la','les','et','est','pas','un','une','dans']",
+    "es": "['el','la','los','las','es','no','un','una','por']",
+}
+_ALL_STOP_SQL = ("['the','and','of','to','is','in','that','it','for','on',"
+                 "'der','die','das','und','ist','nicht','ein','mit','zu',"
+                 "'le','la','les','et','est','pas','un','une','dans',"
+                 "'el','la','los','las','es','no','un','una','por']")
+
 ORACLE_SQL: dict[str, str] = {
+    "minhash_bands": f"""
+        WITH {_SIGS_CTE}
+        SELECT doc_id, band, band_key FROM bands""",
+    "neardup_pairs": f"""
+        WITH {_SIGS_CTE}
+        SELECT id_a, id_b FROM cand""",
+    "jaccard_pairs": f"""
+        WITH {_SIGS_CTE},
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM dtoks GROUP BY 1),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*)::BIGINT AS i
+          FROM cand c
+          JOIN dtoks x ON x.doc_id = c.id_a
+          JOIN dtoks y ON y.doc_id = c.id_b AND y.t = x.t
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7""",
+    "cosine_topk": f"""
+        WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, cosine FROM (
+          SELECT e.vec_id,
+                 ROUND({_DOT.format(a='e.embedding', b='pv')}
+                       / (sqrt({_DOT.format(a='e.embedding',
+                                            b='e.embedding')})
+                          * sqrt({_DOT.format(a='pv', b='pv')})), 6)
+                 AS cosine
+          FROM embeddings e, p)
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "lang_id": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 {', '.join(
+                     f"len(list_intersect(list_distinct({_TOKS_SQL}), "
+                     f"{_STOP_SQL[lg]})) AS hits_{lg}"
+                     for lg in _STOP_SQL)}
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0
+                    THEN 'xx'
+                    WHEN hits_de = greatest(hits_en, hits_de, hits_fr,
+                                            hits_es) THEN 'de'
+                    WHEN hits_en = greatest(hits_en, hits_de, hits_fr,
+                                            hits_es) THEN 'en'
+                    WHEN hits_es = greatest(hits_en, hits_de, hits_fr,
+                                            hits_es) THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               greatest(hits_en, hits_de, hits_fr, hits_es)::BIGINT
+               AS best_hits
+        FROM h""",
+    "quality_score": f"""
+        WITH q AS (
+          SELECT doc_id,
+                 len({_TOKS_SQL})::BIGINT AS n_tokens,
+                 len(text) AS text_len,
+                 len(regexp_replace(lower(text), '[^a-z0-9_]', '', 'g'))
+                 AS alnum_len,
+                 len(list_intersect(list_distinct({_TOKS_SQL}),
+                                    {_ALL_STOP_SQL})) AS stop_hits
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               ROUND(CASE WHEN text_len > 0
+                          THEN alnum_len * 1.0 / text_len ELSE 0 END, 4)
+               AS alnum_ratio,
+               ROUND(CASE WHEN n_tokens > 0
+                          THEN stop_hits * 1.0 / n_tokens ELSE 0 END, 4)
+               AS stop_ratio,
+               ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+                     + CASE WHEN text_len > 0
+                            THEN alnum_len * 1.0 / text_len ELSE 0 END * 0.4
+                     + least(CASE WHEN n_tokens > 0
+                                  THEN stop_hits * 10.0 / n_tokens
+                                  ELSE 0 END, 1.0) * 0.2, 4) AS quality
+        FROM q""",
     "tokenize_tf": f"""
         SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
           SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
@@ -462,7 +646,18 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "revenue_by_nation": q_revenue_by_nation,
     "bm25_topk": q_bm25_topk,
-    # rows-only (engine internals, no SQL oracle)
+    # training-data pipeline ops
+    "minhash_bands": q_minhash_bands,
+    "neardup_pairs": q_neardup_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "cosine_topk": q_cosine_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    # rows-only (engine internals / no SQL oracle; pytest-verified instead)
     "index_manifest": q_index_manifest,
     "segment_stats": q_segment_stats,
+    "simhash": q_simhash,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "media_features": q_media_features,
 }

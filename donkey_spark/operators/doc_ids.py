@@ -30,8 +30,13 @@ from pyspark import StorageLevel
 
 def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = ("repo", "path",
                                                            "commit"),
-                   num_partitions: int | None = None) -> DataFrame:
-    """Add a dense long `doc_id` = global rank by `keys` (0-based)."""
+                   num_partitions: int | None = None,
+                   return_count: bool = False):
+    """Add a dense long `doc_id` = global rank by `keys` (0-based).
+
+    With return_count=True also returns the total row count (free — it is
+    the sum of the per-partition counts the two-phase pass computes anyway),
+    which callers use for duplicate detection without an extra shuffle."""
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     part = (df.repartitionByRange(n_part, *[F.col(k) for k in keys])
@@ -61,4 +66,4 @@ def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = ("repo", "path",
             yield out
 
     result = part.mapInPandas(add_ids, schema=out_schema)
-    return result
+    return (result, acc) if return_count else result

@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is contract.q_dup_contents (sha256 groupBy). Near-dup here:
+
+* **MinHash + LSH** [Broder 1997]: per-doc signatures from a PORTABLE hash
+  (low 60 bits of sha256(token + '#' + i)) so the identical computation is
+  expressible in DuckDB SQL for the ◇ oracle; band keys bucket-join into
+  candidate pairs without any all-pairs comparison — the scale path.
+* **exact n-gram Jaccard** on candidate pairs (verification step).
+* **SimHash** [Charikar 2002]: 64-bit fingerprint, Hamming-near duplicates;
+  engine-side numpy (no SQL twin — bit-parallel ops), tested vs a
+  transparent Python oracle.
+
+All built-in-function paths (no UDF) except simhash: minhash/LSH/jaccard run
+entirely in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_expr
+
+N_HASHES = 8
+N_BANDS = 4            # rows-per-band = N_HASHES // N_BANDS = 2
+
+
+def _hash60(col: Column, salt: int) -> Column:
+    """Portable 60-bit hash: conv(substr(sha2(s#i),1,15),16,10) — the same
+    expression DuckDB spells CAST('0x'||substr(sha256(s||'#i'),1,15) AS
+    UBIGINT). Deterministic across engines, versions, and partitionings."""
+    return F.conv(F.substring(F.sha2(F.concat(col, F.lit(f"#{salt}")), 256),
+                              1, 15), 16, 10).cast("long")
+
+
+def shingle_tokens(tokens: Column, k: int = 3) -> Column:
+    """Word k-gram shingles from a tokens array — built-ins only
+    (transform over an index sequence; empty when fewer than k tokens)."""
+    n = F.size(tokens)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(tokens, i + j + 1) for j in range(k)]))
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n_hashes: int = N_HASHES,
+                  n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, band_key) LSH band signatures over distinct tokens.
+
+    One explode + one groupBy with n_hashes min-aggregates (map-side
+    combined); zero UDFs. Docs with no tokens produce no rows.
+    """
+    toks = (df.select(id_col,
+                      F.explode(F.array_distinct(
+                          tokenize_expr(F.col(text_col)))).alias("t")))
+    aggs = [F.min(_hash60(F.col("t"), i)).alias(f"h{i}")
+            for i in range(n_hashes)]
+    sigs = toks.groupBy(id_col).agg(*aggs)
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("_", *[F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)])
+                 .alias("band_key"))
+        for b in range(n_bands)])
+    return (sigs.select(id_col, F.explode(bands).alias("bk"))
+            .select(id_col, F.col("bk.band").alias("band"),
+                    F.col("bk.band_key").alias("band_key")))
+
+
+def neardup_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
+    The join is on (band, band_key) — never all-pairs; hot buckets are
+    real duplicates by construction."""
+    b = minhash_bands(df, text_col, id_col)
+    left = b.alias("a")
+    right = b.alias("b")
+    return (left.join(right, ["band", "band_key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  threshold: float = 0.7) -> DataFrame:
+    """Exact token-set Jaccard for LSH candidate pairs (verification)."""
+    toks = df.select(F.col(id_col).alias("jid"),
+                     F.array_distinct(tokenize_expr(F.col(text_col)))
+                     .alias("ts"))
+    cand = neardup_pairs(df, text_col, id_col)
+    j = (cand
+         .join(toks.select(F.col("jid").alias("id_a"),
+                           F.col("ts").alias("ts_a")), "id_a")
+         .join(toks.select(F.col("jid").alias("id_b"),
+                           F.col("ts").alias("ts_b")), "id_b")
+         .withColumn("_raw",
+                     F.size(F.array_intersect("ts_a", "ts_b"))
+                     / F.size(F.array_union("ts_a", "ts_b"))))
+    return (j.where(F.col("_raw") >= threshold)   # threshold on raw value,
+            .select("id_a", "id_b",               # rounding only for output
+                    F.round(F.col("_raw"), 4).alias("jaccard")))
+
+
+# --- SimHash (engine-side, numpy) ------------------------------------------
+
+def simhash64_py(term_tfs: list[tuple[str, int]]) -> int:
+    """Transparent oracle: 64-bit SimHash from (term, tf) pairs using the
+    low 64 bits of sha256(term)."""
+    import hashlib
+    acc = np.zeros(64, dtype=np.int64)
+    for term, tf in term_tfs:
+        h = int.from_bytes(
+            hashlib.sha256(term.encode()).digest()[:8], "big")
+        bits = np.array([(h >> j) & 1 for j in range(64)], dtype=np.int64)
+        acc += tf * (2 * bits - 1)
+    out = 0
+    for j in range(64):
+        if acc[j] > 0:
+            out |= (1 << j)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash:long) via an Arrow UDF (bit-parallel numpy)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+    from ..functions.tokenize import _RE_LEN
+    import unicodedata
+    from collections import Counter
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(content: pd.Series) -> pd.Series:
+        out = []
+        shifts = np.arange(64, dtype=np.uint64)
+        for x in content:
+            toks = (_RE_LEN.findall(
+                unicodedata.normalize("NFC", x).lower()) if x else [])
+            if not toks:
+                out.append(0)
+                continue
+            c = Counter(toks)
+            hs = np.array([int.from_bytes(
+                hashlib.sha256(t.encode()).digest()[:8], "big")
+                for t in c], dtype=np.uint64)
+            tfs = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)
+                    ).astype(np.int64)
+            acc = ((2 * bits - 1) * tfs[:, None]).sum(axis=0)
+            v = np.uint64(0)
+            for j in np.flatnonzero(acc > 0):
+                v |= np.uint64(1) << np.uint64(j)
+            out.append(int(v.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return df.select(id_col, _simhash(F.col(text_col)).alias("simhash"))

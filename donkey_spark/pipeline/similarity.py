@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force cosine top-k, built-ins only
+  (zip_with product + aggregate sum run in codegen; no UDF, no Python).
+  The ◇ oracle is DuckDB's list_cosine_similarity.
+* ``lsh_ann_topk`` — the scale path: random-hyperplane LSH [Charikar 2002]
+  with deterministic sha-seeded planes; candidates = vectors sharing the
+  probe's bucket in any table, exact-rescored. At 10^9+ vectors the bucket
+  join replaces the full scan; recall is tested vs brute force.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in float64."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return _dot(da, db) / (_norm(da) * _norm(db))
+
+
+def cosine_topk(vectors: DataFrame, probe: list[float], k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine vs a probe vector. orderBy+limit lowers to
+    TakeOrderedAndProject (per-partition heap + driver merge)."""
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    return (vectors
+            .select(id_col,
+                    F.round(cosine_expr(F.col(vec_col), p), 6)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def _planes(dim: int, n_planes: int, seed: str = "donkey") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from sha256 — no RNG state,
+    reproducible across sessions/cluster sizes."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        vals = []
+        ctr = 0
+        while len(vals) < dim:
+            h = hashlib.sha256(f"{seed}:{p}:{ctr}".encode()).digest()
+            vals.extend(int.from_bytes(h[i:i + 4], "big") / 2**31 - 1.0
+                        for i in range(0, 32, 4))
+            ctr += 1
+        out[p] = vals[:dim]
+    return out
+
+
+def lsh_bucket_expr(vec_col: Column, planes: np.ndarray,
+                    table: int) -> Column:
+    """Bucket id for one hash table: sign bits of plane projections."""
+    bits = [F.when(_dot(F.transform(vec_col, lambda x: x.cast("double")),
+                        F.array(*[F.lit(float(v)) for v in p])) >= 0, 1)
+            .otherwise(0) for p in planes]
+    acc = F.lit(table * (1 << (len(planes) + 1)))
+    for b in bits:
+        acc = acc * 2 + b
+    return acc
+
+
+def lsh_ann_topk(vectors: DataFrame, probe: list[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_tables: int = 8, n_planes: int = 6) -> DataFrame:
+    """Approximate top-k: union of the probe's buckets across hash tables,
+    exact cosine rescoring of candidates only.
+
+    At scale the bucket column is precomputed and the scan prunes on it;
+    here the filter runs in codegen over the vector table."""
+    dim = len(probe)
+    pv = np.array(probe, dtype=np.float64)
+    match = None
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed=f"t{t}")
+        probe_bucket = int(t * (1 << (n_planes + 1)))
+        for p in planes:
+            probe_bucket = probe_bucket * 2 + int(pv @ p >= 0)
+        cond = lsh_bucket_expr(F.col(vec_col), planes, t) == probe_bucket
+        match = cond if match is None else (match | cond)
+    cand = vectors.where(match)
+    return cosine_topk(cand, probe, k, id_col, vec_col)

@@ -69,23 +69,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         check_sha256(corpus, ref_hashes)          # op 2, fails on mismatch
         _mark("sha_check")
 
-    # op 21: dedupe — detect on the NARROW key frame first so the common
-    # (already-unique) case never shuffles the full content payload.
+    # ops 21 + 9 fused on the NARROW key frame: one distinct shuffle yields
+    # both the dense ids and the unique-key count (free from the two-phase
+    # pass); the full-content dropDuplicates shuffle runs only when
+    # duplicates actually exist. The payload never range-shuffles or
+    # round-trips Arrow for id assignment; it joins back JVM-side (the id
+    # table broadcasts at small scale, SMJ at 10^12).
     pk = corpus.select("repo", "path", "commit")
-    dup = pk.agg(F.count("*").alias("n"),
-                 F.count_distinct("repo", "path", "commit").alias("k")
-                 ).collect()[0]
-    n_rows, n_keys = int(dup["n"]), int(dup["k"])
+    ids, n_keys = assign_doc_ids(pk.distinct(), return_count=True)
+    n_rows = corpus.count()
     deduped = (corpus.dropDuplicates(["repo", "path", "commit"])
                if n_keys != n_rows else corpus)
-
-    _mark("dedupe_detect")
-
-    # op 9 on the narrow key frame only — the payload never range-shuffles
-    # or round-trips Arrow for id assignment; it joins back JVM-side (the
-    # id table broadcasts at small scale, SMJ at 10^12).
-    ids = assign_doc_ids(pk.distinct())
-    _mark("assign_ids")
+    _mark("assign_ids_dedupe")
 
     # ops 8/10/11 fused: content crosses Arrow exactly once and is dropped
     # in the same projection; unique (term, tf) pairs — never raw tokens —
@@ -113,6 +108,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     chunk_docs = max(rsize, math.ceil(n_docs / max(n_chunks, 1) / rsize) * rsize)
     n_chunks_eff = max(1, math.ceil(n_docs / chunk_docs))
     manifest_dir = f"{out_dir}/manifest"
+    if not resume:          # fresh build: clear any stale journal (append-only)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(manifest_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     done = _manifest_done(spark, manifest_dir) if resume else set()
 
     built, skipped = 0, 0
@@ -166,7 +166,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{out_dir}/dictionary"))
-    n_postings = int(seg_all.agg(F.coalesce(F.sum("n_docs"), F.lit(0)))
+    # total postings from the manifest journal — no second segment scan
+    n_postings = int(spark.read.parquet(manifest_dir)
+                     .where(F.col("status") == "done")
+                     .agg(F.coalesce(F.sum("n_postings"), F.lit(0)))
                      .collect()[0][0])
     meta = [(1, n_docs, float(avgdl), int(n_postings), int(rsize),
              int(block_size), codec, int(N_BUCKETS), int(n_chunks_eff))]

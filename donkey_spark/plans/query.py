@@ -5,23 +5,27 @@ aggregate → top-K Hits `[donkey:src/donkey.cpp — unverified, SURVEY §0]`)
 re-expressed Spark-first:
 
   tokenize queries (driver-side, §T) → dictionary lookup (bucket+term
-  parquet pruning, collected — dozens of rows) → segments scan pruned by
+  parquet pruning, memoized across queries) → segments scan pruned by
   bucket partition dirs + term row-group stats → ONE groupBy(salt)
   applyInPandas running the block-max scorer per doc range (every term's
   postings for a range co-partition by the global range salt, so a doc's
   whole score forms inside one group — no per-doc shuffle) → per-range
-  bounded top-k → global window rank → doc-metadata fetch by pushed-down
-  doc_id IN (...) filter.
+  bounded top-k (≤ k rows per range reach the driver) → driver merge with
+  the (score desc, doc_id asc) tie-break → doc-metadata fetch by
+  pushed-down doc_id IN (...) filter.
 
-The score stage's exchange moves only block rows of the queried terms; the
-final exchange moves ≤ k rows per range. Rank identity: float64 BM25 (K6),
-ties by ascending doc_id.
+Latency design (donkey keeps its index RAM-resident; the Spark analog):
+DataFrame handles for segments/dictionary/docs are built once per Index so
+file listings and schema stay cached; `cache=True` persists the segment
+blocks in executor memory; per-term dictionary rows are memoized on the
+driver. A query then costs exactly two Spark jobs (score + metadata fetch),
+plus one dictionary probe per never-seen term.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize_py
@@ -36,7 +40,8 @@ _RESULT_SCHEMA = ("query_id int, rank int, doc_id long, score double, "
 class Index:
     """Reader over a built index directory (plans/build.py layout)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache: bool = False):
         self.spark = spark
         self.dir = index_dir
         m = spark.read.parquet(f"{index_dir}/meta").collect()[0]
@@ -45,18 +50,33 @@ class Index:
         self.range_size = int(m["range_size"])
         self.codec = m["codec"]
         self.n_buckets = int(m["n_buckets"])
+        self._seg = spark.read.option(
+            "basePath", f"{index_dir}/segments").parquet(
+            f"{index_dir}/segments")
+        self._dict = spark.read.parquet(f"{index_dir}/dictionary")
+        self._docs = spark.read.parquet(f"{index_dir}/docs")
+        self._df_memo: dict[str, int | None] = {}
+        if cache:
+            self._seg = self._seg.persist()
+            self._seg.count()          # materialize the warm index
 
     # -- planning helpers -------------------------------------------------
     def _lookup_terms(self, terms: list[str]) -> dict[str, int]:
-        """term -> df via dictionary, pruned by bucket dirs + term stats."""
-        if not terms:
-            return {}
-        buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
-        rows = (self.spark.read.parquet(f"{self.dir}/dictionary")
-                .where(F.col("bucket").isin(buckets)
-                       & F.col("term").isin(terms))
-                .select("term", "df").collect())
-        return {r["term"]: int(r["df"]) for r in rows}
+        """term -> df via dictionary (bucket dirs + term stats pruning);
+        memoized — repeated terms never re-probe parquet."""
+        missing = [t for t in terms if t not in self._df_memo]
+        if missing:
+            buckets = sorted({term_bucket_py(t, self.n_buckets)
+                              for t in missing})
+            rows = (self._dict
+                    .where(F.col("bucket").isin(buckets)
+                           & F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_memo[t] = found.get(t)
+        return {t: self._df_memo[t] for t in terms
+                if self._df_memo.get(t) is not None}
 
     # -- search ------------------------------------------------------------
     def search_batch(self, queries: list[tuple[int, str, int]]) -> DataFrame:
@@ -67,7 +87,7 @@ class Index:
                   for qid, text, k in queries}
         all_terms = sorted({t for ts, _ in parsed.values() for t in ts})
         dfs = self._lookup_terms(all_terms)
-        live_terms = [t for t in all_terms if t in dfs]
+        live_terms = sorted(dfs)
         if not live_terms:
             return spark.createDataFrame([], _RESULT_SCHEMA)
         idf_map = {t: float(bm25_idf(self.n_docs, dfs[t]))
@@ -75,13 +95,13 @@ class Index:
         qplan = [(qid, [t for t in ts if t in idf_map], k)
                  for qid, (ts, k) in parsed.items()]
         qplan = [q for q in qplan if q[1]]
+        if not qplan:
+            return spark.createDataFrame([], _RESULT_SCHEMA)
 
         buckets = sorted({term_bucket_py(t, self.n_buckets)
                           for t in live_terms})
-        seg = (spark.read.option("basePath", f"{self.dir}/segments")
-               .parquet(f"{self.dir}/segments")
-               .where(F.col("bucket").isin(buckets)         # dir pruning
-                      & F.col("term").isin(live_terms)))    # row-group stats
+        seg = self._seg.where(F.col("bucket").isin(buckets)   # dir pruning
+                              & F.col("term").isin(live_terms))
 
         base_mult, codec, avgdl = self.range_size, self.codec, self.avgdl
 
@@ -111,27 +131,42 @@ class Index:
         scored = seg.groupBy("salt").applyInPandas(
             score_fn, "query_id int, doc_id long, score double")
 
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
-                                                   F.asc("doc_id"))
-        ks = spark.createDataFrame([(qid, k) for qid, _, k in qplan],
-                                   "query_id int, k int")
-        topk = (scored.withColumn("rank", F.row_number().over(w))
-                .join(F.broadcast(ks), "query_id")
-                .where(F.col("rank") <= F.col("k"))
-                .select("query_id", "rank", "doc_id", "score"))
-
-        hits = topk.collect()          # ≤ Σk rows — drives doc_id pushdown
+        # Global top-k (op 35). Candidates are ≤ k per (query, touched
+        # range). Small bound → merge on the driver (TakeOrdered analog,
+        # saves a window+join job pair per call); large bound (hot terms ×
+        # many ranges at cluster scale) → distributed window rank first.
+        ks = {qid: k for qid, _, k in qplan}
+        n_ranges = max(1, (self.n_docs + self.range_size - 1)
+                       // self.range_size)
+        cand_bound = sum(min(k, self.n_docs) for k in ks.values()) * n_ranges
+        if cand_bound > 1_000_000:
+            from pyspark.sql import Window
+            w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                       F.asc("doc_id"))
+            ksdf = spark.createDataFrame(list(ks.items()), "query_id int, k int")
+            scored = (scored.withColumn("rank", F.row_number().over(w))
+                      .join(F.broadcast(ksdf), "query_id")
+                      .where(F.col("rank") <= F.col("k"))
+                      .drop("rank", "k"))
+        cand = scored.collect()                       # Spark job 1
+        by_q: dict[int, list] = {}
+        for r in cand:
+            by_q.setdefault(r["query_id"], []).append(r)
+        hits = []
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            hits.extend((qid, rk + 1, r["doc_id"], r["score"])
+                        for rk, r in enumerate(rows[:ks[qid]]))
         if not hits:
             return spark.createDataFrame([], _RESULT_SCHEMA)
-        ids = sorted({r["doc_id"] for r in hits})
-        docs = (spark.read.parquet(f"{self.dir}/docs")
-                .where(F.col("doc_id").isin(ids))       # pushed to parquet
-                .select("doc_id", "repo", "path"))
-        hits_df = spark.createDataFrame(
-            hits, "query_id int, rank int, doc_id long, score double")
-        return (hits_df.join(F.broadcast(docs), "doc_id")
-                .select("query_id", "rank", "doc_id", "score", "repo", "path")
-                .orderBy("query_id", "rank"))
+
+        ids = sorted({h[2] for h in hits})
+        meta = {r["doc_id"]: (r["repo"], r["path"]) for r in
+                self._docs.where(F.col("doc_id").isin(ids))  # pushed down
+                .select("doc_id", "repo", "path").collect()}  # Spark job 2
+        rows = [(qid, rk, d, s, *meta.get(d, (None, None)))
+                for qid, rk, d, s in sorted(hits)]
+        return spark.createDataFrame(rows, _RESULT_SCHEMA)
 
     def search(self, text: str, k: int = 10) -> DataFrame:
         return self.search_batch([(0, text, k)]).drop("query_id")

@@ -1,0 +1,1 @@
+from .ingest import stream_ingest, compact_index   # noqa: F401

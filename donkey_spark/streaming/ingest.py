@@ -1,0 +1,129 @@
+"""Streaming ingest — donkey's continuous insert + journal analog
+(SURVEY §2.10).
+
+Donkey ingests via an `insert` RPC, appends to a write-ahead journal, and
+periodically rebuilds the index (`reindex`) `[donkey:src/donkey.cpp —
+unverified, SURVEY §0]`. The Structured-Streaming re-expression:
+
+  insert RPC stream   → file-source readStream over the corpus directory
+  journal append      → foreachBatch: each epoch builds its own segment
+                        chunk dir (chunk=stream<epoch>) + a manifest row;
+                        the epoch id makes re-delivered batches idempotent
+                        (exactly-once effect on the index)
+  periodic reindex    → compact_index(): canonical batch rebuild over the
+                        accumulated docs table (restores dense global ids
+                        and a single avgdl)
+  duplicate inserts   → per-batch dropDuplicates on (repo, path, commit)
+
+Streaming constraints, stated honestly: within an epoch, doc ids are dense
+from the running count in meta, but avgdl / df are frozen at their values
+when each chunk was built, so BM25 scores from a streamed index are
+approximate until compact_index() runs — exactly like donkey serving
+between journal replays and reindexes. The north_rule requires the
+checkpoint-resumable BATCH build (plans/build.py); this module is the
+capability mapping for continuous ingest on top of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import BLOCK_SIZE, default_range_size
+from ..functions.tokenize import doc_features_udf
+from ..operators.postings import build_segments, merge_segments
+from ..sources.corpus import CORPUS_SCHEMA
+
+
+def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
+                  codec: str, block_size: int) -> None:
+    spark = batch_df.sparkSession
+    try:
+        meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+        n_before, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+        rsize = int(meta["range_size"])
+        sum_dl = avgdl * n_before
+    except Exception:
+        n_before, sum_dl = 0, 0.0
+        rsize = None
+
+    batch = batch_df.dropDuplicates(["repo", "path", "commit"])
+    # dense ids within the (small) micro-batch, offset by the running count;
+    # a single-partition window is fine at micro-batch size — compact_index
+    # restores the scalable two-phase assignment over the whole corpus
+    rows = (batch.select("repo", "path", "commit", "lang",
+                         F.sha2(F.col("content"), 256).alias("sha256"),
+                         doc_features_udf(F.col("content")).alias("f"))
+            .withColumn("doc_id",
+                        F.row_number().over(
+                            Window.orderBy("repo", "path", "commit"))
+                        + F.lit(n_before - 1))
+            .persist())
+    n_batch = rows.count()
+    if n_batch == 0:
+        rows.unpersist()
+        return
+    batch_dl = int(rows.agg(F.sum("f.dl")).collect()[0][0] or 0)
+    n_docs = n_before + n_batch
+    avgdl_new = (sum_dl + batch_dl) / n_docs
+    rsize = rsize or default_range_size(n_docs)
+
+    dt = (rows.select("doc_id", F.col("f.dl").alias("dl"),
+                      F.explode(F.arrays_zip("f.terms", "f.tfs")).alias("e"))
+          .select("doc_id", "dl", F.col("e.terms").alias("term"),
+                  F.col("e.tfs").alias("tf")))
+    seg = merge_segments(build_segments(dt, avgdl_new, rsize, codec=codec,
+                                        block_size=block_size))
+    # idempotent per epoch: overwrite this epoch's chunk dir
+    (seg.write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{index_dir}/segments/chunk=stream{epoch_id}"))
+    (rows.select("doc_id", "repo", "path", "commit", "lang",
+                 F.col("f.dl").alias("dl"), "sha256")
+        .write.mode("append").parquet(f"{index_dir}/docs"))
+    (spark.createDataFrame(
+        [(int(epoch_id), "stream", n_batch, batch_dl)],
+        "chunk int, status string, n_docs long, sum_dl long")
+        .write.mode("append").parquet(f"{index_dir}/manifest_stream"))
+
+    seg_all = spark.read.option("basePath", f"{index_dir}/segments").parquet(
+        f"{index_dir}/segments")
+    from ..operators.postings import dictionary_from_segments
+    (dictionary_from_segments(seg_all)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{index_dir}/dictionary"))
+    n_postings = int(seg_all.agg(F.coalesce(F.sum("n_docs"), F.lit(0)))
+                     .collect()[0][0])
+    from ..config import N_BUCKETS
+    (spark.createDataFrame(
+        [(1, n_docs, float(avgdl_new), n_postings, int(rsize),
+          int(block_size), codec, int(N_BUCKETS), -1)],
+        "version int, n_docs long, avgdl double, n_postings long, "
+        "range_size long, block_size int, codec string, n_buckets int, "
+        "n_chunks int")
+        .write.mode("overwrite").parquet(f"{index_dir}/meta"))
+    rows.unpersist()
+
+
+def stream_ingest(spark: SparkSession, source_dir: str, index_dir: str,
+                  checkpoint_dir: str, codec: str = "varint",
+                  block_size: int = BLOCK_SIZE,
+                  trigger_once: bool = True):
+    """Start (or run-once) the ingest stream over a corpus directory."""
+    stream = (spark.readStream.schema(CORPUS_SCHEMA)
+              .option("maxFilesPerTrigger", 8)
+              .parquet(source_dir))
+    writer = (stream.writeStream
+              .foreachBatch(lambda df, eid: _append_epoch(
+                  df, eid, index_dir, codec, block_size))
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_index(spark: SparkSession, corpus: DataFrame,
+                  index_dir: str, **build_opts) -> dict:
+    """The `reindex` analog: canonical batch rebuild (dense global ids,
+    single global avgdl/df) over the full corpus."""
+    from ..plans.build import build_index
+    return build_index(spark, corpus, index_dir, **build_opts)

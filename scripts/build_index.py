@@ -1,0 +1,49 @@
+"""spark-submit entry point A — index build (BASELINE.json north_rule:
+"run via spark-submit --py-files on a multi-executor cluster").
+
+    python scripts/make_engine_zip.py            # -> dist/engine.zip
+    spark-submit --py-files dist/engine.zip scripts/build_index.py \
+        --corpus <iceberg-table-or-parquet-path> --out /idx \
+        [--ref-hashes <parquet>] [--chunks 16] [--resume] [--codec pfor]
+
+On a cluster, omit master configs here — spark-submit supplies them; run
+locally it falls back to local[*] via donkey_spark.config.get_spark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True,
+                    help="Iceberg table id or parquet path (fixed schema)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ref-hashes", default=None,
+                    help="parquet with (repo,path,commit,sha256) — enforces "
+                         "the per-row content invariant")
+    ap.add_argument("--chunks", type=int, default=1)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--codec", default="varint", choices=["varint", "pfor"])
+    ap.add_argument("--job-id", default="job-0")
+    a = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.sources.corpus import scan_corpus
+
+    spark = SparkSession.builder.appName("donkey_build").getOrCreate()
+    corpus = scan_corpus(spark, a.corpus)
+    ref = (spark.read.parquet(a.ref_hashes) if a.ref_hashes else None)
+    info = build_index(spark, corpus, a.out, codec=a.codec,
+                       n_chunks=a.chunks, resume=a.resume,
+                       ref_hashes=ref, job_id=a.job_id)
+    json.dump(info, sys.stdout, default=str)
+    print()
+
+
+if __name__ == "__main__":
+    main()

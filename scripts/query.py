@@ -1,0 +1,44 @@
+"""spark-submit entry point B — batch top-k query.
+
+    spark-submit --py-files dist/engine.zip scripts/query.py \
+        --index /idx --query "block max wand" -k 10
+    spark-submit --py-files dist/engine.zip scripts/query.py \
+        --index /idx --queries queries.parquet --out results/
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", default=None)
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--queries", default=None,
+                    help="parquet with (query_id, query, k)")
+    ap.add_argument("--out", default=None, help="write results parquet here")
+    a = ap.parse_args()
+    if not a.query and not a.queries:
+        ap.error("need --query or --queries")
+
+    from pyspark.sql import SparkSession
+    from donkey_spark.plans.query import Index
+
+    spark = SparkSession.builder.appName("donkey_query").getOrCreate()
+    idx = Index(spark, a.index)
+    if a.query:
+        batch = [(0, a.query, a.k)]
+    else:
+        batch = [(int(r["query_id"]), r["query"], int(r["k"]))
+                 for r in spark.read.parquet(a.queries).collect()]
+    res = idx.search_batch(batch)
+    if a.out:
+        res.write.mode("overwrite").parquet(a.out)
+    else:
+        res.show(100, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

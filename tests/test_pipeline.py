@@ -1,0 +1,124 @@
+"""Training-data pipeline operator tests (dedup / similarity / text /
+multimodal). The SQL-expressible ops are additionally DuckDB-checked by
+tests/test_contract.py; these tests cover the engine-only paths against
+transparent Python oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different content about spark and indexes"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_finds_dups_and_neighbors(spark, docs):
+    from donkey_spark.pipeline.dedup import jaccard_pairs, neardup_pairs
+    pairs = {(r["id_a"], r["id_b"])
+             for r in neardup_pairs(docs).collect()}
+    assert (0, 3) in pairs                       # exact duplicates collide
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert jac[(0, 3)] == 1.0
+    if (0, 1) in jac:                            # near-dup: 8/10 tokens
+        assert 0.7 <= jac[(0, 1)] <= 0.9
+    assert all(a < b for a, b in jac)
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    from collections import Counter
+    from donkey_spark.pipeline.dedup import simhash64, simhash64_py
+    from donkey_spark.functions.tokenize import tokenize_py
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    for row in docs.collect():
+        toks = tokenize_py(row["text"])
+        expect = simhash64_py(sorted(Counter(toks).items()))
+        assert got[row["doc_id"]] == expect, row["text"]
+
+
+def test_simhash_similar_docs_close_hamming(spark, docs):
+    from donkey_spark.pipeline.dedup import simhash64
+    got = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+           for r in simhash64(docs).collect()}
+    ham_dup = bin(got[0] ^ got[3]).count("1")
+    ham_near = bin(got[0] ^ got[1]).count("1")
+    ham_far = bin(got[0] ^ got[2]).count("1")
+    assert ham_dup == 0
+    assert ham_near < ham_far
+
+
+def test_winnow_matches_python_oracle(spark, docs):
+    from donkey_spark.pipeline.textqual import (winnow_fingerprints,
+                                                winnow_py)
+    from donkey_spark.functions.tokenize import tokenize_py
+    got: dict[int, list] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            r["fingerprint"] & ((1 << 64) - 1))
+    for row in docs.collect():
+        expect = winnow_py(tokenize_py(row["text"]))
+        assert sorted(got.get(row["doc_id"], [])) == expect
+
+
+def test_winnow_detects_partial_overlap(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "XX YY " + a + " ZZ"                     # shared run → shared prints
+    c = "totally unrelated words without any common substring here at all"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)],
+                               "doc_id long, text string")
+    from donkey_spark.pipeline.textqual import winnow_fingerprints
+    fps: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2])
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    from donkey_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in
+             cosine_topk(emb, probe, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              lsh_ann_topk(emb, probe, k=10, n_tables=8,
+                           n_planes=4).collect()]
+    assert 0 in approx                     # the probe itself must be found
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall} too low: {exact} vs {approx}"
+
+
+def test_media_features_deterministic_and_stub_guarded(spark):
+    from donkey_spark.pipeline.multimodal import (extract_media_features,
+                                                  frame_sample, synth_media)
+    media = synth_media(spark, n=30)
+    f1 = {r["media_id"]: r["feature"] for r in
+          extract_media_features(media, decode="fake").collect()}
+    f2 = {r["media_id"]: r["feature"] for r in
+          extract_media_features(media, decode="fake").collect()}
+    assert f1 == f2 and len(f1) == 30
+    assert all(len(v) == 16 for v in f1.values())
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        extract_media_features(media, decode="real").collect()
+    frames = frame_sample(media, every_ms=1000).collect()
+    assert frames and all(r["frame_ms"] % 1000 == 0 for r in frames)
+
+
+def test_lang_id_prefers_matching_stopwords(spark):
+    from donkey_spark.pipeline.textqual import lang_id
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog of it"),
+         (1, "der hund und die katze ist nicht"),
+         (2, "xyzzy qwerty")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "xx"
