@@ -41,6 +41,37 @@ from ..operators.postings import (build_segments, dictionary_from_segments,
 from ..sources.corpus import check_sha256
 
 
+def _is_local(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+def _write_small(spark: SparkSession, rows: list[tuple], schema: str,
+                 path: str, mode: str, name: str) -> None:
+    """Write a tiny table (manifest row, meta) without a Spark job when the
+    target is a local filesystem — each saved job is pure serial driver
+    time in the build's critical path. Cluster URIs (hdfs://, s3://...)
+    fall back to the normal Spark write."""
+    if not _is_local(path):
+        spark.createDataFrame(rows, schema).write.mode(mode).parquet(path)
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+    import shutil
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+    p = path[7:] if path.startswith("file:") else path
+    if mode == "overwrite" and os.path.isdir(p):
+        shutil.rmtree(p)
+    os.makedirs(p, exist_ok=True)
+    arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
+    cols = list(zip(*rows)) if rows else [[] for _ in arrow_schema]
+    tbl = pa.Table.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+        schema=arrow_schema)
+    pq.write_table(tbl, os.path.join(p, f"part-{name}.parquet"))
+
+
 def _manifest_done(spark: SparkSession, manifest_dir: str) -> set[int]:
     try:
         m = spark.read.parquet(manifest_dir)
@@ -150,11 +181,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         row = [(cid, "done", int(min(hi, n_docs) - lo), int(m["n_postings"]),
                 int(m["n_blocks"]), int(m["bytes_out"]),
                 int((time.monotonic() - tc0) * 1000), 1, job_id)]
-        (spark.createDataFrame(
-            row, "chunk int, status string, n_docs long, n_postings long, "
-                 "n_blocks long, bytes_out long, wall_ms long, attempt int, "
-                 "job_id string")
-            .write.mode("append").parquet(manifest_dir))
+        _write_small(
+            spark, row,
+            "chunk int, status string, n_docs long, n_postings long, "
+            "n_blocks long, bytes_out long, wall_ms long, attempt int, "
+            "job_id string",
+            manifest_dir, "append", f"{job_id}-{cid}")
         _mark("chunk_metrics_manifest")
         built += 1
 
@@ -173,11 +205,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                      .collect()[0][0])
     meta = [(1, n_docs, float(avgdl), int(n_postings), int(rsize),
              int(block_size), codec, int(N_BUCKETS), int(n_chunks_eff))]
-    (spark.createDataFrame(
-        meta, "version int, n_docs long, avgdl double, n_postings long, "
-              "range_size long, block_size int, codec string, "
-              "n_buckets int, n_chunks int")
-        .write.mode("overwrite").parquet(f"{out_dir}/meta"))
+    _write_small(
+        spark, meta,
+        "version int, n_docs long, avgdl double, n_postings long, "
+        "range_size long, block_size int, codec string, "
+        "n_buckets int, n_chunks int",
+        f"{out_dir}/meta", "overwrite", "meta")
     docs_feat.unpersist()
     _mark("dictionary_meta")
     return {"n_docs": n_docs, "avgdl": avgdl, "n_postings": n_postings,
