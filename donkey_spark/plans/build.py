@@ -36,8 +36,9 @@ from pyspark import StorageLevel
 from ..config import BLOCK_SIZE, N_BUCKETS, default_range_size
 from ..functions.tokenize import doc_features_udf
 from ..operators.doc_ids import assign_doc_ids
-from ..operators.postings import (build_segments, dictionary_from_segments,
-                                  merge_segments)
+from ..operators.postings import (build_partial_postings,
+                                  dictionary_from_segments,
+                                  merge_partials_to_segments, merge_segments)
 from ..sources.corpus import check_sha256
 
 
@@ -155,14 +156,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         lo, hi = cid * chunk_docs, (cid + 1) * chunk_docs
         chunk = docs_feat.where((F.col("doc_id") >= lo)
                                 & (F.col("doc_id") < hi))
-        dt = (chunk
-              .select("doc_id", F.col("f.dl").alias("dl"),
-                      F.explode(F.arrays_zip("f.terms", "f.tfs")).alias("e"))
-              .select("doc_id", "dl", F.col("e.terms").alias("term"),
-                      F.col("e.tfs").alias("tf")))
+        # ops 22/23, two-stage: per-partition combiner (no shuffle) then a
+        # partials-only exchange + vectorized merge — the shuffle moves
+        # ~2.5 B/posting of compressed runs instead of 26 B/posting rows.
+        feat_cols = chunk.select("doc_id", F.col("f.dl").alias("dl"),
+                                 F.col("f.terms").alias("terms"),
+                                 F.col("f.tfs").alias("tfs"))
+        partials = build_partial_postings(feat_cols, rsize)
         seg = merge_segments(
-            build_segments(dt, avgdl, rsize, codec=codec,
-                           block_size=block_size))                   # ops 22/23
+            merge_partials_to_segments(partials, avgdl, codec=codec,
+                                       block_size=block_size))
         seg_dir = f"{out_dir}/segments/chunk={cid}"
         # no extra layout shuffle: the encode stage's partitions are already
         # sorted by (term, salt), so each bucket=<b> file written here keeps
