@@ -28,8 +28,8 @@ def main() -> None:
     from donkey_spark.sources import documents_as_corpus
     from donkey_spark.plans.build import build_index
     from donkey_spark.plans.query import Index
-    from donkey_spark.contract import (BM25_QUERIES, q_tokenize_tf,
-                                       q_lineitem_pricing,
+    from donkey_spark.contract import (BM25_AND_QUERIES, BM25_QUERIES,
+                                       q_tokenize_tf, q_lineitem_pricing,
                                        q_revenue_by_nation, q_doc_freq)
 
     spark = get_spark("donkey_bench", cores=cpus, shuffle_partitions=cpus)
@@ -46,6 +46,10 @@ def main() -> None:
         t0 = time.monotonic()
         idx.search_batch(BM25_QUERIES).collect()
         timings["bm25_topk_batch"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        idx.search_batch(BM25_AND_QUERIES, mode="and").collect()
+        timings["bm25_and_batch"] = round(time.monotonic() - t0, 3)
 
         for name, fn in [("tokenize_tf", q_tokenize_tf),
                          ("doc_freq", q_doc_freq),

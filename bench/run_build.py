@@ -41,7 +41,8 @@ def main() -> None:
     wall = time.monotonic() - t0
     out = {"cores": a.cores, "wall_s": round(wall, 2),
            "n_docs": info["n_docs"], "n_postings": info["n_postings"],
-           "files_per_sec": round(info["n_docs"] / wall, 1)}
+           "files_per_sec": round(info["n_docs"] / wall, 1),
+           "phases": info["phases"]}
     if a.digest:
         from donkey_spark.operators.postings import segments_digest
         seg = spark.read.option("basePath", f"{a.out}/segments").parquet(

@@ -33,9 +33,14 @@ from .sources.corpus import documents_as_corpus
 # shared pieces
 # ---------------------------------------------------------------------------
 
-#: §T tokenizer in ANSI-ish DuckDB SQL over the raw `documents` view
-_TOKS_SQL = ("list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), "
-             "t -> len(t) BETWEEN 2 AND 64)")
+#: §T tokenizer in ANSI-ish DuckDB SQL over the raw `documents` view —
+#: including the MAX_TOKENS_PER_DOC cap every engine path applies (§T.3),
+#: so oversized documents can't diverge between engine and oracle.
+from .config import MAX_TOKENS_PER_DOC as _TOK_CAP  # noqa: E402
+from .pipeline.textqual import _WINNOW_B as _WINNOW_B_SQL  # noqa: E402
+
+_TOKS_SQL = ("(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), "
+             f"t -> len(t) BETWEEN 2 AND 64))[1:{_TOK_CAP}]")
 
 #: BM25 reference query set for the flagship (terms exist in documents.text)
 BM25_QUERIES: list[tuple[int, str, int]] = [
@@ -45,6 +50,16 @@ BM25_QUERIES: list[tuple[int, str, int]] = [
     (3, "window", 10),
     (4, "stream batch value", 10),
     (5, "zz_oov_token", 10),
+]
+
+#: conjunctive (AND) query set — op 32 intersection fast path; query 4's
+#: OOV conjunct must yield zero rows on both engines
+BM25_AND_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spark join", 10),
+    (1, "group sort merge", 10),
+    (2, "customer row", 10),
+    (3, "stream batch value", 10),
+    (4, "spark zz_oov_token", 10),
 ]
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -268,6 +283,20 @@ def q_bm25_topk(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_topk_and(spark, sf_dir):
+    """op 32 engine fast path — conjunctive top-k: block-skip posting
+    intersection inside the range scorer (kernels/wand.py
+    score_range_topk_and) vs a HAVING-count SQL BM25."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    res = idx.search_batch(BM25_AND_QUERIES, mode="and")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ◇ ops (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -321,31 +350,103 @@ def q_quality_score(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (bit-parallel numpy; tested vs a
-    pure-Python oracle in tests/test_pipeline.py)."""
+    """64-bit SimHash fingerprints (batch-vectorized numpy; value-exact
+    DuckDB twin reconstructs the sha-derived bit accumulation)."""
     from .pipeline.dedup import simhash64
     return simhash64(_docs(spark, sf_dir))
 
 
 def q_winnow_fingerprints(spark, sf_dir):
-    """Winnowing document fingerprints (Schleimer et al. 2003)."""
+    """Winnowing document fingerprints (Schleimer et al. 2003); value-exact
+    DuckDB twin recomputes the Horner k-gram hashes in HUGEINT."""
     from .pipeline.textqual import winnow_fingerprints
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+#: ANN contract parameters (dim is fixed at 64 in TESTDATA embeddings)
+ANN_DIM, ANN_TABLES, ANN_PLANES = 64, 4, 4
+_ANN_CACHE: dict[str, str] = {}
+
+
 def q_lsh_ann_topk(spark, sf_dir):
-    """Random-hyperplane LSH ANN over embeddings (recall tested vs brute
-    force in tests/test_pipeline.py)."""
-    from .pipeline.similarity import lsh_ann_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_ann_topk(emb, _probe_vec(spark, sf_dir), k=10)
+    """Random-hyperplane LSH ANN via the MATERIALIZED bucket table
+    (partition-pruned probe — the 10^9-vector path), checked value-exact
+    against a DuckDB twin that recomputes the sha-seeded planes."""
+    from .pipeline.similarity import ann_topk, build_ann_index
+    if sf_dir not in _ANN_CACHE:
+        out = os.path.join(tempfile.gettempdir(),
+                           "donkey_ann_" + sf_dir.strip("/").replace("/", "_"))
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_ann_index(emb, out, n_tables=ANN_TABLES, n_planes=ANN_PLANES)
+        _ANN_CACHE[sf_dir] = out
+    return ann_topk(spark, _ANN_CACHE[sf_dir], _probe_vec(spark, sf_dir),
+                    k=10, n_tables=ANN_TABLES, n_planes=ANN_PLANES)
 
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> feature vectors via
-    mapInPandas (decode stubbed deterministically — no codecs in image)."""
-    from .pipeline.multimodal import extract_media_features, synth_media
-    return extract_media_features(synth_media(spark, n=64), decode="fake")
+    mapInPandas (decode stubbed deterministically — no codecs in image).
+
+    The media table derives from `documents` (payload = UTF-8 text bytes)
+    so the sha256-expanded fake features have an exact DuckDB twin; the
+    vector is exploded to (media_id, kind, dim, value) rows — a
+    driver-canonicalizable shape (scalar columns only)."""
+    from .pipeline.multimodal import extract_media_features
+    media = (_docs(spark, sf_dir)
+             .select(F.col("doc_id").alias("media_id"),
+                     F.element_at(F.array(F.lit("image"), F.lit("audio"),
+                                          F.lit("video")),
+                                  (F.col("doc_id") % 3 + 1).cast("int"))
+                     .alias("kind"),
+                     F.encode(F.col("text"), "UTF-8").alias("payload")))
+    feats = extract_media_features(media, decode="fake")
+    return (feats.select("media_id", "kind",
+                         F.posexplode("feature").alias("dim", "v"))
+            .select("media_id", "kind", F.col("dim").cast("int").alias("dim"),
+                    F.round(F.col("v").cast("double"), 6).alias("value")))
+
+def q_build_resume(spark, sf_dir):
+    """op 29 driver surface: a chunked build followed by a resumed run that
+    must skip every committed chunk and reproduce the same postings count
+    (rows-only; the full behavior matrix is in tests/test_engine_e2e.py)."""
+    from .plans.build import build_index
+    out = tempfile.mkdtemp(prefix="donkey_resume_")
+    corpus = documents_as_corpus(spark, sf_dir)
+    info1 = build_index(spark, corpus, out, range_size=64, n_chunks=3)
+    info2 = build_index(spark, corpus, out, range_size=64, n_chunks=3,
+                        resume=True)
+    rows = [(int(info1["n_chunks"]), int(info1["chunks_built"]),
+             int(info2["chunks_built"]), int(info2["chunks_skipped"]),
+             int(info2["n_postings"] == info1["n_postings"]))]
+    return spark.createDataFrame(
+        rows, "n_chunks int, built_first int, built_resume int, "
+              "skipped_resume int, postings_stable int")
+
+
+def q_stream_ingest(spark, sf_dir):
+    """§2.10 driver surface: availableNow ingest over a multi-file corpus
+    (2 epochs at maxFilesPerTrigger=8), then the converged index state
+    (rows-only; idempotency is pytest-covered in tests/test_streaming.py)."""
+    from .streaming.ingest import stream_ingest
+    base = tempfile.mkdtemp(prefix="donkey_stream_")
+    src = os.path.join(base, "src")
+    (documents_as_corpus(spark, sf_dir).repartition(10)
+     .write.mode("overwrite").parquet(src))
+    q = stream_ingest(spark, src, os.path.join(base, "idx"),
+                      os.path.join(base, "ckpt"), trigger_once=True)
+    q.awaitTermination(300)
+    meta = spark.read.parquet(os.path.join(base, "idx", "meta")).collect()[0]
+    n_epochs = (spark.read.parquet(os.path.join(base, "idx",
+                                                "manifest_stream")).count())
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(os.path.join(base, "idx", "docs"))
+                 .select("doc_id").collect())
+    rows = [(int(n_epochs), int(meta["n_docs"]),
+             int(ids == list(range(len(ids)))),
+             int(meta["n_postings"] > 0))]
+    return spark.createDataFrame(
+        rows, "n_epochs int, n_docs int, ids_dense int, has_postings int")
+
 
 def q_index_manifest(spark, sf_dir):
     """op 4/29 surface — per-chunk lineage + metrics journal."""
@@ -370,7 +471,20 @@ def q_segment_stats(spark, sf_dir):
 # DuckDB oracle SQL (views documents/events/lineitem/... pre-registered)
 # ---------------------------------------------------------------------------
 
-_BM25_ORACLE = f"""
+def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
+                     conjunctive: bool = False) -> str:
+    """From-first-principles DuckDB BM25 over the documents view for the
+    given query set; conjunctive=True keeps only docs matched by EVERY
+    query term (HAVING count = per-query term count)."""
+    from .functions.tokenize import tokenize_py
+    vals = ",\n  ".join(
+        f"({qid}, '{t}', {k})"
+        for qid, text, k in queries for t in sorted(set(tokenize_py(text))))
+    qn_cte = (", qn AS (SELECT query_id, count(*) AS nt FROM qset "
+              "GROUP BY 1)" if conjunctive else "")
+    qn_join = " JOIN qn ON qn.query_id = q.query_id" if conjunctive else ""
+    having = "\n  HAVING count(*) = max(qn.nt)" if conjunctive else ""
+    return f"""
 WITH ordered AS (
   SELECT row_number() OVER (ORDER BY source, 'doc/'||CAST(doc_id AS VARCHAR))
          - 1 AS d, text FROM documents
@@ -387,13 +501,8 @@ WITH ordered AS (
 ), dfreq AS (
   SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1
 ), qset(query_id, term, k) AS (VALUES
-  (0, 'spark', 10), (0, 'join', 10), (0, 'filter', 10),
-  (1, 'group', 10), (1, 'sort', 10), (1, 'merge', 10),
-  (2, 'customer', 10), (2, 'row', 10),
-  (3, 'window', 10),
-  (4, 'stream', 10), (4, 'batch', 10), (4, 'value', 10),
-  (5, 'zz_oov_token', 10)
-), scored AS (
+  {vals}
+){qn_cte}, scored AS (
   SELECT q.query_id, q.k, dt.d AS doc_id,
          sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
               * dt.tf * 2.2
@@ -401,8 +510,8 @@ WITH ordered AS (
          AS score
   FROM qset q JOIN dt ON dt.term = q.term
   JOIN dfreq f ON f.term = q.term
-  JOIN dl2 ON dl2.d = dt.d, stats s
-  GROUP BY 1, 2, 3
+  JOIN dl2 ON dl2.d = dt.d{qn_join}, stats s
+  GROUP BY 1, 2, 3{having}
 ), ranked AS (
   SELECT query_id, doc_id, ROUND(score, 6) AS score,
          row_number() OVER (PARTITION BY query_id
@@ -413,6 +522,10 @@ WITH ordered AS (
 SELECT query_id, rank::INT AS rank, doc_id, score
 FROM ranked WHERE rank <= k
 """
+
+
+_BM25_ORACLE = _bm25_oracle_sql(BM25_QUERIES)
+_BM25_AND_ORACLE = _bm25_oracle_sql(BM25_AND_QUERIES, conjunctive=True)
 
 
 _H60 = ("CAST(CAST('0x'||substr(sha256(t||'#{i}'),1,15) AS UBIGINT) "
@@ -437,6 +550,49 @@ dtoks AS (
 
 _DOT = ("list_sum(list_transform(range(1, len({a})+1), "
         "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+def _ann_oracle_sql(dim: int = ANN_DIM, n_tables: int = ANN_TABLES,
+                    n_planes: int = ANN_PLANES, k: int = 10) -> str:
+    """DuckDB twin of the materialized-LSH probe: recompute every
+    sha-seeded hyperplane as a literal, derive each vector's per-table
+    bucket, take vectors sharing ANY table bucket with vec_id=0, exact
+    cosine rescore. Engine and oracle agree bit-for-bit because the planes
+    are deterministic (pipeline/similarity._planes) and both sides project
+    in float64."""
+    from .pipeline.similarity import _planes
+    rows = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed=f"t{t}")
+        for p in range(n_planes):
+            vals = ", ".join(repr(float(v)) for v in planes[p])
+            rows.append(f"({t}, {p}, [{vals}])")
+    values = ",\n  ".join(rows)
+    cos = (f"{_DOT.format(a='e.embedding', b='v')}"
+           f" / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})"
+           f" * sqrt({_DOT.format(a='v', b='v')}))")
+    return f"""
+WITH planes(tbl, pidx, vals) AS (VALUES
+  {values}
+), proj AS (
+  SELECT e.vec_id, pl.tbl, pl.pidx,
+         CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+              i -> e.embedding[i]::DOUBLE * pl.vals[i])) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, planes pl
+), buck AS (
+  SELECT vec_id, tbl,
+         sum(bit * (1 << ({n_planes} - 1 - pidx)))::BIGINT AS bucket
+  FROM proj GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT b.vec_id FROM buck b
+  JOIN buck p ON p.vec_id = 0 AND p.tbl = b.tbl AND p.bucket = b.bucket
+), pv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, cosine FROM (
+  SELECT e.vec_id, ROUND({cos}, 6) AS cosine
+  FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, pv)
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
 
 _STOP_SQL = {
     "en": "['the','and','of','to','is','in','that','it','for','on']",
@@ -572,10 +728,9 @@ ORACLE_SQL: dict[str, str] = {
             SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
           WHERE term IN ('spark', 'join') GROUP BY doc_id, term)
         GROUP BY doc_id HAVING count(DISTINCT term) = 2""",
-    "semi_join": """
+    "semi_join": f"""
         SELECT doc_id, lang FROM documents
-        WHERE list_contains(regexp_extract_all(lower(text),
-                            '[a-z0-9_]+'), 'spark')""",
+        WHERE list_contains({_TOKS_SQL}, 'spark')""",
     "union_langs": """
         SELECT doc_id FROM documents WHERE lang = 'en'
         UNION ALL SELECT doc_id FROM documents WHERE lang = 'de'""",
@@ -621,6 +776,90 @@ ORACLE_SQL: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name""",
     "bm25_topk": _BM25_ORACLE,
+    "bm25_topk_and": _BM25_AND_ORACLE,
+    "lsh_ann_topk": _ann_oracle_sql(),
+    # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
+    # sha256(term) (big-endian), acc_j = Σ tf·(2·bit_j − 1), sign bits
+    # packed into a signed int64 (bit 63 via two's-complement offset)
+    "simhash": f"""
+        WITH dt AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+          GROUP BY 1, 2
+        ), th AS (
+          SELECT doc_id, tf,
+                 CAST('0x' || substr(sha256(term), 1, 16) AS UBIGINT) AS h
+          FROM dt
+        ), bits AS (
+          SELECT doc_id, j, sum(tf * (2 * ((h >> j) & 1)::BIGINT - 1)) AS acc
+          FROM th, (SELECT unnest(range(64)) AS j) GROUP BY 1, 2
+        ), sim AS (
+          SELECT doc_id,
+                 sum(CASE WHEN acc > 0 AND j < 63
+                          THEN (1::BIGINT << j::INT) ELSE 0 END)
+                 + CASE WHEN bool_or(j = 63 AND acc > 0)
+                        THEN -9223372036854775808 ELSE 0 END AS simhash
+          FROM bits GROUP BY 1
+        )
+        SELECT d.doc_id, COALESCE(s.simhash, 0)::BIGINT AS simhash
+        FROM documents d LEFT JOIN sim s ON s.doc_id = d.doc_id""",
+    # SQL twin of pipeline/textqual.winnow_fingerprints (k=4, w=5): Horner
+    # polynomial of per-token sha256 hashes mod 2^64 (HUGEINT arithmetic —
+    # products stay < 2^104), window-min, distinct, signed int64
+    "winnow_fingerprints": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS_SQL}) AS term,
+                 unnest(range(len({_TOKS_SQL}))) AS pos
+          FROM documents
+        ), th AS (
+          SELECT doc_id, pos,
+                 CAST('0x' || substr(sha256(term), 1, 16)
+                      AS UBIGINT)::HUGEINT AS h
+          FROM toks
+        ), n AS (SELECT doc_id, count(*)::BIGINT AS m FROM th GROUP BY 1),
+        kg AS (
+          SELECT a.doc_id, a.pos,
+                 ((((((a.h * {_WINNOW_B_SQL} + b.h) % {1 << 64})
+                     * {_WINNOW_B_SQL} + c.h) % {1 << 64})
+                   * {_WINNOW_B_SQL} + d.h) % {1 << 64}) AS hk
+          FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          JOIN th d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+        ), ws AS (
+          SELECT doc_id, unnest(range(greatest(1, (m - 3) - 5 + 1))) AS s
+          FROM n WHERE m - 3 >= 1
+        ), mins AS (
+          SELECT w.doc_id, w.s, min(k.hk) AS fp
+          FROM ws w JOIN kg k ON k.doc_id = w.doc_id
+           AND k.pos >= w.s AND k.pos < w.s + 5
+          GROUP BY 1, 2
+        )
+        SELECT DISTINCT doc_id,
+          CAST(fp - CASE WHEN fp >= 9223372036854775808
+                         THEN 18446744073709551616::HUGEINT ELSE 0 END
+               AS BIGINT) AS fingerprint
+        FROM mins""",
+    # exact SQL twin of pipeline/multimodal._fake_decode over UTF-8 payloads:
+    # feature[dim] = float32(u32 / 2^32) where u32 = 4 bytes of
+    # sha256(text || str(dim // 8)) at offset (dim % 8) * 4
+    "media_features": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image'
+                                 WHEN 1 THEN 'audio'
+                                 ELSE 'video' END AS kind,
+                 sha256(text || '0') AS h0, sha256(text || '1') AS h1
+          FROM documents
+        ), d AS (
+          SELECT media_id, kind, dim,
+                 CASE WHEN dim < 8 THEN substr(h0, dim * 8 + 1, 8)
+                      ELSE substr(h1, (dim - 8) * 8 + 1, 8) END AS hx
+          FROM m, (SELECT unnest(range(16)) AS dim)
+        )
+        SELECT media_id, kind, dim::INT AS dim,
+               ROUND(CAST(CAST('0x' || hx AS UBIGINT) / 4294967296.0
+                          AS FLOAT)::DOUBLE, 6) AS value
+        FROM d""",
 }
 
 QUERIES = {
@@ -646,6 +885,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "revenue_by_nation": q_revenue_by_nation,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_and": q_bm25_topk_and,
     # training-data pipeline ops
     "minhash_bands": q_minhash_bands,
     "neardup_pairs": q_neardup_pairs,
@@ -654,6 +894,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     # rows-only (engine internals / no SQL oracle; pytest-verified instead)
+    "build_resume": q_build_resume,
+    "stream_ingest": q_stream_ingest,
     "index_manifest": q_index_manifest,
     "segment_stats": q_segment_stats,
     "simhash": q_simhash,

@@ -32,6 +32,10 @@ def _bit_width(v: np.ndarray) -> np.ndarray:
 def pfor_encode(values, pct: float = 90.0) -> bytes:
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = a.size
+    if n > 0xFFFF:
+        raise ValueError(
+            f"pfor block of {n} values exceeds the u16 header limit (65535); "
+            f"use block_size <= 65535 with codec='pfor'")
     if n == 0:
         return np.zeros(1, dtype=_HDR).tobytes()
     widths = _bit_width(a)

@@ -90,3 +90,61 @@ def score_range_topk(base: int, size: int,
     sc = acc[nz]
     ordix = np.lexsort((nz, -sc))[:k]
     return ((nz[ordix] + base).astype(np.int64), sc[ordix])
+
+
+def score_range_topk_and(base: int, size: int,
+                         terms: list[TermBlocks], avgdl: float, k: int,
+                         n_query_terms: int,
+                         stats: dict | None = None):
+    """Exact conjunctive (AND) top-k within one doc range (SURVEY op 32 /
+    K4 intersection fast path).
+
+    A doc qualifies only if EVERY query term hits it, so the driving
+    structure is the rarest term's posting blocks: their [first_doc_id,
+    max_doc_id] spans are the only places an intersection doc can live, and
+    any other term's block whose span overlaps none of them is skipped
+    without decode (the skip-pointer intersection — block granular, exact).
+    Scoring is one accumulator pass with a presence counter; docs with
+    count == n_query_terms survive.
+
+    Returns (doc_ids int64, scores float64), score desc / doc_id asc.
+    """
+    if (not terms or k <= 0 or len(terms) < n_query_terms):
+        # some query term has no postings at all in this range → empty
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    sizes = [sum(b["n_docs"] for b in t.blocks) for t in terms]
+    rarest = terms[int(np.argmin(sizes))]
+    r_lo = np.array([b["first_doc_id"] for b in rarest.blocks],
+                    dtype=np.int64)
+    r_hi = np.array([b["max_doc_id"] for b in rarest.blocks], dtype=np.int64)
+    acc = np.zeros(size, dtype=np.float64)
+    cnt = np.zeros(size, dtype=np.int32)
+    for t in terms:
+        for blk in t.blocks:
+            if t is not rarest:
+                # overlap test vs the rarest term's block spans: the first
+                # rarest-span with hi >= blk.first must start <= blk.max
+                j = int(np.searchsorted(r_hi, blk["first_doc_id"]))
+                if j == r_lo.size or r_lo[j] > blk["max_doc_id"]:
+                    if stats is not None:
+                        stats["blocks_skipped"] = (
+                            stats.get("blocks_skipped", 0) + 1)
+                    continue
+            codec = blk.get("codec", "varint")
+            ids = decode_doc_ids(blk["docids_blob"], codec) - base
+            tfs = decode_tfs(blk["tfs_blob"], codec)
+            dls = decode_tfs(blk["dls_blob"], codec)
+            acc[ids] += t.idf * tf_part(tfs, dls, avgdl)
+            cnt[ids] += 1
+            if stats is not None:
+                stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
+    hit = np.flatnonzero(cnt == n_query_terms)
+    if hit.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if hit.size > k:
+        sc_all = acc[hit]
+        kth = np.partition(sc_all, hit.size - k)[hit.size - k]
+        hit = hit[sc_all >= kth]
+    sc = acc[hit]
+    ordix = np.lexsort((hit, -sc))[:k]
+    return ((hit[ordix] + base).astype(np.int64), sc[ordix])

@@ -31,20 +31,32 @@ from pyspark import StorageLevel
 def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = ("repo", "path",
                                                            "commit"),
                    num_partitions: int | None = None,
-                   return_count: bool = False):
+                   return_count: bool = False,
+                   dedupe: bool = False):
     """Add a dense long `doc_id` = global rank by `keys` (0-based).
 
     With return_count=True also returns the total row count (free — it is
     the sum of the per-partition counts the two-phase pass computes anyway),
-    which callers use for duplicate detection without an extra shuffle."""
+    which callers use for duplicate detection without an extra shuffle.
+
+    With dedupe=True the input may contain repeated keys: the range
+    partition co-locates equal keys, so the per-partition pass drops the
+    repeats (adjacent after the sort) and ranks the distinct keys — the
+    whole distinct+count+assign runs on ONE shuffle instead of a hash
+    `distinct()` exchange followed by the range exchange. Returns
+    (ids, n_distinct_keys, n_input_rows)."""
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     part = (df.repartitionByRange(n_part, *[F.col(k) for k in keys])
               .sortWithinPartitions(*keys)
               .withColumn("_pid", F.spark_partition_id())
               .persist(StorageLevel.MEMORY_AND_DISK))
-    counts = {r["_pid"]: r["cnt"] for r in
-              part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    aggs = [F.count("*").alias("cnt")]
+    if dedupe:
+        aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("dk"))
+    crows = part.groupBy("_pid").agg(*aggs).collect()
+    counts = {r["_pid"]: (r["dk"] if dedupe else r["cnt"]) for r in crows}
+    n_rows = sum(r["cnt"] for r in crows)
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -52,18 +64,31 @@ def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = ("repo", "path",
     b_off = spark.sparkContext.broadcast(offsets)
 
     out_schema = part.drop("_pid").schema.add("doc_id", "long", False)
+    key_list = list(keys)
 
     def add_ids(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = 0
+        last_key = None                 # dedupe across Arrow batch edges
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
-            start = b_off.value[pid] + seen
-            seen += len(pdf)
             out = pdf.drop(columns=["_pid"])
-            out["doc_id"] = range(start, start + len(pdf))
+            if dedupe:
+                out = out.drop_duplicates(subset=key_list)
+                if last_key is not None and len(out) and \
+                        tuple(out.iloc[0][key_list]) == last_key:
+                    out = out.iloc[1:]
+                if len(out) == 0:
+                    continue
+                last_key = tuple(out.iloc[-1][key_list])
+            start = b_off.value[pid] + seen                 # sorted in part
+            seen += len(out)
+            out = out.copy()
+            out["doc_id"] = range(start, start + len(out))
             yield out
 
     result = part.mapInPandas(add_ids, schema=out_schema)
+    if dedupe:
+        return result, acc, n_rows
     return (result, acc) if return_count else result

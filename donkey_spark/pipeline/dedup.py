@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize_expr
 
+#: LSH selectivity knobs. With r = n_hashes/n_bands rows per band, a pair of
+#: Jaccard similarity s collides in one band with probability s^r, in ANY
+#: band with 1-(1-s^r)^b — the S-curve's threshold sits near (1/b)^(1/r).
+#: The defaults (r=2, b=4 → threshold ≈ 0.5·(1/4)^(1/2) ≈ 0.5) are tuned
+#: PERMISSIVE for small test corpora; at 10^9+ docs raise r (e.g. 128
+#: hashes, 16 bands → r=8, threshold ≈ 0.84) or hot band buckets explode
+#: candidate pairs quadratically — pass the knobs explicitly per corpus.
 N_HASHES = 8
 N_BANDS = 4            # rows-per-band = N_HASHES // N_BANDS = 2
 
@@ -73,11 +80,13 @@ def minhash_bands(df: DataFrame, text_col: str = "text",
 
 
 def neardup_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", n_hashes: int = N_HASHES,
+                  n_bands: int = N_BANDS) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
     The join is on (band, band_key) — never all-pairs; hot buckets are
-    real duplicates by construction."""
-    b = minhash_bands(df, text_col, id_col)
+    real duplicates by construction. Tune (n_hashes, n_bands) per the
+    S-curve math above before pointing this at a large corpus."""
+    b = minhash_bands(df, text_col, id_col, n_hashes, n_bands)
     left = b.alias("a")
     right = b.alias("b")
     return (left.join(right, ["band", "band_key"])
@@ -88,13 +97,14 @@ def neardup_pairs(df: DataFrame, text_col: str = "text",
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id",
-                  threshold: float = 0.7) -> DataFrame:
+                  id_col: str = "doc_id", threshold: float = 0.7,
+                  n_hashes: int = N_HASHES,
+                  n_bands: int = N_BANDS) -> DataFrame:
     """Exact token-set Jaccard for LSH candidate pairs (verification)."""
     toks = df.select(F.col(id_col).alias("jid"),
                      F.array_distinct(tokenize_expr(F.col(text_col)))
                      .alias("ts"))
-    cand = neardup_pairs(df, text_col, id_col)
+    cand = neardup_pairs(df, text_col, id_col, n_hashes, n_bands)
     j = (cand
          .join(toks.select(F.col("jid").alias("id_a"),
                            F.col("ts").alias("ts_a")), "id_a")
@@ -127,38 +137,66 @@ def simhash64_py(term_tfs: list[tuple[str, int]]) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def simhash_batch(content: pd.Series) -> pd.Series:
+    """Batch kernel for simhash64 (plain pandas in / pandas out, so it is
+    directly microbenchable — bench/micro_pipeline.py).
+
+    Batch-vectorized: every unique term in the Arrow batch is sha256-hashed
+    exactly once (factorize → hash table), and the per-doc ±1 bit
+    accumulation is one `np.add.reduceat` over the flattened occurrence
+    stream — tf weighting falls out for free because each occurrence
+    contributes its term's bits once. No per-token Python in the hot path;
+    the only Python-level loop is over the batch's UNIQUE terms (sha256 has
+    no vectorized form), whose count is sublinear in corpus size.
+    """
+    import hashlib
+    import unicodedata
+
+    from ..functions.tokenize import _RE_LEN
+
+    tok_lists = [(_RE_LEN.findall(unicodedata.normalize("NFC", x).lower())
+                  if x else []) for x in content]
+    n_docs = len(tok_lists)
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                         count=n_docs)
+    total = int(counts.sum())
+    if total == 0:
+        return pd.Series(np.zeros(n_docs, dtype=np.int64))
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos:pos + len(toks)] = toks
+        pos += len(toks)
+    codes, uniques = pd.factorize(flat)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.sha256(u.encode()).digest()[:8], "big")
+         for u in uniques), dtype=np.uint64, count=len(uniques))
+    shifts = np.arange(64, dtype=np.uint64)
+    # ±1 matrix over the batch's unique terms, (U, 64) — a few MB
+    pm = (((hs[:, None] >> shifts[None, :]) & np.uint64(1))
+          .astype(np.int64) * 2 - 1)
+    # per doc: tf over its unique codes (np.unique on the code slice) then
+    # one (1×u)·(u×64) integer matmul — tf-weighted ±1 accumulation that
+    # never materializes a per-OCCURRENCE bit matrix (memory-bound killer)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    for d in range(n_docs):
+        seg = codes[starts[d]:starts[d + 1]]
+        if seg.size:
+            uc, tf = np.unique(seg, return_counts=True)
+            acc[d] = tf @ pm[uc]
+    sign = (acc > 0).astype(np.uint8)
+    packed = np.packbits(sign, axis=1, bitorder="little")
+    return pd.Series(np.ascontiguousarray(packed).view(np.int64).ravel())
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash:long) via an Arrow UDF (bit-parallel numpy)."""
-    import hashlib
-
+    """(doc_id, simhash:long) via an Arrow UDF over ``simhash_batch``."""
     from pyspark.sql import types as T
-    from ..functions.tokenize import _RE_LEN
-    import unicodedata
-    from collections import Counter
 
     @F.pandas_udf(T.LongType())
     def _simhash(content: pd.Series) -> pd.Series:
-        out = []
-        shifts = np.arange(64, dtype=np.uint64)
-        for x in content:
-            toks = (_RE_LEN.findall(
-                unicodedata.normalize("NFC", x).lower()) if x else [])
-            if not toks:
-                out.append(0)
-                continue
-            c = Counter(toks)
-            hs = np.array([int.from_bytes(
-                hashlib.sha256(t.encode()).digest()[:8], "big")
-                for t in c], dtype=np.uint64)
-            tfs = np.fromiter(c.values(), dtype=np.int64, count=len(c))
-            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)
-                    ).astype(np.int64)
-            acc = ((2 * bits - 1) * tfs[:, None]).sum(axis=0)
-            v = np.uint64(0)
-            for j in np.flatnonzero(acc > 0):
-                v |= np.uint64(1) << np.uint64(j)
-            out.append(int(v.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+        return simhash_batch(content)
 
     return df.select(id_col, _simhash(F.col(text_col)).alias("simhash"))

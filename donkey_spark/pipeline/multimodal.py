@@ -35,11 +35,16 @@ FEATURE_DIM = 16
 
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for decode→feature-extract: features are a
-    pure function of the bytes (sha256 expanded), so tests are exact."""
+    pure function of the bytes (sha256 expanded), so tests are exact.
+
+    The counter suffix is ASCII (``b"0"``, ``b"1"``, ...) rather than raw
+    bytes so the identical expansion is expressible as DuckDB SQL
+    (``sha256(text || '0')``) — that gives the driver contract a real
+    value-level oracle for the multimodal plumbing."""
     out = np.empty(dim, dtype=np.float32)
     i, ctr = 0, 0
     while i < dim:
-        h = hashlib.sha256(payload + ctr.to_bytes(4, "big")).digest()
+        h = hashlib.sha256(payload + str(ctr).encode()).digest()
         for j in range(0, 32, 4):
             if i >= dim:
                 break

@@ -77,23 +77,79 @@ def lsh_bucket_expr(vec_col: Column, planes: np.ndarray,
     return acc
 
 
+def probe_buckets(probe: list[float], n_tables: int,
+                  n_planes: int) -> list[int]:
+    """The probe vector's bucket id in every hash table (driver-side)."""
+    pv = np.array(probe, dtype=np.float64)
+    out = []
+    for t in range(n_tables):
+        planes = _planes(len(probe), n_planes, seed=f"t{t}")
+        b = int(t * (1 << (n_planes + 1)))
+        for p in planes:
+            b = b * 2 + int(pv @ p >= 0)
+        out.append(b)
+    return out
+
+
 def lsh_ann_topk(vectors: DataFrame, probe: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_tables: int = 8, n_planes: int = 6) -> DataFrame:
-    """Approximate top-k: union of the probe's buckets across hash tables,
-    exact cosine rescoring of candidates only.
-
-    At scale the bucket column is precomputed and the scan prunes on it;
-    here the filter runs in codegen over the vector table."""
+    """Approximate top-k over the RAW vector table: union of the probe's
+    buckets across hash tables, exact cosine rescoring of candidates only.
+    One full codegen scan — fine ad hoc; the indexed path below
+    (build_ann_index/ann_topk) replaces the scan with partition pruning."""
     dim = len(probe)
-    pv = np.array(probe, dtype=np.float64)
+    pbs = probe_buckets(probe, n_tables, n_planes)
     match = None
     for t in range(n_tables):
         planes = _planes(dim, n_planes, seed=f"t{t}")
-        probe_bucket = int(t * (1 << (n_planes + 1)))
-        for p in planes:
-            probe_bucket = probe_bucket * 2 + int(pv @ p >= 0)
-        cond = lsh_bucket_expr(F.col(vec_col), planes, t) == probe_bucket
+        cond = lsh_bucket_expr(F.col(vec_col), planes, t) == pbs[t]
         match = cond if match is None else (match | cond)
     cand = vectors.where(match)
+    return cosine_topk(cand, probe, k, id_col, vec_col)
+
+
+# --- materialized LSH index (the 10^9+-vector path) -------------------------
+
+def ann_bucket_rows(vectors: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_tables: int = 8,
+                    n_planes: int = 6, dim: int | None = None) -> DataFrame:
+    """(bucket, vec_id, embedding): one row per (vector, hash table), the
+    bucket id carrying the table offset so ids are globally unique. All
+    codegen — the n_tables×n_planes projections run in one projection."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    buckets = F.array(*[
+        lsh_bucket_expr(F.col(vec_col), _planes(dim, n_planes, seed=f"t{t}"),
+                        t)
+        for t in range(n_tables)])
+    return (vectors.select(id_col, vec_col, F.explode(buckets)
+                           .alias("bucket")))
+
+
+def build_ann_index(vectors: DataFrame, out_dir: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_tables: int = 8, n_planes: int = 6) -> None:
+    """Materialize the bucket table, partitioned by bucket, so a probe
+    reads exactly n_tables partition dirs out of n_tables·2^n_planes.
+
+    Vectors are denormalized into the bucket rows (n_tables× storage) so a
+    probe needs NO join back to the vector table — the pruned scan feeds
+    the rescorer directly. For storage-tight deployments store ids only
+    and semi-join the vector table on the (bounded) candidate set instead."""
+    rows = ann_bucket_rows(vectors, id_col, vec_col, n_tables, n_planes)
+    (rows.repartition(F.col("bucket"))
+         .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
+
+
+def ann_topk(spark, index_dir: str, probe: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_tables: int = 8, n_planes: int = 6) -> DataFrame:
+    """Probe the materialized bucket table: partition-pruned scan of the
+    probe's n_tables buckets → dedupe → exact cosine top-k. Identical
+    results to lsh_ann_topk on the same (n_tables, n_planes)."""
+    pbs = probe_buckets(probe, n_tables, n_planes)
+    cand = (spark.read.parquet(index_dir)
+            .where(F.col("bucket").isin(pbs))        # dir pruning
+            .dropDuplicates([id_col]))
     return cosine_topk(cand, probe, k, id_col, vec_col)

@@ -73,16 +73,29 @@ def quality_score(df: DataFrame, text_col: str = "text",
 
 # --- winnowing fingerprints ---------------------------------------------------
 
+#: polynomial base for k-gram hashes (FNV-1a prime — odd, so multiplication
+#: is a bijection mod 2^64 and the rolling combine loses no entropy)
+_WINNOW_B = 1099511628211
+
+
 def winnow_py(tokens: list[str], k: int = 4, w: int = 5) -> list[int]:
-    """Transparent oracle: k-gram rolling hashes, window-min with rightmost
-    tie position (standard winnowing), distinct, sorted."""
+    """Transparent oracle: per-token sha256 hashes combined into k-gram
+    hashes by Horner's rule mod 2^64, window-min (standard winnowing),
+    distinct, sorted. The hash spec is polynomial-over-token-hashes (not
+    sha256 of the joined k-gram) so the engine path can compute it with
+    pure numpy vector ops over a once-per-unique-token hash table."""
     import hashlib
     n = len(tokens) - k + 1
     if n <= 0:
         return []
-    hs = [int.from_bytes(hashlib.sha256(
-        " ".join(tokens[i:i + k]).encode()).digest()[:8], "big")
-        for i in range(n)]
+    th = [int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
+          for t in tokens]
+    hs = []
+    for i in range(n):
+        h = 0
+        for j in range(k):
+            h = (h * _WINNOW_B + th[i + j]) % (1 << 64)
+        hs.append(h)
     out = set()
     for s in range(max(1, n - w + 1)):
         win = hs[s:s + w]
@@ -94,22 +107,62 @@ def winnow_py(tokens: list[str], k: int = 4, w: int = 5) -> list[int]:
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 4,
                         w: int = 5) -> DataFrame:
-    """(doc_id, fingerprint:long) winnowed k-gram fingerprints (exploded)."""
-    import hashlib
-    import unicodedata
+    """(doc_id, fingerprint:long) winnowed k-gram fingerprints (exploded).
+
+    Batch-vectorized twin of ``winnow_py``: unique tokens of the Arrow
+    batch are sha256-hashed once (factorize → table lookup), k-gram hashes
+    are k fused uint64 vector ops (Horner), and the window minimum is one
+    ``sliding_window_view(...).min(axis=1)`` — no per-token or per-k-gram
+    Python anywhere."""
     from pyspark.sql import types as T
-    from ..functions.tokenize import _RE_LEN
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _winnow(content: pd.Series) -> pd.Series:
-        out = []
-        for x in content:
-            toks = (_RE_LEN.findall(
-                unicodedata.normalize("NFC", x).lower()) if x else [])
-            fps = winnow_py(toks, k, w)
-            out.append([f - (1 << 64) if f >= (1 << 63) else f
-                        for f in fps])
-        return pd.Series(out)
+        return winnow_batch(content, k, w)
 
     return (df.select(id_col, _winnow(F.col(text_col)).alias("fps"))
             .select(id_col, F.explode("fps").alias("fingerprint")))
+
+
+def winnow_batch(content: pd.Series, k: int = 4, w: int = 5) -> pd.Series:
+    """Batch kernel for winnow_fingerprints (plain pandas in/out — directly
+    microbenchable, bench/micro_pipeline.py). Returns a Series of signed
+    int64 fingerprint lists, one per document."""
+    import hashlib
+    import unicodedata
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.tokenize import _RE_LEN
+
+    B = np.uint64(_WINNOW_B)
+    tok_lists = [(_RE_LEN.findall(unicodedata.normalize("NFC", x).lower())
+                  if x else []) for x in content]
+    flat = np.array([t for toks in tok_lists for t in toks], dtype=object)
+    if flat.size:
+        codes, uniques = pd.factorize(flat)
+        table = np.fromiter(
+            (int.from_bytes(hashlib.sha256(u.encode()).digest()[:8],
+                            "big") for u in uniques),
+            dtype=np.uint64, count=len(uniques))
+        hashes = table[codes]
+    else:
+        hashes = np.empty(0, dtype=np.uint64)
+    out, pos = [], 0
+    with np.errstate(over="ignore"):     # uint64 wrap IS the hash spec
+        for toks in tok_lists:
+            m = len(toks)
+            th = hashes[pos:pos + m]
+            pos += m
+            n = m - k + 1
+            if n <= 0:
+                out.append([])
+                continue
+            H = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                H = H * B + th[j:j + n]
+            if n <= w:
+                fps = H.min(keepdims=True)
+            else:
+                fps = sliding_window_view(H, w).min(axis=1)
+            out.append(np.unique(fps).view(np.int64))   # ndarray: Arrow
+    return pd.Series(out, dtype=object)                 # boxes no per-fp int

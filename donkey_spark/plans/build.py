@@ -101,15 +101,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         check_sha256(corpus, ref_hashes)          # op 2, fails on mismatch
         _mark("sha_check")
 
-    # ops 21 + 9 fused on the NARROW key frame: one distinct shuffle yields
-    # both the dense ids and the unique-key count (free from the two-phase
-    # pass); the full-content dropDuplicates shuffle runs only when
-    # duplicates actually exist. The payload never range-shuffles or
-    # round-trips Arrow for id assignment; it joins back JVM-side (the id
-    # table broadcasts at small scale, SMJ at 10^12).
+    # ops 21 + 9 fused on the NARROW key frame: ONE range shuffle yields the
+    # dense ids, the unique-key count AND the raw row count (dedupe=True
+    # drops repeated keys adjacently inside the sorted partitions — no
+    # separate hash-distinct exchange, no corpus.count() job); the
+    # full-content dropDuplicates shuffle runs only when duplicates actually
+    # exist. The payload never range-shuffles or round-trips Arrow for id
+    # assignment; it joins back JVM-side (the id table broadcasts at small
+    # scale, SMJ at 10^12).
     pk = corpus.select("repo", "path", "commit")
-    ids, n_keys = assign_doc_ids(pk.distinct(), return_count=True)
-    n_rows = corpus.count()
+    ids, n_keys, n_rows = assign_doc_ids(pk, dedupe=True)
     deduped = (corpus.dropDuplicates(["repo", "path", "commit"])
                if n_keys != n_rows else corpus)
     _mark("assign_ids_dedupe")
@@ -131,20 +132,29 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     rsize = range_size or default_range_size(n_docs)
     _mark("extract_persist")
 
+    if not resume:
+        # fresh build: clear the stale journal AND any stale segment/docs
+        # chunk dirs — a rebuild with fewer chunks (or over a streamed
+        # index's chunk=stream* dirs) must not leave orphans that the
+        # finalize union would silently fold into df/cf and query results
+        for sub in ("manifest", "manifest_stream", "segments", "docs"):
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{sub}")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+
+    # docs live under chunk=<...> dirs (batch = one dir) so streaming epochs
+    # can append their own chunk=stream<eid> dirs idempotently (per-epoch
+    # overwrite) and every reader sees one uniform partitioned layout
     docs = docs_feat.select("doc_id", "repo", "path", "commit", "lang",
                             F.col("f.dl").alias("dl"), "sha256")
-    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    docs.write.mode("overwrite").parquet(f"{out_dir}/docs/chunk=batch")
     _mark("docs_write")
 
     # --- chunked, resumable segment build --------------------------------
     chunk_docs = max(rsize, math.ceil(n_docs / max(n_chunks, 1) / rsize) * rsize)
     n_chunks_eff = max(1, math.ceil(n_docs / chunk_docs))
     manifest_dir = f"{out_dir}/manifest"
-    if not resume:          # fresh build: clear any stale journal (append-only)
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(manifest_dir)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
     done = _manifest_done(spark, manifest_dir) if resume else set()
 
     built, skipped = 0, 0
@@ -167,20 +177,24 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             merge_partials_to_segments(partials, avgdl, codec=codec,
                                        block_size=block_size))
         seg_dir = f"{out_dir}/segments/chunk={cid}"
+        # lineage/metrics ride the write job itself (Observation = free
+        # accumulator-based aggregates) — no read-back scan of the chunk
+        from pyspark.sql import Observation
+        obs = Observation(f"chunk{cid}")
+        seg = seg.observe(
+            obs,
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.coalesce(F.sum(F.length("docids_blob") + F.length("tfs_blob")
+                             + F.length("dls_blob")), F.lit(0))
+            .alias("bytes_out"))
         # no extra layout shuffle: the encode stage's partitions are already
         # sorted by (term, salt), so each bucket=<b> file written here keeps
         # term-clustered rows → tight parquet min/max stats for the query
         # path's term row-group pruning.
         seg.write.mode("overwrite").partitionBy("bucket").parquet(seg_dir)
         _mark("segments_encode_write")
-        # lineage/metrics from the committed files (block-granular scan)
-        m = (spark.read.parquet(seg_dir)
-             .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
-                  F.count("*").alias("n_blocks"),
-                  F.coalesce(F.sum(F.length("docids_blob")
-                                   + F.length("tfs_blob")
-                                   + F.length("dls_blob")), F.lit(0))
-                  .alias("bytes_out")).collect()[0])
+        m = obs.get
         row = [(cid, "done", int(min(hi, n_docs) - lo), int(m["n_postings"]),
                 int(m["n_blocks"]), int(m["bytes_out"]),
                 int((time.monotonic() - tc0) * 1000), 1, job_id)]
@@ -194,6 +208,20 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         built += 1
 
     # --- finalize: dictionary + meta from the committed segments ---------
+    # chunk-layout guard (resume against a stale/mismatched layout) via a
+    # filesystem listing — no Spark job
+    spath = spark._jvm.org.apache.hadoop.fs.Path(f"{out_dir}/segments")
+    sfs = spath.getFileSystem(spark._jsc.hadoopConfiguration())
+    found = {st.getPath().getName().split("=", 1)[1]
+             for st in sfs.listStatus(spath)
+             if st.isDirectory() and st.getPath().getName()
+             .startswith("chunk=")}
+    expected = {str(c) for c in range(n_chunks_eff)}
+    if not found <= expected:   # resume against a different chunking layout
+        raise ValueError(
+            f"segments contain chunk dirs {sorted(found - expected)} outside "
+            f"the current plan (n_chunks={n_chunks_eff}); refusing to "
+            f"finalize a mixed index — rebuild with resume=False")
     seg_all = spark.read.option("basePath", f"{out_dir}/segments").parquet(
         f"{out_dir}/segments")
     (dictionary_from_segments(seg_all)

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize_py
 from ..kernels.bm25 import idf as bm25_idf
-from ..kernels.wand import TermBlocks, score_range_topk
+from ..kernels.wand import (TermBlocks, score_range_topk,
+                            score_range_topk_and)
 from ..operators.postings import term_bucket_py
 
 _RESULT_SCHEMA = ("query_id int, rank int, doc_id long, score double, "
@@ -79,9 +80,17 @@ class Index:
                 if self._df_memo.get(t) is not None}
 
     # -- search ------------------------------------------------------------
-    def search_batch(self, queries: list[tuple[int, str, int]]) -> DataFrame:
+    def search_batch(self, queries: list[tuple[int, str, int]],
+                     mode: str = "or") -> DataFrame:
         """queries: [(query_id, text, k)] -> DataFrame(query_id, rank,
-        doc_id, score, repo, path) ordered by (query_id, rank)."""
+        doc_id, score, repo, path) ordered by (query_id, rank).
+
+        mode="or" (default): disjunctive block-max scoring. mode="and":
+        conjunctive — only docs containing EVERY query term score (op 32
+        intersection fast path); a query with any out-of-dictionary term
+        returns no rows (no doc can contain it)."""
+        if mode not in ("or", "and"):
+            raise ValueError(mode)
         spark = self.spark
         parsed = {qid: (sorted(set(tokenize_py(text))), k)
                   for qid, text, k in queries}
@@ -93,15 +102,17 @@ class Index:
         idf_map = {t: float(bm25_idf(self.n_docs, dfs[t]))
                    for t in live_terms}
         qplan = [(qid, [t for t in ts if t in idf_map], k)
-                 for qid, (ts, k) in parsed.items()]
+                 for qid, (ts, k) in parsed.items()
+                 if mode == "or" or all(t in idf_map for t in ts)]
         qplan = [q for q in qplan if q[1]]
         if not qplan:
             return spark.createDataFrame([], _RESULT_SCHEMA)
 
+        needed = sorted({t for _, ts, _ in qplan for t in ts})
         buckets = sorted({term_bucket_py(t, self.n_buckets)
-                          for t in live_terms})
+                          for t in needed})
         seg = self._seg.where(F.col("bucket").isin(buckets)   # dir pruning
-                              & F.col("term").isin(live_terms))
+                              & F.col("term").isin(needed))
 
         base_mult, codec, avgdl = self.range_size, self.codec, self.avgdl
 
@@ -120,7 +131,12 @@ class Index:
                        for t in terms if t in by_term]
                 if not tbs:
                     continue
-                ids, sc = score_range_topk(base, base_mult, tbs, avgdl, k)
+                if mode == "and":
+                    ids, sc = score_range_topk_and(
+                        base, base_mult, tbs, avgdl, k, len(terms))
+                else:
+                    ids, sc = score_range_topk(base, base_mult, tbs,
+                                               avgdl, k)
                 out_q.extend([qid] * len(ids))
                 out_d.extend(ids.tolist())
                 out_s.extend(sc.tolist())
@@ -168,5 +184,6 @@ class Index:
                 for qid, rk, d, s in sorted(hits)]
         return spark.createDataFrame(rows, _RESULT_SCHEMA)
 
-    def search(self, text: str, k: int = 10) -> DataFrame:
-        return self.search_batch([(0, text, k)]).drop("query_id")
+    def search(self, text: str, k: int = 10,
+               mode: str = "or") -> DataFrame:
+        return self.search_batch([(0, text, k)], mode=mode).drop("query_id")

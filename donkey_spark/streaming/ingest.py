@@ -7,9 +7,13 @@ unverified, SURVEY §0]`. The Structured-Streaming re-expression:
 
   insert RPC stream   → file-source readStream over the corpus directory
   journal append      → foreachBatch: each epoch builds its own segment
-                        chunk dir (chunk=stream<epoch>) + a manifest row;
-                        the epoch id makes re-delivered batches idempotent
-                        (exactly-once effect on the index)
+                        chunk dir (chunk=stream<epoch>), docs chunk dir and
+                        manifest row — ALL epoch-keyed overwrites, and the
+                        running (n_docs, sum_dl) state is re-derived from
+                        the committed docs chunks (excluding this epoch's),
+                        never from the mutable meta file; re-delivered
+                        batches therefore converge to the identical index
+                        (exactly-once effect)
   periodic reindex    → compact_index(): canonical batch rebuild over the
                         accumulated docs table (restores dense global ids
                         and a single avgdl)
@@ -38,13 +42,25 @@ from ..sources.corpus import CORPUS_SCHEMA
 def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
                   codec: str, block_size: int) -> None:
     spark = batch_df.sparkSession
+    # Derive the committed state from the docs table (chunk=... dirs written
+    # with per-epoch overwrite), NEVER from the mutable meta file: a
+    # foreachBatch retry that died after the meta write would otherwise
+    # re-read the already-bumped n_docs and assign shifted doc_ids. Rows of
+    # this very epoch's earlier (failed) attempt are excluded by chunk id,
+    # so replay is idempotent end to end.
+    this_chunk = f"stream{epoch_id}"
     try:
-        meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
-        n_before, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
-        rsize = int(meta["range_size"])
-        sum_dl = avgdl * n_before
+        committed = (spark.read.parquet(f"{index_dir}/docs")
+                     .where(F.col("chunk") != this_chunk))
+        agg = committed.agg(F.count("*").alias("n"),
+                            F.sum("dl").alias("s")).collect()[0]
+        n_before, sum_dl = int(agg["n"]), float(agg["s"] or 0.0)
     except Exception:
         n_before, sum_dl = 0, 0.0
+    try:
+        rsize = int(spark.read.parquet(f"{index_dir}/meta")
+                    .collect()[0]["range_size"])
+    except Exception:
         rsize = None
 
     batch = batch_df.dropDuplicates(["repo", "path", "commit"])
@@ -74,16 +90,20 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
                   F.col("e.tfs").alias("tf")))
     seg = merge_segments(build_segments(dt, avgdl_new, rsize, codec=codec,
                                         block_size=block_size))
-    # idempotent per epoch: overwrite this epoch's chunk dir
+    # idempotent per epoch: every epoch-scoped artifact is an overwrite of
+    # an epoch-keyed directory (segments chunk dir, docs chunk dir,
+    # manifest row), so re-delivery of a batch converges to the same state
     (seg.write.mode("overwrite").partitionBy("bucket")
-        .parquet(f"{index_dir}/segments/chunk=stream{epoch_id}"))
+        .parquet(f"{index_dir}/segments/chunk={this_chunk}"))
     (rows.select("doc_id", "repo", "path", "commit", "lang",
                  F.col("f.dl").alias("dl"), "sha256")
-        .write.mode("append").parquet(f"{index_dir}/docs"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/docs/chunk={this_chunk}"))
     (spark.createDataFrame(
-        [(int(epoch_id), "stream", n_batch, batch_dl)],
-        "chunk int, status string, n_docs long, sum_dl long")
-        .write.mode("append").parquet(f"{index_dir}/manifest_stream"))
+        [("stream", n_batch, batch_dl)],
+        "status string, n_docs long, sum_dl long")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/manifest_stream/epoch={int(epoch_id)}"))
 
     seg_all = spark.read.option("basePath", f"{index_dir}/segments").parquet(
         f"{index_dir}/segments")

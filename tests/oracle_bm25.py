@@ -70,3 +70,24 @@ class OracleIndex:
                 acc[doc_id] = acc.get(doc_id, 0.0) + w * part
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
+
+    def search_and(self, query: str, k: int) -> list[tuple[int, int, float]]:
+        """Conjunctive twin of search(): only docs containing EVERY query
+        term score; a query with any unindexed term matches nothing."""
+        terms = sorted(set(tokenize(query)))
+        if not terms or any(t not in self.postings for t in terms):
+            return []
+        acc: dict[int, float] = {}
+        hit: dict[int, int] = {}
+        for term in terms:
+            w = self.idf(term)
+            for doc_id, tf in self.postings[term]:
+                dl = self.dl[doc_id]
+                part = tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
+                acc[doc_id] = acc.get(doc_id, 0.0) + w * part
+                hit[doc_id] = hit.get(doc_id, 0) + 1
+        ranked = sorted(((d, s) for d, s in acc.items()
+                         if hit[d] == len(terms)),
+                        key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]

@@ -183,3 +183,49 @@ def test_pfor_codec_end_to_end(spark, corpus_df, oracle, tmp_path_factory):
     assert [r["doc_id"] for r in got] == [d for _, d, _ in expect]
     np.testing.assert_allclose([r["score"] for r in got],
                                [s for _, _, s in expect], atol=1e-9)
+
+
+def test_conjunctive_and_rank_identity_vs_oracle(spark, built_index, oracle):
+    """op 32 fast path: engine AND mode == oracle conjunctive scoring,
+    including the empty-result cases (OOV conjunct, never-co-occurring)."""
+    from donkey_spark.plans.query import Index
+    out, _ = built_index
+    idx = Index(spark, out)
+    queries = [
+        (0, "def return", 10),
+        (1, "class import spark", 10),
+        (2, "def zz_totally_oov", 10),      # OOV conjunct → empty
+        (3, "spark select", 100),
+        (4, "def", 10),                     # single-term AND == OR
+    ]
+    got = idx.search_batch(queries, mode="and").collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, text, k in queries:
+        expect = oracle.search_and(text, k)
+        rows = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [d for _, d, _ in expect], \
+            f"doc ids differ on AND query {qid}: {text!r}"
+        np.testing.assert_allclose([r["score"] for r in rows],
+                                   [s for _, _, s in expect], atol=1e-9)
+    # AND results are a subset of OR results' doc set for the same terms
+    assert all(r["score"] > 0 for r in got)
+
+
+def test_fresh_rebuild_clears_stale_chunks(spark, corpus_df,
+                                           tmp_path_factory):
+    """ADVICE r1: rebuilding into an existing out_dir with fewer chunks
+    must not leave stale chunk dirs in the finalize union."""
+    from donkey_spark.plans.build import build_index
+    out = str(tmp_path_factory.mktemp("rebuild"))
+    info1 = build_index(spark, corpus_df, out, range_size=64, n_chunks=4)
+    assert info1["n_chunks"] > 1
+    info2 = build_index(spark, corpus_df, out, range_size=64)  # 1 chunk
+    assert info2["n_chunks"] == 1
+    assert info2["n_postings"] == info1["n_postings"]
+    chunks = {str(r["chunk"]) for r in
+              spark.read.option("basePath", f"{out}/segments")
+              .parquet(f"{out}/segments").select("chunk").distinct()
+              .collect()}
+    assert chunks == {"0"}

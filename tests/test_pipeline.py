@@ -122,3 +122,28 @@ def test_lang_id_prefers_matching_stopwords(spark):
         "doc_id long, text string")
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
     assert got[0] == "en" and got[1] == "de" and got[2] == "xx"
+
+
+def test_ann_index_matches_full_scan_and_prunes(spark, tmp_path):
+    """Materialized bucket table == full-scan LSH (same planes), and the
+    probe scan is partition-pruned to the probe's buckets."""
+    from donkey_spark.pipeline.similarity import (ann_topk, build_ann_index,
+                                                  lsh_ann_topk,
+                                                  probe_buckets)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .collect()[0]["embedding"]]
+    out = str(tmp_path / "ann")
+    build_ann_index(emb, out, n_tables=4, n_planes=4)
+    got = ann_topk(spark, out, probe, k=10, n_tables=4,
+                   n_planes=4).collect()
+    ref = lsh_ann_topk(emb, probe, k=10, n_tables=4, n_planes=4).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == \
+        [(r["vec_id"], r["cosine"]) for r in ref]
+    # partition pruning: the probed scan must touch ≤ n_tables bucket dirs
+    pbs = probe_buckets(probe, 4, 4)
+    plan = (spark.read.parquet(out)
+            .where(F.col("bucket").isin(pbs))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:120]

@@ -58,3 +58,52 @@ def test_compact_restores_canonical_index(spark, stream_dirs, tmp_path):
     idx = Index(spark, out)
     res = idx.search("def return", k=5).collect()
     assert len(res) == 5
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch retry re-delivers the same (batch, epoch_id); the
+    index state — doc ids, docs rows, meta counts — must not shift."""
+    from donkey_spark.streaming.ingest import _append_epoch
+    from donkey_spark.sources.corpus import CORPUS_SCHEMA
+    idx = str(tmp_path / "idx")
+    pdf = gen_corpus(40, seed=11)
+    b0 = spark.createDataFrame(pdf.iloc[:25], CORPUS_SCHEMA)
+    b1 = spark.createDataFrame(pdf.iloc[25:], CORPUS_SCHEMA)
+
+    _append_epoch(b0, 0, idx, "varint", 128)
+    snap = sorted((r["doc_id"], r["path"]) for r in
+                  spark.read.parquet(f"{idx}/docs").collect())
+    n1 = spark.read.parquet(f"{idx}/meta").collect()[0]["n_docs"]
+    _append_epoch(b0, 0, idx, "varint", 128)          # replayed epoch
+    snap2 = sorted((r["doc_id"], r["path"]) for r in
+                   spark.read.parquet(f"{idx}/docs").collect())
+    assert snap2 == snap
+    assert spark.read.parquet(f"{idx}/meta").collect()[0]["n_docs"] == n1
+
+    _append_epoch(b1, 1, idx, "varint", 128)
+    _append_epoch(b1, 1, idx, "varint", 128)          # replayed epoch
+    docs = spark.read.parquet(f"{idx}/docs").collect()
+    assert len(docs) == 40
+    assert sorted(r["doc_id"] for r in docs) == list(range(40))
+
+
+def test_compact_in_place_clears_stream_chunks(spark, tmp_path):
+    """compact_index() rebuilding IN PLACE over a streamed index must not
+    leave stale chunk=stream* segment/docs dirs in the finalize union."""
+    from donkey_spark.streaming.ingest import _append_epoch
+    from donkey_spark.streaming import compact_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.sources.corpus import CORPUS_SCHEMA
+    idx = str(tmp_path / "idx")
+    pdf = gen_corpus(30, seed=13)
+    _append_epoch(spark.createDataFrame(pdf, CORPUS_SCHEMA), 0, idx,
+                  "varint", 128)
+    corpus = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    info = compact_index(spark, corpus, idx)
+    assert info["n_docs"] == 30
+    chunks = {str(r["chunk"]) for r in
+              spark.read.option("basePath", f"{idx}/segments")
+              .parquet(f"{idx}/segments").select("chunk").distinct()
+              .collect()}
+    assert not any(c.startswith("stream") for c in chunks)
+    assert len(Index(spark, idx).search("def return", k=3).collect()) == 3
