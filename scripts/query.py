@@ -18,6 +18,8 @@ def main() -> None:
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--queries", default=None,
                     help="parquet with (query_id, query, k)")
+    ap.add_argument("--mode", default="or", choices=["or", "and"],
+                    help="'and' = docs must contain EVERY query term")
     ap.add_argument("--out", default=None, help="write results parquet here")
     a = ap.parse_args()
     if not a.query and not a.queries:
@@ -33,7 +35,7 @@ def main() -> None:
     else:
         batch = [(int(r["query_id"]), r["query"], int(r["k"]))
                  for r in spark.read.parquet(a.queries).collect()]
-    res = idx.search_batch(batch)
+    res = idx.search_batch(batch, mode=a.mode)
     if a.out:
         res.write.mode("overwrite").parquet(a.out)
     else:

@@ -162,3 +162,84 @@ def test_wand_actually_skips_blocks():
     stats: dict = {}
     score_range_topk(0, n_docs, terms, avgdl, 10, stats=stats)
     assert stats.get("blocks_skipped", 0) > 0
+
+
+def test_pfor_rejects_oversized_block():
+    with pytest.raises(ValueError, match="u16 header limit"):
+        pfor_encode(np.arange(70_000, dtype=np.uint64))
+
+
+def _brute_force_and(qterms, postings, dls, n_docs, avgdl, k):
+    """Conjunctive oracle: score only docs hit by EVERY indexed query term;
+    any unindexed term → empty."""
+    if any(t not in postings for t in qterms):
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    acc = np.zeros(n_docs)
+    cnt = np.zeros(n_docs, dtype=np.int64)
+    for t in qterms:
+        ids, tfs = postings[t]
+        w = idf(n_docs, ids.size)
+        acc[ids] += w * tf_part(tfs, dls[ids], avgdl)
+        cnt[ids] += 1
+    hit = np.flatnonzero(cnt == len(qterms))
+    order = sorted(hit, key=lambda d: (-acc[d], d))[:k]
+    return (np.array(order, dtype=np.int64),
+            np.array([acc[d] for d in order]))
+
+
+def test_and_kernel_matches_brute_force_200_corpora():
+    from donkey_spark.kernels.wand import score_range_topk_and
+    for trial in range(200):
+        rng = np.random.default_rng(5000 + trial)
+        n_docs = int(rng.integers(5, 400))
+        vocab = [f"t{j}" for j in range(int(rng.integers(3, 20)))]
+        dls = rng.integers(1, 200, size=n_docs).astype(np.int64)
+        avgdl = float(dls.mean())
+        postings = {}
+        for t in vocab:
+            df = int(rng.integers(1, n_docs + 1))
+            ids = np.sort(rng.choice(n_docs, size=df,
+                                     replace=False)).astype(np.int64)
+            tfs = rng.integers(1, 20, size=df).astype(np.int64)
+            postings[t] = (ids, tfs)
+        nq = int(rng.integers(1, 4))
+        qterms = list(rng.choice(vocab, size=nq, replace=False))
+        if trial % 5 == 0:
+            qterms.append("oov_term")        # unindexed conjunct → empty
+        k = int(rng.integers(1, 15))
+        exp_ids, exp_sc = _brute_force_and(qterms, postings, dls, n_docs,
+                                           avgdl, k)
+        terms = [TermBlocks(idf(n_docs, postings[t][0].size),
+                            _make_term_blocks(postings[t][0], postings[t][1],
+                                              dls, avgdl, n_docs))
+                 for t in qterms if t in postings]
+        n_present = len([t for t in qterms if t in postings])
+        got_ids, got_sc = score_range_topk_and(
+            0, n_docs, terms, avgdl, k,
+            n_present if n_present == len(qterms) else len(qterms))
+        np.testing.assert_array_equal(got_ids, exp_ids)
+        np.testing.assert_allclose(got_sc, exp_sc, atol=1e-9)
+
+
+def test_and_kernel_skips_blocks_outside_rarest_span():
+    from donkey_spark.kernels.wand import score_range_topk_and
+    rng = np.random.default_rng(9)
+    n_docs = 100_000
+    dls = rng.integers(50, 150, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+    hot_ids = np.arange(n_docs, dtype=np.int64)
+    hot_tfs = np.ones(n_docs, dtype=np.int64)
+    rare_ids = np.sort(rng.choice(2_000, 30, replace=False)).astype(np.int64)
+    rare_tfs = np.full(30, 5, dtype=np.int64)      # rare docs all < 2000
+    terms = [
+        TermBlocks(idf(n_docs, 30),
+                   _make_term_blocks(rare_ids, rare_tfs, dls, avgdl, n_docs)),
+        TermBlocks(idf(n_docs, n_docs),
+                   _make_term_blocks(hot_ids, hot_tfs, dls, avgdl, n_docs)),
+    ]
+    stats: dict = {}
+    ids, _ = score_range_topk_and(0, n_docs, terms, avgdl, 10, 2,
+                                  stats=stats)
+    assert ids.size == 10 and ids.max() < 2_000
+    # hot term has n_docs/8 blocks; all but the rare span's few must skip
+    assert stats["blocks_skipped"] > n_docs // 8 - 300
