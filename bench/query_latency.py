@@ -44,11 +44,12 @@ def main() -> None:
     h = hashlib.sha256()
     for qid, text, k in queries:
         t0 = time.monotonic()
-        rows = idx.search_batch([(qid, text, k)]).collect()
+        # serving-surface latency: fully-materialized hit rows (donkey's
+        # Hits analog); the DataFrame wrapper adds only a local conversion
+        rows = idx.search_rows([(qid, text, k)])
         lat.append(time.monotonic() - t0)
-        for r in rows:
-            h.update(f"{qid}:{r['rank']}:{r['doc_id']}:{r['score']:.9f}"
-                     .encode())
+        for (_, rank, doc_id, score, _, _) in rows:
+            h.update(f"{qid}:{rank}:{doc_id}:{score:.9f}".encode())
     lat.sort()
     out = {"cores": a.cores, "n_queries": len(queries),
            "p50_s": round(lat[len(lat) // 2], 3),

@@ -22,6 +22,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -281,6 +283,82 @@ def q_bm25_topk(spark, sf_dir):
     return (res.withColumn("rank", F.row_number().over(w))
             .select("query_id", "rank", "doc_id",
                     F.round(F.col("score"), 6).alias("score")))
+
+
+def q_map_fns(spark, sf_dir):
+    """op 15 — map functions: per-doc term→tf map via map_from_arrays,
+    probed with element_at and sized with size (order-insensitive outputs,
+    so the nondeterministic collect_list order cannot leak)."""
+    dt = _doc_terms(spark, sf_dir)
+    m = (dt.groupBy("doc_id")
+         .agg(F.map_from_arrays(F.collect_list("term"),
+                                F.collect_list("tf")).alias("tfmap")))
+    return m.select(
+        "doc_id",
+        F.coalesce(F.element_at("tfmap", "spark"), F.lit(0))
+        .cast("long").alias("tf_spark"),
+        F.size("tfmap").cast("long").alias("n_terms"))
+
+
+def q_json_fns(spark, sf_dir):
+    """op 16 — JSON functions: a metadata JSON string (constructed with the
+    identical concat on both engines) parsed back with get_json_object."""
+    js = F.concat(F.lit('{"lang":"'), F.col("lang"), F.lit('","n":'),
+                  F.col("n_chars").cast("string"), F.lit("}"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.get_json_object(js, "$.lang").alias("j_lang"),
+                    F.get_json_object(js, "$.n").cast("long").alias("j_n")))
+
+
+def q_udaf_rms(spark, sf_dir):
+    """op 25 — UDAF surface: a pandas GROUPED_AGG UDF (root-mean-square of
+    doc sizes per lang) — Spark's Python UDAF mechanism, Arrow-batched."""
+
+    @F.pandas_udf("double")
+    def rms(v: pd.Series) -> float:
+        return float(np.sqrt((v.astype("float64") ** 2).mean()))
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:       # Spark disallows mixing pandas
+        return int(len(v))                 # and JVM aggs in one agg() call
+
+    return (_docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.round(rms(F.col("n_chars")), 4).alias("rms_chars"),
+                 n_rows(F.col("n_chars")).alias("n")))
+
+
+def q_range_join(spark, sf_dir):
+    """op 33 — range (theta) join, BANDED for scale: same-lang doc pairs
+    with |n_chars delta| ≤ 4. The engine never runs the O(n²) theta join —
+    it equi-joins on ⌊n_chars/8⌋ band buckets (left side exploded to its
+    3 adjacent bands), then filters exactly; the oracle is the plain theta
+    join. This is the scale-safe banded pattern for any bounded-distance
+    predicate."""
+    W = 8
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    band = (F.col("n_chars") / W).cast("long")
+    left = (d.select(F.col("doc_id").alias("id_a"), "lang",
+                     F.col("n_chars").alias("ca"))
+            .withColumn("band", F.explode(F.array(
+                *[(F.col("ca") / W).cast("long") + i for i in (-1, 0, 1)]))))
+    right = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lg"),
+                     F.col("n_chars").alias("cb"), band.alias("band"))
+    return (left.join(right, ["band"])
+            .where((F.col("lang") == F.col("lg"))
+                   & (F.col("id_a") < F.col("id_b"))
+                   & (F.abs(F.col("ca") - F.col("cb")) <= 4))
+            .select("id_a", "id_b").distinct())
+
+
+def q_cross_stats(spark, sf_dir):
+    """op 34 — nested-loop cross join, used the only way that is sane at
+    scale: the Cartesian product of two O(1)-row aggregate summaries."""
+    d = _docs(spark, sf_dir)
+    langs = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    srcs = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    return langs.crossJoin(srcs).select("lang", "source", "n_l", "n_s")
 
 
 def q_bm25_topk_and(spark, sf_dir):
@@ -722,6 +800,40 @@ ORACLE_SQL: dict[str, str] = {
                upper(substr(text, 1, 8)) AS head8,
                ROUND(ln(1 + n_chars), 6) AS log_chars
         FROM documents""",
+    "map_fns": f"""
+        SELECT doc_id,
+               COALESCE(max(CASE WHEN term = 'spark' THEN tf END), 0)::BIGINT
+               AS tf_spark,
+               count(*)::BIGINT AS n_terms
+        FROM (
+          SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+          GROUP BY doc_id, term)
+        GROUP BY doc_id""",
+    "json_fns": """
+        SELECT doc_id,
+               json_extract_string(js, '$.lang') AS j_lang,
+               CAST(json_extract(js, '$.n') AS BIGINT) AS j_n
+        FROM (SELECT doc_id,
+                     '{"lang":"' || lang || '","n":' ||
+                     CAST(n_chars AS VARCHAR) || '}' AS js
+              FROM documents)""",
+    "udaf_rms": """
+        SELECT lang,
+               ROUND(sqrt(avg(n_chars * n_chars * 1.0)), 4) AS rms_chars,
+               count(*)::BIGINT AS n
+        FROM documents GROUP BY lang""",
+    "range_join": """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 4""",
+    "cross_stats": """
+        SELECT lang, source, n_l, n_s
+        FROM (SELECT lang, count(*)::BIGINT AS n_l FROM documents
+              GROUP BY lang)
+        CROSS JOIN (SELECT source, count(*)::BIGINT AS n_s FROM documents
+                    GROUP BY source)""",
     "conjunctive_and": f"""
         SELECT doc_id FROM (
           SELECT doc_id, term FROM (
@@ -874,6 +986,11 @@ QUERIES = {
     "doc_ids_dense": q_doc_ids_dense,
     "scalar_fns": q_scalar_fns,
     "conjunctive_and": q_conjunctive_and,
+    "map_fns": q_map_fns,
+    "json_fns": q_json_fns,
+    "udaf_rms": q_udaf_rms,
+    "range_join": q_range_join,
+    "cross_stats": q_cross_stats,
     "semi_join": q_semi_join,
     "union_langs": q_union_langs,
     "except_docs": q_except_docs,

@@ -150,6 +150,41 @@ def decode_doc_ids(blob: bytes, codec: str = "varint") -> np.ndarray:
     return np.cumsum(_decode(blob, codec), dtype=np.uint64).astype(np.int64)
 
 
+def decode_term_blocks(blocks: list[dict], codec: str = "varint"):
+    """Batch-decode SAME-TERM blocks (disjoint ascending doc ranges).
+
+    varint: ONE decode pass over each concatenated blob stream — varint is
+    self-delimiting, so concatenation decodes in order and per-block
+    Python overhead amortizes ~block_size×; the per-block delta restarts
+    (first value absolute) are undone with a segmented cumsum. pfor blobs
+    are framed per block, so they fall back to per-block decode.
+    Returns (ids_abs int64, tfs int64, dls int64)."""
+    if len(blocks) == 1:
+        b = blocks[0]
+        return (decode_doc_ids(b["docids_blob"], codec),
+                decode_tfs(b["tfs_blob"], codec),
+                decode_tfs(b["dls_blob"], codec))
+    if codec != "varint":
+        return (np.concatenate([decode_doc_ids(b["docids_blob"], codec)
+                                for b in blocks]),
+                np.concatenate([decode_tfs(b["tfs_blob"], codec)
+                                for b in blocks]),
+                np.concatenate([decode_tfs(b["dls_blob"], codec)
+                                for b in blocks]))
+    n = np.array([int(b["n_docs"]) for b in blocks], dtype=np.int64)
+    deltas = varint_decode(b"".join(bytes(b["docids_blob"])
+                                    for b in blocks))
+    c = np.cumsum(deltas, dtype=np.uint64)
+    bstart = np.concatenate(([0], np.cumsum(n)[:-1]))
+    corr = c[bstart] - deltas[bstart]
+    ids = (c - np.repeat(corr, n)).astype(np.int64)
+    tfs = varint_decode(b"".join(bytes(b["tfs_blob"])
+                                 for b in blocks)).astype(np.int64)
+    dls = varint_decode(b"".join(bytes(b["dls_blob"])
+                                 for b in blocks)).astype(np.int64)
+    return ids, tfs, dls
+
+
 def decode_tfs(blob: bytes, codec: str = "varint") -> np.ndarray:
     """Decode a tf / dl varint-or-pfor payload to int64."""
     return _decode(blob, codec).astype(np.int64)

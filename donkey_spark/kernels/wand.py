@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .blocks import decode_doc_ids, decode_tfs
+from .blocks import decode_term_blocks
 from .bm25 import tf_part
 
 
@@ -60,24 +60,34 @@ def score_range_topk(base: int, size: int,
     theta = 0.0
     for i, t in enumerate(order):
         rem = suffix[i]
-        for blk in t.blocks:
-            lo = blk["first_doc_id"] - base
-            hi = blk["max_doc_id"] - base
-            if theta > 0.0:
-                potential = (acc[lo:hi + 1].max() + t.idf * blk["block_max_tfpart"]
-                             + rem)
+        # Same-term blocks cover DISJOINT ascending doc ranges, so the
+        # skip test for every block depends only on acc as of the term's
+        # start — decide all skips first, then batch-decode the keepers
+        # in one varint pass (amortizes the per-block decode overhead).
+        if theta > 0.0:
+            keep = []
+            for blk in t.blocks:
+                lo = blk["first_doc_id"] - base
+                hi = blk["max_doc_id"] - base
+                potential = (acc[lo:hi + 1].max()
+                             + t.idf * blk["block_max_tfpart"] + rem)
                 if potential < theta:
                     if stats is not None:
-                        stats["blocks_skipped"] = stats.get("blocks_skipped", 0) + 1
-                    continue
-            codec = blk.get("codec", "varint")
-            ids = decode_doc_ids(blk["docids_blob"], codec) - base
-            tfs = decode_tfs(blk["tfs_blob"], codec)
-            dls = decode_tfs(blk["dls_blob"], codec)
-            acc[ids] += t.idf * tf_part(tfs, dls, avgdl)
+                        stats["blocks_skipped"] = (
+                            stats.get("blocks_skipped", 0) + 1)
+                else:
+                    keep.append(blk)
+        else:
+            keep = t.blocks
+        if keep:
+            codec = keep[0].get("codec", "varint")
+            ids, tfs, dls = decode_term_blocks(keep, codec)
+            acc[ids - base] += t.idf * tf_part(tfs, dls, avgdl)
             if stats is not None:
-                stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
-                stats["postings_scored"] = stats.get("postings_scored", 0) + ids.size
+                stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
+                                           + len(keep))
+                stats["postings_scored"] = (stats.get("postings_scored", 0)
+                                            + ids.size)
         if np.count_nonzero(acc) >= k:
             theta = np.partition(acc, acc.size - k)[acc.size - k]
     nz = np.flatnonzero(acc)
@@ -120,8 +130,11 @@ def score_range_topk_and(base: int, size: int,
     acc = np.zeros(size, dtype=np.float64)
     cnt = np.zeros(size, dtype=np.int32)
     for t in terms:
-        for blk in t.blocks:
-            if t is not rarest:
+        if t is rarest:
+            keep = t.blocks
+        else:
+            keep = []
+            for blk in t.blocks:
                 # overlap test vs the rarest term's block spans: the first
                 # rarest-span with hi >= blk.first must start <= blk.max
                 j = int(np.searchsorted(r_hi, blk["first_doc_id"]))
@@ -129,15 +142,17 @@ def score_range_topk_and(base: int, size: int,
                     if stats is not None:
                         stats["blocks_skipped"] = (
                             stats.get("blocks_skipped", 0) + 1)
-                    continue
-            codec = blk.get("codec", "varint")
-            ids = decode_doc_ids(blk["docids_blob"], codec) - base
-            tfs = decode_tfs(blk["tfs_blob"], codec)
-            dls = decode_tfs(blk["dls_blob"], codec)
+                else:
+                    keep.append(blk)
+        if keep:
+            codec = keep[0].get("codec", "varint")
+            ids, tfs, dls = decode_term_blocks(keep, codec)
+            ids = ids - base
             acc[ids] += t.idf * tf_part(tfs, dls, avgdl)
             cnt[ids] += 1
             if stats is not None:
-                stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
+                stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
+                                           + len(keep))
     hit = np.flatnonzero(cnt == n_query_terms)
     if hit.size == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))

@@ -229,3 +229,20 @@ def test_fresh_rebuild_clears_stale_chunks(spark, corpus_df,
               .parquet(f"{out}/segments").select("chunk").distinct()
               .collect()}
     assert chunks == {"0"}
+
+
+def test_local_fast_path_identical_to_distributed(spark, built_index):
+    """The driver-local pyarrow scoring path must be bit-identical to the
+    distributed applyInPandas path (same kernels, same merge)."""
+    from donkey_spark.plans.query import Index
+    out, _ = built_index
+    fast = Index(spark, out)                       # local path (small index)
+    dist = Index(spark, out, local_bytes=0)        # force distributed
+    queries = [(0, "def return", 10), (1, "class import spark select", 5),
+               (2, "zz_totally_oov", 10)]
+    for mode in ("or", "and"):
+        a = sorted(tuple(r) for r in
+                   fast.search_batch(queries, mode=mode).collect())
+        b = sorted(tuple(r) for r in
+                   dist.search_batch(queries, mode=mode).collect())
+        assert a == b, mode
