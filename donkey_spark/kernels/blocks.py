@@ -54,7 +54,7 @@ def _encode_column(vals: np.ndarray, bstart: np.ndarray, bend: np.ndarray,
     """Encode one uint64 column into per-block blobs (one pass for varint)."""
     if codec == "varint":
         lens = varint_lengths(vals)
-        body = memoryview(varint_encode(vals))
+        body = memoryview(varint_encode(vals, nbytes=lens))
         ends = np.cumsum(lens)
         starts = ends - lens
         return [bytes(body[starts[s]:ends[e - 1]])
@@ -65,15 +65,43 @@ def _encode_column(vals: np.ndarray, bstart: np.ndarray, bend: np.ndarray,
     raise ValueError(f"unknown codec {codec!r}")
 
 
+def encode_column_pa(vals: np.ndarray, bstart: np.ndarray,
+                     bend: np.ndarray, codec: str = "varint"):
+    """Arrow-native twin of _encode_column: the per-block blob column is
+    built ZERO-COPY from the single encoded stream + a block-offset
+    vector (pa.BinaryArray.from_buffers) — no per-block Python bytes
+    objects. Requires contiguous tiling blocks (bstart/bend cover the
+    array in order), which every build-kernel caller satisfies."""
+    import pyarrow as pa
+    if codec != "varint" or bstart.size == 0:
+        return pa.array(_encode_column(vals, bstart, bend, codec),
+                        pa.binary())
+    lens = varint_lengths(vals)
+    body = varint_encode(vals, nbytes=lens)
+    ends = np.cumsum(lens)
+    if bstart[0] != 0 or int(ends[-1]) > 0x7FFFFFF0:
+        return pa.array(_encode_column(vals, bstart, bend, codec),
+                        pa.binary())
+    offsets = np.empty(bstart.size + 1, dtype=np.int32)
+    offsets[0] = 0
+    offsets[1:] = ends[bend - 1]
+    return pa.Array.from_buffers(
+        pa.binary(), bstart.size,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(body)])
+
+
 def encode_groups_core(new_group: np.ndarray, ids: np.ndarray,
                        tfs: np.ndarray, dls: np.ndarray, avgdl: float,
                        block_size: int = BLOCK_SIZE,
-                       codec: str = "varint") -> tuple[np.ndarray, dict]:
+                       codec: str = "varint",
+                       pa_blobs: bool = False) -> tuple[np.ndarray, dict]:
     """Vectorized block build over a slice sorted by (group, doc_id).
 
     new_group[i] marks the first row of each (term, salt) group. Returns
     (bstart row indices — callers gather their own group-key columns with
     them, e.g. an Arrow take — and the block metadata/blob columns).
+    pa_blobs=True emits the three blob columns as zero-copy
+    pa.BinaryArrays (Arrow callers skip per-block bytes objects).
     """
     n = ids.size
     ids = np.ascontiguousarray(ids, dtype=np.int64)
@@ -95,6 +123,7 @@ def encode_groups_core(new_group: np.ndarray, ids: np.ndarray,
     delta[bstart] = ids_u[bstart]          # per-block restart, absolute first
 
     parts = tf_part(tfs, dls, avgdl)
+    enc = encode_column_pa if pa_blobs else _encode_column
     return bstart, {
         "block_id": (rank[bstart] // block_size).astype(np.int32),
         "first_doc_id": ids[bstart],
@@ -103,9 +132,9 @@ def encode_groups_core(new_group: np.ndarray, ids: np.ndarray,
         "max_tf": np.maximum.reduceat(tfs, bstart).astype(np.int32),
         "sum_tf": np.add.reduceat(tfs, bstart).astype(np.int64),
         "block_max_tfpart": np.maximum.reduceat(parts, bstart),
-        "docids_blob": _encode_column(delta, bstart, bend, codec),
-        "tfs_blob": _encode_column(tfs.astype(np.uint64), bstart, bend, codec),
-        "dls_blob": _encode_column(dls.astype(np.uint64), bstart, bend, codec),
+        "docids_blob": enc(delta, bstart, bend, codec),
+        "tfs_blob": enc(tfs.astype(np.uint64), bstart, bend, codec),
+        "dls_blob": enc(dls.astype(np.uint64), bstart, bend, codec),
     }
 
 

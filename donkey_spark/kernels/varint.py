@@ -15,27 +15,36 @@ _THRESH = np.array([np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)],
 
 
 def varint_lengths(a: np.ndarray) -> np.ndarray:
-    """Encoded byte count per value (uint64 array in)."""
-    nbytes = np.ones(a.size, dtype=np.int64)
-    for t in _THRESH:
-        nbytes += (a >= t)
-    return nbytes
+    """Encoded byte count per value (uint64 array in) — one C-level
+    binary search over the 9 thresholds instead of 9 full passes."""
+    return np.searchsorted(_THRESH, a, side="right") + 1
 
 
-def varint_encode(values) -> bytes:
-    """LEB128-encode a 1-D array of non-negative ints (any int dtype)."""
+def varint_encode(values, nbytes: np.ndarray | None = None) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints (any int dtype).
+
+    Scatter-based: writes each byte position k with one vectorized pass
+    over the values that have a k-th byte (k ≤ 3 for doc deltas / tfs),
+    instead of materializing an (n × max_width) matrix + boolean select —
+    ~3× less memory traffic on posting-sized arrays. Callers that already
+    hold varint_lengths(a) pass it via `nbytes` to skip recomputation."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
         return b""
-    nbytes = varint_lengths(a)
+    if nbytes is None:
+        nbytes = varint_lengths(a)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
     width = int(nbytes.max())
-    shifts = np.arange(width, dtype=np.uint64) * np.uint64(7)
-    mat = ((a[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
-    j = np.arange(width)
-    keep = j[None, :] < nbytes[:, None]
-    cont = j[None, :] < (nbytes[:, None] - 1)
-    mat = np.where(cont, mat | np.uint8(0x80), mat)
-    return mat[keep].tobytes()          # row-major ⇒ valid LEB128 stream
+    for k in range(width):
+        m = nbytes > k                       # values owning a k-th byte
+        ak = a[m] if k else a
+        sk = starts[m] if k else starts
+        byte = ((ak >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nbytes[m] if k else nbytes) - 1) > k
+        out[sk + k] = byte | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
 
 
 def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:

@@ -20,6 +20,8 @@ built index is identical at any parallelism (BASELINE.md index determinism).
 
 from __future__ import annotations
 
+import os
+import time
 import zlib
 
 import numpy as np
@@ -28,8 +30,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: DONKEY_PROF=1 → each build task appends its Python-side kernel seconds
+#: to /tmp/donkey_prof.<stage>.log (dev-only; zero cost when unset)
+_PROF = os.environ.get("DONKEY_PROF") == "1"
+
+
+def _prof_write(stage: str, secs: float, items: int) -> None:
+    with open(f"/tmp/donkey_prof.{stage}.log", "a") as f:
+        f.write(f"{secs:.3f} {items}\n")
+
 from ..config import BLOCK_SIZE, N_BUCKETS
-from ..kernels.blocks import _encode_column, encode_groups_core
+from ..kernels.blocks import encode_column_pa, encode_groups_core
 from ..kernels.varint import varint_decode
 
 
@@ -102,9 +113,11 @@ def build_partial_postings(feat: DataFrame, range_size: int) -> DataFrame:
     out_type = to_arrow_schema(PARTIAL_SCHEMA)
 
     def gen(batches):
+        t_kernel, n_posts = 0.0, 0
         for rb in batches:
             if rb.num_rows == 0:
                 continue
+            t0 = time.monotonic() if _PROF else 0.0
             tbl = pa.Table.from_batches([rb]).combine_chunks()
             terms_list = tbl.column("terms").chunk(0)
             tfs_list = tbl.column("tfs").chunk(0)
@@ -143,16 +156,30 @@ def build_partial_postings(feat: DataFrame, range_size: int) -> DataFrame:
                 pc.take(uniq, pa.array(codes_s[gstart])),
                 pa.array(salt_s[gstart], pa.int64()),
                 pa.array((gend - gstart).astype(np.int32), pa.int32()),
-                pa.array(_encode_column(delta, gstart, gend, "varint"),
-                         pa.binary()),
-                pa.array(_encode_column(tfs_s, gstart, gend, "varint"),
-                         pa.binary()),
-                pa.array(_encode_column(dls_s, gstart, gend, "varint"),
-                         pa.binary()),
+                encode_column_pa(delta, gstart, gend),
+                encode_column_pa(tfs_s, gstart, gend),
+                encode_column_pa(dls_s, gstart, gend),
             ]
-            yield pa.RecordBatch.from_arrays(arrays, schema=out_type)
+            rb_out = pa.RecordBatch.from_arrays(arrays, schema=out_type)
+            if _PROF:
+                t_kernel += time.monotonic() - t0
+                n_posts += n
+            yield rb_out
+        if _PROF:
+            _prof_write("b1", t_kernel, n_posts)
 
     return feat.mapInArrow(gen, PARTIAL_SCHEMA)
+
+
+def _binary_concat(arr) -> memoryview:
+    """Zero-copy concatenation of a non-null pa.BinaryArray's values: the
+    data buffer sliced to the array's offset span (binary arrays store
+    values back-to-back; b''.join(to_pylist()) materializes one Python
+    bytes object PER ROW — measured as a top cost of the merge stage)."""
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1,
+                         offset=arr.offset * 4)
+    return memoryview(bufs[2])[int(offs[0]):int(offs[-1])]
 
 
 def merge_partials_to_segments(partials: DataFrame, avgdl: float,
@@ -204,13 +231,14 @@ def merge_partials_to_segments(partials: DataFrame, avgdl: float,
             row_new[1:] = (neq.to_numpy(zero_copy_only=False)
                            | (salts[1:] != salts[:-1]))
         row_gid = np.cumsum(row_new) - 1
-        # one decode over the concatenated streams (varint self-delimits)
-        did_col = tbl.column("docids_blob").combine_chunks()
-        tf_col = tbl.column("tfs_blob").combine_chunks()
-        dl_col = tbl.column("dls_blob").combine_chunks()
-        deltas = varint_decode(b"".join(did_col.to_pylist()))
-        tfs = varint_decode(b"".join(tf_col.to_pylist())).astype(np.int64)
-        dls = varint_decode(b"".join(dl_col.to_pylist())).astype(np.int64)
+        # one decode over the concatenated streams (varint self-delimits);
+        # concatenation is a zero-copy buffer slice, not a per-row join
+        deltas = varint_decode(_binary_concat(
+            tbl.column("docids_blob").combine_chunks()))
+        tfs = varint_decode(_binary_concat(
+            tbl.column("tfs_blob").combine_chunks())).astype(np.int64)
+        dls = varint_decode(_binary_concat(
+            tbl.column("dls_blob").combine_chunks())).astype(np.int64)
         # segmented cumsum -> absolute doc ids per partial run
         ends = np.cumsum(counts)
         starts = ends - counts
@@ -227,7 +255,8 @@ def merge_partials_to_segments(partials: DataFrame, avgdl: float,
         new_group[0] = True
         new_group[1:] = gid_s[1:] != gid_s[:-1]
         bstart, cols = encode_groups_core(new_group, ids, tfs, dls, avgdl,
-                                          block_size=block_size, codec=codec)
+                                          block_size=block_size, codec=codec,
+                                          pa_blobs=True)
         arrays = [pc.take(term, pa.array(row_s[bstart])),
                   pa.array(salts[row_s[bstart]], pa.int64()),
                   pa.array(cols["block_id"], pa.int32()),
@@ -237,9 +266,9 @@ def merge_partials_to_segments(partials: DataFrame, avgdl: float,
                   pa.array(cols["max_tf"], pa.int32()),
                   pa.array(cols["sum_tf"], pa.int64()),
                   pa.array(cols["block_max_tfpart"], pa.float64()),
-                  pa.array(cols["docids_blob"], pa.binary()),
-                  pa.array(cols["tfs_blob"], pa.binary()),
-                  pa.array(cols["dls_blob"], pa.binary())]
+                  cols["docids_blob"],
+                  cols["tfs_blob"],
+                  cols["dls_blob"]]
         return pa.RecordBatch.from_arrays(arrays, schema=out_type)
 
     def cut_point(tbl: pa.Table) -> int:
@@ -256,6 +285,7 @@ def merge_partials_to_segments(partials: DataFrame, avgdl: float,
     def merge_stream(batches):
         buf: list[pa.RecordBatch] = []
         nposts = 0
+        t_kernel, n_done = 0.0, 0
         for rb in batches:
             if rb.num_rows:
                 buf.append(rb)
@@ -263,16 +293,27 @@ def merge_partials_to_segments(partials: DataFrame, avgdl: float,
                               .to_numpy().sum())
             if nposts < flush_postings:
                 continue
+            t0 = time.monotonic() if _PROF else 0.0
             whole = pa.Table.from_batches(buf).combine_chunks()
             cut = cut_point(whole)
-            if cut:
-                yield merge_table(whole.slice(0, cut))
+            out = merge_table(whole.slice(0, cut)) if cut else None
             carry = whole.slice(cut)
             buf = carry.to_batches() if carry.num_rows else []
             nposts = (int(carry.column("n").to_numpy().sum())
                       if carry.num_rows else 0)
+            if _PROF:
+                t_kernel += time.monotonic() - t0
+                n_done += nposts
+            if out is not None:
+                yield out
         if buf:
-            yield merge_table(pa.Table.from_batches(buf).combine_chunks())
+            t0 = time.monotonic() if _PROF else 0.0
+            out = merge_table(pa.Table.from_batches(buf).combine_chunks())
+            if _PROF:
+                t_kernel += time.monotonic() - t0
+            yield out
+        if _PROF:
+            _prof_write("b2", t_kernel, n_done)
 
     return dt.mapInArrow(merge_stream, SEGMENT_SCHEMA)
 
@@ -311,7 +352,7 @@ def build_segments(doc_terms: DataFrame, avgdl: float, range_size: int,
         bstart, cols = encode_groups_core(
             new_group, tbl.column("doc_id").to_numpy(),
             tbl.column("tf").to_numpy(), tbl.column("dl").to_numpy(),
-            avgdl, block_size=block_size, codec=codec)
+            avgdl, block_size=block_size, codec=codec, pa_blobs=True)
         arrays = [pc.take(term, pa.array(bstart)),
                   pa.array(salts[bstart], pa.int64()),
                   pa.array(cols["block_id"], pa.int32()),
@@ -321,9 +362,9 @@ def build_segments(doc_terms: DataFrame, avgdl: float, range_size: int,
                   pa.array(cols["max_tf"], pa.int32()),
                   pa.array(cols["sum_tf"], pa.int64()),
                   pa.array(cols["block_max_tfpart"], pa.float64()),
-                  pa.array(cols["docids_blob"], pa.binary()),
-                  pa.array(cols["tfs_blob"], pa.binary()),
-                  pa.array(cols["dls_blob"], pa.binary())]
+                  cols["docids_blob"],
+                  cols["tfs_blob"],
+                  cols["dls_blob"]]
         return pa.RecordBatch.from_arrays(arrays, schema=out_type)
 
     def cut_point(tbl: pa.Table) -> int:
