@@ -25,7 +25,8 @@ from multiprocessing import Pool
 import numpy as np
 import pandas as pd
 
-SCALES = {"t1": 2_000, "t2": 20_000, "bench": 400_000}
+SCALES = {"t1": 2_000, "t2": 20_000, "bench": 400_000,
+          "bench1m": 1_000_000}
 CHUNK = 2_000
 VOCAB_SIZE = 20_000
 TOKENS_LO, TOKENS_HI = 60, 2_400   # per-doc token count range
