@@ -379,6 +379,37 @@ def q_bm25_topk_and(spark, sf_dir):
 # training-data pipeline ◇ ops (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
 
+def q_dictionary_stats(spark, sf_dir):
+    """ops 20/23 cross-check — the built INDEX's dictionary (df/cf
+    aggregated from posting-block metadata, operators/postings.py
+    dictionary_from_segments) must equal the df/cf relation recomputed
+    from raw text: a lost or duplicated posting anywhere in
+    extract → encode → merge shifts df or cf, so this certifies the
+    index's aggregate integrity value-exactly."""
+    d = spark.read.parquet(
+        f"{contract_index_dir(spark, sf_dir)}/dictionary")
+    return d.select("term", F.col("df").cast("long").alias("df"),
+                    F.col("cf").cast("long").alias("cf"))
+
+
+def q_scan_queries(spark, sf_dir):
+    """op 6 — query-set scan + parse: the §Q table round-trips through the
+    frozen-schema scan (sources/corpus.scan_queries) and the JVM tokenizer
+    explodes each query to (query_id, k, term) — the planning front of
+    every search."""
+    from .sources.corpus import scan_queries
+    qset = (BM25_QUERIES
+            + [(100 + qid, text, k) for qid, text, k in BM25_AND_QUERIES])
+    out = os.path.join(tempfile.gettempdir(), "donkey_queries_parquet")
+    (spark.createDataFrame(qset, "query_id int, query string, k int")
+     .coalesce(1).write.mode("overwrite").parquet(out))
+    q = scan_queries(spark, out)
+    return q.select(
+        "query_id", "k",
+        F.explode(F.array_distinct(tokenize_expr(F.col("query"))))
+        .alias("term"))
+
+
 def q_minhash_bands(spark, sf_dir):
     """MinHash+LSH band signatures (portable sha-derived hash)."""
     from .pipeline.dedup import minhash_bands
@@ -683,7 +714,28 @@ _ALL_STOP_SQL = ("['the','and','of','to','is','in','that','it','for','on',"
                  "'le','la','les','et','est','pas','un','une','dans',"
                  "'el','la','los','las','es','no','un','una','por']")
 
+def _scan_queries_oracle_sql() -> str:
+    """VALUES twin of q_scan_queries: same frozen query set, §T tokenizer
+    applied to the query text in DuckDB."""
+    qset = (BM25_QUERIES
+            + [(100 + qid, text, k) for qid, text, k in BM25_AND_QUERIES])
+    vals = ",\n  ".join(f"({qid}, '{text}', {k})" for qid, text, k in qset)
+    toks_on_query = _TOKS_SQL.replace("lower(text)", "lower(query)")
+    return f"""
+WITH qset(query_id, query, k) AS (VALUES
+  {vals})
+SELECT query_id, k, unnest(list_distinct({toks_on_query})) AS term
+FROM qset"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "dictionary_stats": f"""
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM (
+          SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+          GROUP BY doc_id, term)
+        GROUP BY term""",
+    "scan_queries": _scan_queries_oracle_sql(),
     "minhash_bands": f"""
         WITH {_SIGS_CTE}
         SELECT doc_id, band, band_key FROM bands""",
@@ -1003,6 +1055,8 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_and": q_bm25_topk_and,
+    "dictionary_stats": q_dictionary_stats,
+    "scan_queries": q_scan_queries,
     # training-data pipeline ops
     "minhash_bands": q_minhash_bands,
     "neardup_pairs": q_neardup_pairs,

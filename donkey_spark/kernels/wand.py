@@ -127,6 +127,13 @@ def score_range_topk_and(base: int, size: int,
     r_lo = np.array([b["first_doc_id"] for b in rarest.blocks],
                     dtype=np.int64)
     r_hi = np.array([b["max_doc_id"] for b in rarest.blocks], dtype=np.int64)
+    # Callers order blocks by block_id, which restarts per chunk dir — a
+    # streamed index interleaves a (term, salt) group across chunk=stream*
+    # dirs, so the spans arrive non-doc-ordered. The searchsorted skip test
+    # below requires ascending spans; sort explicitly (spans are disjoint,
+    # so sorting by lo also sorts hi).
+    o = np.argsort(r_lo)
+    r_lo, r_hi = r_lo[o], r_hi[o]
     acc = np.zeros(size, dtype=np.float64)
     cnt = np.zeros(size, dtype=np.int32)
     for t in terms:

@@ -53,7 +53,13 @@ def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = ("repo", "path",
               .persist(StorageLevel.MEMORY_AND_DISK))
     aggs = [F.count("*").alias("cnt")]
     if dedupe:
-        aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("dk"))
+        # count_distinct over the BARE columns would drop rows where any key
+        # is NULL, while the pandas drop_duplicates pass still emits one row
+        # per NULL-keyed group — offsets would understate and doc_id ranges
+        # overlap. A struct is itself non-null and groups nulls null-safely,
+        # matching drop_duplicates exactly.
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias("dk"))
     crows = part.groupBy("_pid").agg(*aggs).collect()
     counts = {r["_pid"]: (r["dk"] if dedupe else r["cnt"]) for r in crows}
     n_rows = sum(r["cnt"] for r in crows)

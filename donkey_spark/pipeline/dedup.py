@@ -152,10 +152,13 @@ def simhash_batch(content: pd.Series) -> pd.Series:
     import hashlib
     import unicodedata
 
+    from ..config import MAX_TOKENS_PER_DOC
     from ..functions.tokenize import _RE_LEN
 
-    tok_lists = [(_RE_LEN.findall(unicodedata.normalize("NFC", x).lower())
-                  if x else []) for x in content]
+    cap = MAX_TOKENS_PER_DOC            # §T.3 — every engine path caps
+    tok_lists = [(_RE_LEN.findall(
+        unicodedata.normalize("NFC", x).lower())[:cap]
+        if x else []) for x in content]
     n_docs = len(tok_lists)
     counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                          count=n_docs)

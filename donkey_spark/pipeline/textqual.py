@@ -132,11 +132,14 @@ def winnow_batch(content: pd.Series, k: int = 4, w: int = 5) -> pd.Series:
     import unicodedata
     from numpy.lib.stride_tricks import sliding_window_view
 
+    from ..config import MAX_TOKENS_PER_DOC
     from ..functions.tokenize import _RE_LEN
 
     B = np.uint64(_WINNOW_B)
-    tok_lists = [(_RE_LEN.findall(unicodedata.normalize("NFC", x).lower())
-                  if x else []) for x in content]
+    cap = MAX_TOKENS_PER_DOC            # §T.3 — every engine path caps
+    tok_lists = [(_RE_LEN.findall(
+        unicodedata.normalize("NFC", x).lower())[:cap]
+        if x else []) for x in content]
     flat = np.array([t for toks in tok_lists for t in toks], dtype=object)
     if flat.size:
         codes, uniques = pd.factorize(flat)

@@ -42,17 +42,15 @@ from ..operators.postings import (build_partial_postings,
 from ..sources.corpus import check_sha256
 
 
-def _is_local(path: str) -> bool:
-    return "://" not in path or path.startswith("file:")
-
-
 def _write_small(spark: SparkSession, rows: list[tuple], schema: str,
                  path: str, mode: str, name: str) -> None:
     """Write a tiny table (manifest row, meta) without a Spark job when the
-    target is a local filesystem — each saved job is pure serial driver
-    time in the build's critical path. Cluster URIs (hdfs://, s3://...)
-    fall back to the normal Spark write."""
-    if not _is_local(path):
+    target RESOLVES to the local filesystem (fsutil.fs_is_local — never a
+    path-string guess) — each saved job is pure serial driver time in the
+    build's critical path. Cluster URIs (hdfs://, s3://...) fall back to
+    the normal Spark write."""
+    from ..fsutil import fs_is_local, local_path
+    if not fs_is_local(spark, path):
         spark.createDataFrame(rows, schema).write.mode(mode).parquet(path)
         return
     import pyarrow as pa
@@ -61,7 +59,7 @@ def _write_small(spark: SparkSession, rows: list[tuple], schema: str,
     import shutil
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
-    p = path[7:] if path.startswith("file:") else path
+    p = local_path(path)
     if mode == "overwrite" and os.path.isdir(p):
         shutil.rmtree(p)
     os.makedirs(p, exist_ok=True)
@@ -73,13 +71,25 @@ def _write_small(spark: SparkSession, rows: list[tuple], schema: str,
     pq.write_table(tbl, os.path.join(p, f"part-{name}.parquet"))
 
 
-def _manifest_done(spark: SparkSession, manifest_dir: str) -> set[int]:
-    try:
-        m = spark.read.parquet(manifest_dir)
-    except Exception:
-        return set()
-    return {r["chunk"] for r in
-            m.where(F.col("status") == "done").select("chunk").collect()}
+def _manifest_state(spark: SparkSession,
+                    manifest_dir: str) -> tuple[set[int], dict[int, int]]:
+    """(committed chunk ids, max attempt ever journaled per chunk).
+
+    'start' rows journal an attempt BEFORE the chunk builds, so a run that
+    dies between the segment write and the 'done' commit still leaves its
+    attempt number behind — the resume's rebuild of that chunk is then
+    visibly attempt N+1 in the lineage (SURVEY op 4)."""
+    from ..fsutil import fs_exists
+    if not fs_exists(spark, manifest_dir):
+        return set(), {}
+    rows = (spark.read.parquet(manifest_dir)
+            .groupBy("chunk")
+            .agg(F.max("attempt").alias("att"),
+                 F.max(F.when(F.col("status") == "done", 1).otherwise(0))
+                 .alias("done"))
+            .collect())
+    done = {r["chunk"] for r in rows if r["done"]}
+    return done, {r["chunk"]: int(r["att"]) for r in rows}
 
 
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
@@ -155,14 +165,27 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     chunk_docs = max(rsize, math.ceil(n_docs / max(n_chunks, 1) / rsize) * rsize)
     n_chunks_eff = max(1, math.ceil(n_docs / chunk_docs))
     manifest_dir = f"{out_dir}/manifest"
-    done = _manifest_done(spark, manifest_dir) if resume else set()
+    done, attempts = (_manifest_state(spark, manifest_dir) if resume
+                      else (set(), {}))
 
+    _MANIFEST_SCHEMA = (
+        "chunk int, status string, n_docs long, n_postings long, "
+        "n_blocks long, bytes_out long, wall_ms long, attempt int, "
+        "job_id string")
     built, skipped = 0, 0
     for cid in range(n_chunks_eff):
         if cid in done:
             skipped += 1
             continue
         tc0 = time.monotonic()
+        att = attempts.get(cid, 0) + 1
+        # journal the attempt BEFORE building: a crash mid-chunk leaves the
+        # 'start' row, so the retry commits as attempt att+1 (file names are
+        # attempt-unique — the journal is append-only)
+        _write_small(
+            spark, [(cid, "start", 0, 0, 0, 0, 0, att, job_id)],
+            _MANIFEST_SCHEMA, manifest_dir, "append",
+            f"{job_id}-{cid}-s{att}")
         lo, hi = cid * chunk_docs, (cid + 1) * chunk_docs
         chunk = docs_feat.where((F.col("doc_id") >= lo)
                                 & (F.col("doc_id") < hi))
@@ -197,13 +220,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         m = obs.get
         row = [(cid, "done", int(min(hi, n_docs) - lo), int(m["n_postings"]),
                 int(m["n_blocks"]), int(m["bytes_out"]),
-                int((time.monotonic() - tc0) * 1000), 1, job_id)]
-        _write_small(
-            spark, row,
-            "chunk int, status string, n_docs long, n_postings long, "
-            "n_blocks long, bytes_out long, wall_ms long, attempt int, "
-            "job_id string",
-            manifest_dir, "append", f"{job_id}-{cid}")
+                int((time.monotonic() - tc0) * 1000), att, job_id)]
+        _write_small(spark, row, _MANIFEST_SCHEMA,
+                     manifest_dir, "append", f"{job_id}-{cid}-d{att}")
         _mark("chunk_metrics_manifest")
         built += 1
 

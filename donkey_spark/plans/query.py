@@ -119,9 +119,16 @@ class Index:
         jobs) — the analog of donkey serving from its RAM-resident index.
         0 disables the fast path. The distributed path takes over
         automatically for hot terms / big batches / remote storage."""
+        from ..fsutil import fs_is_local, local_path
         self.spark = spark
         self.dir = index_dir
-        self.local_bytes = local_bytes if "://" not in index_dir else 0
+        # gate on the RESOLVED filesystem, not the path string: a
+        # scheme-less path means fs.defaultFS (HDFS on a real cluster)
+        # to Spark but the local disk to pyarrow — only scheme == 'file'
+        # makes the driver-side reads coherent
+        self.local_bytes = (local_bytes
+                            if fs_is_local(spark, index_dir) else 0)
+        self._local_dir = local_path(index_dir)
         m = spark.read.parquet(f"{index_dir}/meta").collect()[0]
         self.n_docs = int(m["n_docs"])
         self.avgdl = float(m["avgdl"])
@@ -277,7 +284,7 @@ class Index:
         if not hasattr(self, "_pa_cache"):
             self._pa_cache = {}
         if sub not in self._pa_cache:
-            self._pa_cache[sub] = ds.dataset(f"{self.dir}/{sub}",
+            self._pa_cache[sub] = ds.dataset(f"{self._local_dir}/{sub}",
                                              partitioning="hive")
         return self._pa_cache[sub]
 

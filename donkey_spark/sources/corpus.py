@@ -48,6 +48,25 @@ def scan_corpus(spark: SparkSession, location: str) -> DataFrame:
     return df.select([f.name for f in CORPUS_SCHEMA.fields])
 
 
+QUERIES_SCHEMA = T.StructType([
+    T.StructField("query_id", T.IntegerType(), False),
+    T.StructField("query", T.StringType(), False),
+    T.StructField("k", T.IntegerType(), False),
+])
+
+
+def scan_queries(spark: SparkSession, location: str) -> DataFrame:
+    """Op 6 — read the §Q query table (query_id, query, k) with the frozen
+    schema; fail on drift (the query-set twin of scan_corpus)."""
+    df = spark.read.schema(QUERIES_SCHEMA).parquet(location)
+    got = {f.name: f.dataType for f in df.schema.fields}
+    for f in QUERIES_SCHEMA.fields:
+        if f.name not in got or got[f.name] != f.dataType:
+            raise ValueError(f"query-set schema drift on column {f.name!r}: "
+                             f"{got.get(f.name)}")
+    return df.select([f.name for f in QUERIES_SCHEMA.fields])
+
+
 def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: the driver's documents.parquet (doc_id,text,lang,...) viewed
     as a corpus_files table (TESTDATA.md / FIXTURES.md §5). The synthetic

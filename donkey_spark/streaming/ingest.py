@@ -49,18 +49,23 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     # this very epoch's earlier (failed) attempt are excluded by chunk id,
     # so replay is idempotent end to end.
     this_chunk = f"stream{epoch_id}"
-    try:
+    # ONLY path-absence may mean "empty index": a transient FS/schema error
+    # reading committed docs must fail the micro-batch (the checkpoint
+    # retries) rather than silently restart doc_ids at 0 over already
+    # committed epochs.
+    from ..fsutil import fs_exists
+    if fs_exists(spark, f"{index_dir}/docs"):
         committed = (spark.read.parquet(f"{index_dir}/docs")
                      .where(F.col("chunk") != this_chunk))
         agg = committed.agg(F.count("*").alias("n"),
                             F.sum("dl").alias("s")).collect()[0]
         n_before, sum_dl = int(agg["n"]), float(agg["s"] or 0.0)
-    except Exception:
+    else:
         n_before, sum_dl = 0, 0.0
-    try:
+    if fs_exists(spark, f"{index_dir}/meta"):
         rsize = int(spark.read.parquet(f"{index_dir}/meta")
                     .collect()[0]["range_size"])
-    except Exception:
+    else:
         rsize = None
 
     batch = batch_df.dropDuplicates(["repo", "path", "commit"])

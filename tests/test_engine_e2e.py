@@ -246,3 +246,47 @@ def test_local_fast_path_identical_to_distributed(spark, built_index):
         b = sorted(tuple(r) for r in
                    dist.search_batch(queries, mode=mode).collect())
         assert a == b, mode
+
+
+def test_doc_ids_dedupe_with_null_keys(spark):
+    """dedupe=True with NULL key columns: the per-partition offset count
+    must include NULL-keyed groups (count_distinct over bare columns drops
+    them → overlapping doc_id ranges, ADVICE r2)."""
+    from donkey_spark.operators.doc_ids import assign_doc_ids
+    rows = ([("r1", None, "c1"), ("r1", None, "c1"),    # dup NULL-keyed PK
+             (None, None, None)]
+            + [(f"r{i % 5}", f"p{i}", None) for i in range(40)])
+    df = spark.createDataFrame(rows, "repo string, path string, commit string")
+    ids, n_keys, n_rows = assign_doc_ids(df, num_partitions=5, dedupe=True)
+    got = sorted(r["doc_id"] for r in ids.select("doc_id").collect())
+    assert n_rows == 43
+    assert n_keys == 42                         # one duplicated key dropped
+    assert got == list(range(42))               # dense, no overlaps
+
+
+def test_resume_failure_injection_rebuilds_with_attempt_2(
+        spark, corpus_df, tmp_path_factory):
+    """Simulate a crash between a chunk's segment write and its manifest
+    commit (delete the 'done' row, keep the 'start' row and the segment
+    dir): resume must rebuild EXACTLY that chunk, journal it as attempt=2,
+    and reproduce the same index."""
+    import glob as _glob
+    import os as _os
+    from donkey_spark.plans.build import build_index
+    out = str(tmp_path_factory.mktemp("failinj"))
+    info1 = build_index(spark, corpus_df, out, range_size=64, n_chunks=3)
+    assert info1["n_chunks"] == 3
+    victims = _glob.glob(f"{out}/manifest/part-job-0-1-d1.parquet")
+    assert len(victims) == 1
+    _os.remove(victims[0])
+
+    info2 = build_index(spark, corpus_df, out, range_size=64, n_chunks=3,
+                        resume=True)
+    assert info2["chunks_built"] == 1
+    assert info2["chunks_skipped"] == 2
+    assert info2["n_postings"] == info1["n_postings"]
+    m = spark.read.parquet(f"{out}/manifest")
+    rows = {(r["chunk"], r["status"], r["attempt"]) for r in m.collect()}
+    assert (1, "done", 2) in rows           # the rebuilt chunk, attempt 2
+    assert (1, "start", 2) in rows
+    assert (0, "done", 1) in rows and (2, "done", 1) in rows

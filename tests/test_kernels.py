@@ -243,3 +243,30 @@ def test_and_kernel_skips_blocks_outside_rarest_span():
     assert ids.size == 10 and ids.max() < 2_000
     # hot term has n_docs/8 blocks; all but the rare span's few must skip
     assert stats["blocks_skipped"] > n_docs // 8 - 300
+
+
+def test_and_kernel_handles_unsorted_block_spans():
+    """Streamed indexes interleave a (term, salt) group across chunk dirs
+    with duplicate block_ids, so the scorer can receive the rarest term's
+    blocks NON-doc-ordered. The span skip test must sort them first or it
+    silently drops valid AND hits (ADVICE r2, high)."""
+    from donkey_spark.kernels.wand import score_range_topk_and
+    n_docs = 64
+    dls = np.full(n_docs, 10, dtype=np.int64)
+    avgdl = 10.0
+    # rarest term: two epochs' blocks, presented LATER-epoch-first
+    a_lo = np.arange(0, 4, dtype=np.int64)          # epoch 0 docs
+    a_hi = np.arange(40, 44, dtype=np.int64)        # epoch 1 docs
+    tfs4 = np.ones(4, dtype=np.int64)
+    blocks_a = (_make_term_blocks(a_hi, tfs4, dls, avgdl, n_docs)
+                + _make_term_blocks(a_lo, tfs4, dls, avgdl, n_docs))
+    # hot term: covers everything in several blocks
+    b_ids = np.arange(n_docs, dtype=np.int64)
+    blocks_b = _make_term_blocks(b_ids, np.ones(n_docs, dtype=np.int64),
+                                 dls, avgdl, n_docs)
+    terms = [TermBlocks(idf(n_docs, 8), blocks_a),
+             TermBlocks(idf(n_docs, n_docs), blocks_b)]
+    from donkey_spark.kernels.wand import score_range_topk_and
+    ids, _ = score_range_topk_and(0, n_docs, terms, avgdl, 64, 2)
+    np.testing.assert_array_equal(
+        np.sort(ids), np.concatenate([a_lo, a_hi]))

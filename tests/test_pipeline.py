@@ -147,3 +147,20 @@ def test_ann_index_matches_full_scan_and_prunes(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+def test_simhash_and_winnow_apply_token_cap(spark, monkeypatch):
+    """simhash_batch / winnow_batch must apply MAX_TOKENS_PER_DOC like
+    every other engine path and the SQL twins (ADVICE r2)."""
+    import pandas as pd
+    import donkey_spark.config as cfg
+    from donkey_spark.pipeline.dedup import simhash_batch
+    from donkey_spark.pipeline.textqual import winnow_batch
+    monkeypatch.setattr(cfg, "MAX_TOKENS_PER_DOC", 6)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    capped = "alpha beta gamma delta epsilon zeta"
+    s = pd.Series([text, capped])
+    sh = simhash_batch(s)
+    assert sh.iloc[0] == sh.iloc[1]
+    wn = winnow_batch(s, k=2, w=2)
+    assert list(wn.iloc[0]) == list(wn.iloc[1])

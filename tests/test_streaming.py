@@ -107,3 +107,43 @@ def test_compact_in_place_clears_stream_chunks(spark, tmp_path):
               .collect()}
     assert not any(c.startswith("stream") for c in chunks)
     assert len(Index(spark, idx).search("def return", k=3).collect()) == 3
+
+
+def test_streamed_index_and_mode_across_epochs(spark, tmp_path):
+    """AND-mode queries over a STREAMED index: one (term, salt) group spans
+    two chunk=stream* dirs with duplicate block_ids and a non-rsize-aligned
+    epoch boundary — the scorer must doc-order the spans before its skip
+    test (ADVICE r2, high). Invariant: a doc containing every query term
+    scores identically in OR and AND mode, so the AND result must equal
+    the OR result filtered to all-terms docs."""
+    from donkey_spark.functions.tokenize import tokenize_py
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming import stream_ingest
+    pdf = gen_corpus(120, seed=11)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(10):                     # 10 files @ maxFilesPerTrigger=8
+        pdf.iloc[i * 12:(i + 1) * 12].to_parquet(
+            src / f"f{i}.parquet", index=False)
+    q = stream_ingest(spark, str(src), str(tmp_path / "idx"),
+                      str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(300)
+    n_epochs = spark.read.parquet(
+        str(tmp_path / "idx" / "manifest_stream")).count()
+    assert n_epochs >= 2                    # the interleaved-chunk regime
+
+    content = {(r.repo, r.path): r.content for r in
+               spark.createDataFrame(pdf).collect()}
+    qtext = "def return"
+    qterms = set(tokenize_py(qtext))
+    for local_bytes in (64 << 20, 0):       # driver-local AND distributed
+        idx = Index(spark, str(tmp_path / "idx"), local_bytes=local_bytes)
+        res_or = idx.search_rows([(0, qtext, 120)])
+        res_and = idx.search_rows([(0, qtext, 120)], mode="and")
+        exp = sorted(
+            ((r[2], round(r[3], 9)) for r in res_or
+             if qterms <= set(tokenize_py(content[(r[4], r[5])]))),
+            key=lambda x: (-x[1], x[0]))
+        got = [(r[2], round(r[3], 9)) for r in res_and]
+        assert len(exp) > 5                 # fixture sanity: real AND hits
+        assert got == exp
