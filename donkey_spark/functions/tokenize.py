@@ -90,6 +90,40 @@ def doc_features_udf(content: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"terms": out_t, "tfs": out_f, "dl": out_dl})
 
 
+#: mapInArrow output schema for doc_features_arrow (struct mirrors
+#: doc_features_udf so downstream plans are extractor-agnostic)
+FEATURES_STRUCT_DDL = ("f struct<terms:array<string>,tfs:array<int>,"
+                       "dl:int>")
+
+
+def doc_features_arrow(batches):
+    """mapInArrow twin of doc_features_udf — the fully-vectorized extractor
+    (kernels/exttok.py: LUT byte scan + dictionary-encode + key-sort tf).
+
+    MEASURED ALTERNATIVE, not the default: on this host the per-doc
+    C-level regex+Counter path is faster (the numpy passes are memory-
+    bandwidth-bound and this box's single-core bandwidth is weak —
+    BENCH/BASELINE.md 'extractor A/B'); on hardware with healthy memory
+    subsystems the vectorized path is the scale bet. Select with
+    build_index(extractor='arrow'). Results are exactly equal (tested).
+
+    Expects 'content' in the batch; emits all other columns + struct 'f'.
+    """
+    import pyarrow as pa
+
+    from ..kernels.exttok import extract_doc_features
+    for b in batches:
+        names = b.schema.names
+        content = b.column(names.index("content"))
+        terms, tfs, dl = extract_doc_features(content)
+        f = pa.StructArray.from_arrays(
+            [terms, tfs, pa.array(dl, pa.int32())],
+            names=["terms", "tfs", "dl"])
+        keep = [b.column(i) for i, nm in enumerate(names) if nm != "content"]
+        yield pa.RecordBatch.from_arrays(
+            keep + [f], names=[nm for nm in names if nm != "content"] + ["f"])
+
+
 def doc_terms_expr(df, id_col: str = "doc_id", tokens_col: str = "tokens"):
     """Exploded (doc_id, dl, term, tf) from a tokens column — built-ins only
     (SURVEY op 11 ◇ oracle path). dl counts ALL kept tokens, including those

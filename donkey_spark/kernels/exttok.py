@@ -1,0 +1,173 @@
+"""Vectorized extractor kernel: Arrow string batch -> (terms, tfs, dl).
+
+The build's largest phase is the extractor (tokenize + per-doc tf). The
+reference semantics are `tokenize_py` + `Counter` (functions/tokenize.py,
+FIXTURES.md §T: NFC -> lower -> [a-z0-9_]{2,64} runs -> cap). This kernel
+computes the identical result with zero per-token Python on the hot path:
+
+* the batch's UTF-8 data buffer is scanned as ONE numpy uint8 array:
+  a 256-byte LUT lowers it, a second LUT marks token bytes, and token
+  runs fall out of two shifted boolean masks (run starts/ends), with
+  forced breaks at document boundaries;
+* dropped runs (len < 2, len > 64, beyond the per-doc cap) are erased
+  from a byte-keep mask via a delta+cumsum sweep — the kept tokens are
+  then ONE boolean compress of the buffer (no giant gather-index arrays);
+* the packed bytes + offsets become a pyarrow StringArray zero-copy;
+  `pc.dictionary_encode` (C++ hash) replaces per-doc Counter, and tf
+  falls out of a run-length pass over ONE sorted (doc << 32 | code) key;
+* per-doc term/tf lists are assembled as Arrow ListArrays from offsets —
+  no per-doc Python objects anywhere.
+
+Byte-level run scanning is EXACT for ASCII documents (NFC is the identity
+and `str.lower` == byte-lower there). Documents containing any non-ASCII
+byte take the reference Python path (`tokenize_py` + Counter) and are
+spliced back in — NFC composition can move token boundaries, so only the
+reference tokenizer may touch them. Source-code corpora are overwhelmingly
+ASCII, so the splice is rare by construction.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import MAX_TOKENS_PER_DOC
+
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[ord("A"):ord("Z") + 1] += 32
+_TOKBYTE = np.zeros(256, dtype=bool)
+for _ch in b"abcdefghijklmnopqrstuvwxyz0123456789_":
+    _TOKBYTE[_ch] = True
+
+_EMPTY_I32 = np.zeros(1, dtype=np.int32)
+
+
+def _ascii_doc_features(content: pa.Array, cap: int):
+    """(terms ListArray, tfs ListArray, dl int32 ndarray) for a batch whose
+    every document is ASCII (caller guarantees; nulls already filled)."""
+    n = len(content)
+    obuf = np.frombuffer(content.buffers()[1], dtype=np.int32)
+    off = obuf[content.offset:content.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(content.buffers()[2], dtype=np.uint8)
+    if off[-1] == off[0] or data.size == 0:
+        loff = pa.array(np.zeros(n + 1, dtype=np.int32))
+        return (pa.ListArray.from_arrays(loff, pa.array([], pa.utf8())),
+                pa.ListArray.from_arrays(loff, pa.array([], pa.int32())),
+                np.zeros(n, dtype=np.int32))
+    # a sliced array's data buffer may extend beyond this batch; scan only
+    # [off[0], off[-1]) and rebase offsets
+    base_off = int(off[0])
+    low = _LOWER[data[base_off:int(off[-1])]]
+    off = off - base_off
+    al = _TOKBYTE[low]
+    N = low.size
+    prev = np.empty(N, dtype=bool)
+    prev[0] = False
+    prev[1:] = al[:-1]
+    ds = off[:-1]
+    prev[ds[ds < N]] = False                 # run break at document starts
+    nxt = np.empty(N, dtype=bool)
+    nxt[-1] = False
+    nxt[:-1] = al[1:]
+    de = off[1:] - 1
+    nxt[de[de >= 0]] = False                 # run break at document ends
+    starts = np.flatnonzero(al & ~prev)
+    ends = np.flatnonzero(al & ~nxt) + 1
+    lens = ends - starts
+    doc = np.searchsorted(off, starts, side="right") - 1
+    valid = (lens >= 2) & (lens <= 64)
+    dl = np.bincount(doc[valid], minlength=n)
+    if dl.max(initial=0) > cap:              # §T.3 cap — rare path
+        cs = np.cumsum(valid)                # runs are in doc order
+        first = np.searchsorted(doc, np.arange(n), side="left")
+        seg0 = np.zeros(n, dtype=np.int64)
+        m = first < doc.size
+        seg0[m] = cs[first[m]] - valid[first[m]]
+        rank = cs - seg0[doc]                # 1-based valid-rank within doc
+        valid &= rank <= cap
+        dl = np.bincount(doc[valid], minlength=n)
+    # erase dropped runs from the byte-keep mask (delta + cumsum — no
+    # per-run Python, no token-sized gather indices)
+    dropped = ~valid
+    keep_bytes = al
+    if dropped.any():
+        d = np.zeros(N + 1, dtype=np.int32)
+        np.add.at(d, starts[dropped], 1)
+        np.add.at(d, ends[dropped], -1)
+        keep_bytes = al & (np.cumsum(d[:N], dtype=np.int32) == 0)
+    packed = low[keep_bytes]
+    kl = lens[valid]
+    kd = doc[valid]
+    toff = np.empty(kl.size + 1, dtype=np.int32)
+    toff[0] = 0
+    np.cumsum(kl, out=toff[1:])
+    tok_arr = pa.Array.from_buffers(
+        pa.utf8(), kl.size,
+        [None, pa.py_buffer(toff.tobytes()), pa.py_buffer(packed.tobytes())])
+    enc = pc.dictionary_encode(tok_arr)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    uniq = enc.dictionary
+    key = (kd.astype(np.int64) << 32) | codes
+    key.sort()
+    tot = key.size
+    if tot:
+        new = np.empty(tot, dtype=bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        rs = np.flatnonzero(new)
+        tfs = np.diff(np.append(rs, tot)).astype(np.int32)
+        kk = key[rs]
+        udoc = (kk >> np.int64(32))
+        term_vals = uniq.take(pa.array(kk & np.int64(0xFFFFFFFF)))
+    else:
+        tfs = np.empty(0, dtype=np.int32)
+        udoc = np.empty(0, dtype=np.int64)
+        term_vals = pa.array([], pa.utf8())
+    loff = np.empty(n + 1, dtype=np.int32)
+    loff[0] = 0
+    np.cumsum(np.bincount(udoc, minlength=n), out=loff[1:])
+    return (pa.ListArray.from_arrays(pa.array(loff), term_vals),
+            pa.ListArray.from_arrays(pa.array(loff), pa.array(tfs)),
+            dl.astype(np.int32))
+
+
+def _py_doc_features(text: str | None, cap: int):
+    """Reference path for one (non-ASCII) document."""
+    from ..functions.tokenize import tokenize_py
+    c = Counter(tokenize_py(text))
+    return list(c.keys()), list(c.values()), sum(c.values())
+
+
+def extract_doc_features(content: pa.Array, cap: int = MAX_TOKENS_PER_DOC):
+    """(terms ListArray, tfs ListArray, dl int32 ndarray) for an Arrow
+    string batch — exact §T semantics (tokenize_py + Counter per doc)."""
+    content = content.combine_chunks() if isinstance(
+        content, pa.ChunkedArray) else content
+    if content.null_count:
+        content = pc.fill_null(content, "")
+    is_ascii = pc.string_is_ascii(content)
+    exotic = (np.flatnonzero(~is_ascii.to_numpy(zero_copy_only=False))
+              if not pc.all(is_ascii).as_py() else np.empty(0, np.int64))
+    bulk = content
+    if exotic.size:
+        # blank the exotic docs for the bulk pass; splice reference results
+        mask = np.ones(len(content), dtype=bool)
+        mask[exotic] = False
+        bulk = pc.if_else(is_ascii, content, "")
+    terms, tfs, dl = _ascii_doc_features(bulk, cap)
+    if not exotic.size:
+        return terms, tfs, dl
+    # splice per exotic doc (rare by construction): rebuild the two list
+    # arrays around the patched rows
+    t_lists = terms.to_pylist()
+    f_lists = tfs.to_pylist()
+    for i in exotic.tolist():
+        tl, fl, d = _py_doc_features(content[i].as_py(), cap)
+        t_lists[i], f_lists[i] = tl, fl
+        dl[i] = d
+    return (pa.array(t_lists, pa.list_(pa.utf8())),
+            pa.array(f_lists, pa.list_(pa.int32())),
+            dl)

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from ..config import BLOCK_SIZE, N_BUCKETS, default_range_size
-from ..functions.tokenize import doc_features_udf
+from ..functions.tokenize import (FEATURES_STRUCT_DDL, doc_features_arrow,
+                                  doc_features_udf)
 from ..operators.doc_ids import assign_doc_ids
 from ..operators.postings import (build_partial_postings,
                                   dictionary_from_segments,
@@ -96,7 +97,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                 codec: str = "varint", range_size: int | None = None,
                 block_size: int = BLOCK_SIZE, n_chunks: int = 1,
                 resume: bool = False, ref_hashes: DataFrame | None = None,
-                job_id: str = "job-0") -> dict:
+                job_id: str = "job-0", extractor: str = "python") -> dict:
     """Build the full inverted index; returns build info/metrics dict."""
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -127,12 +128,26 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
 
     # ops 8/10/11 fused: content crosses Arrow exactly once and is dropped
     # in the same projection; unique (term, tf) pairs — never raw tokens —
-    # are all that flows toward the big shuffle.
-    docs_feat = (deduped.join(ids, ["repo", "path", "commit"])
-                 .select("doc_id", "repo", "path", "commit", "lang",
-                         F.sha2(F.col("content"), 256).alias("sha256"),
-                         doc_features_udf(F.col("content")).alias("f"))
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+    # are all that flows toward the big shuffle. Two tested-equal
+    # extractors: 'python' (per-doc C regex + Counter — measured default on
+    # this host) and 'arrow' (fully-vectorized LUT/dictionary-encode kernel,
+    # kernels/exttok.py — the bet on bandwidth-healthy hardware).
+    base = (deduped.join(ids, ["repo", "path", "commit"])
+            .select("doc_id", "repo", "path", "commit", "lang",
+                    F.sha2(F.col("content"), 256).alias("sha256"), "content"))
+    if extractor == "arrow":
+        docs_feat = base.mapInArrow(
+            doc_features_arrow,
+            "doc_id long, repo string, path string, commit string, "
+            "lang string, sha256 string, " + FEATURES_STRUCT_DDL)
+    elif extractor == "python":
+        docs_feat = base.select(
+            "doc_id", "repo", "path", "commit", "lang", "sha256",
+            doc_features_udf(F.col("content")).alias("f"))
+    else:
+        raise ValueError(f"unknown extractor {extractor!r} "
+                         "(expected 'python' or 'arrow')")
+    docs_feat = docs_feat.persist(StorageLevel.MEMORY_AND_DISK)
 
     stats = (docs_feat.agg(F.count("*").alias("n"),
                            F.sum("f.dl").alias("sum_dl"))
