@@ -177,17 +177,23 @@ def simhash_batch(content: pd.Series) -> pd.Series:
     shifts = np.arange(64, dtype=np.uint64)
     # ±1 matrix over the batch's unique terms, (U, 64) — a few MB
     pm = (((hs[:, None] >> shifts[None, :]) & np.uint64(1))
-          .astype(np.int64) * 2 - 1)
+          .astype(np.int32) * 2 - 1)
     # per doc: tf over its unique codes (np.unique on the code slice) then
-    # one (1×u)·(u×64) integer matmul — tf-weighted ±1 accumulation that
-    # never materializes a per-OCCURRENCE bit matrix (memory-bound killer)
+    # one (1×u)·(u×64) int32 matmul — tf-weighted ±1 accumulation that
+    # never materializes a per-OCCURRENCE bit matrix (memory-bound killer).
+    # MEASURED (BENCH/BASELINE.md, simhash accumulation A/B): the "fully
+    # vectorized" alternative — lexsort the (doc, code) occurrence stream,
+    # run-length tf, one np.add.reduceat over the (pairs, 64) contribution
+    # matrix — is 13× SLOWER (2-D reduceat isn't column-vectorized and the
+    # pair gather is ~3 GB of bus traffic); |acc| ≤ dl ≤ cap so int32 is
+    # exact and halves matmul traffic vs int64 (~1.4× end-to-end).
     starts = np.concatenate(([0], np.cumsum(counts)))
-    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    acc = np.zeros((n_docs, 64), dtype=np.int32)
     for d in range(n_docs):
         seg = codes[starts[d]:starts[d + 1]]
         if seg.size:
             uc, tf = np.unique(seg, return_counts=True)
-            acc[d] = tf @ pm[uc]
+            acc[d] = tf.astype(np.int32) @ pm[uc]
     sign = (acc > 0).astype(np.uint8)
     packed = np.packbits(sign, axis=1, bitorder="little")
     return pd.Series(np.ascontiguousarray(packed).view(np.int64).ravel())
