@@ -117,13 +117,26 @@ def score_range_topk_and(base: int, size: int,
     Scoring is one accumulator pass with a presence counter; docs with
     count == n_query_terms survive.
 
+    Terms are processed rarest→hottest, and the LAST (hottest) term adds
+    the OR path's block-max-vs-θ pruning: every earlier term has already
+    accumulated, so zeroing dead docs (cnt < n-1) makes each surviving
+    block's potential — masked span-max + idf·block_max — a STATIC exact
+    upper bound on any of its docs' final scores. Blocks decode in
+    descending-potential batches; once k docs have fully qualified, θ (the
+    k-th best qualifying score, a lower bound on the final k-th best) kills
+    every remaining batch whose best potential is strictly below it. A doc
+    in a θ-skipped block is provably outside the final top-k even though
+    skipping also denies it its last presence count. Ties at θ survive
+    (strict <); the doc_id tie-break applies on final scores only.
+
     Returns (doc_ids int64, scores float64), score desc / doc_id asc.
     """
     if (not terms or k <= 0 or len(terms) < n_query_terms):
         # some query term has no postings at all in this range → empty
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     sizes = [sum(b["n_docs"] for b in t.blocks) for t in terms]
-    rarest = terms[int(np.argmin(sizes))]
+    terms = [terms[i] for i in np.argsort(sizes, kind="stable")]
+    rarest = terms[0]
     r_lo = np.array([b["first_doc_id"] for b in rarest.blocks],
                     dtype=np.int64)
     r_hi = np.array([b["max_doc_id"] for b in rarest.blocks], dtype=np.int64)
@@ -136,21 +149,23 @@ def score_range_topk_and(base: int, size: int,
     r_lo, r_hi = r_lo[o], r_hi[o]
     acc = np.zeros(size, dtype=np.float64)
     cnt = np.zeros(size, dtype=np.int32)
-    for t in terms:
-        if t is rarest:
-            keep = t.blocks
-        else:
-            keep = []
-            for blk in t.blocks:
-                # overlap test vs the rarest term's block spans: the first
-                # rarest-span with hi >= blk.first must start <= blk.max
-                j = int(np.searchsorted(r_hi, blk["first_doc_id"]))
-                if j == r_lo.size or r_lo[j] > blk["max_doc_id"]:
-                    if stats is not None:
-                        stats["blocks_skipped"] = (
-                            stats.get("blocks_skipped", 0) + 1)
-                else:
-                    keep.append(blk)
+
+    def _span_keep(t):
+        keep = []
+        for blk in t.blocks:
+            # overlap test vs the rarest term's block spans: the first
+            # rarest-span with hi >= blk.first must start <= blk.max
+            j = int(np.searchsorted(r_hi, blk["first_doc_id"]))
+            if j == r_lo.size or r_lo[j] > blk["max_doc_id"]:
+                if stats is not None:
+                    stats["blocks_skipped"] = (
+                        stats.get("blocks_skipped", 0) + 1)
+            else:
+                keep.append(blk)
+        return keep
+
+    for t in terms[:-1]:
+        keep = t.blocks if t is rarest else _span_keep(t)
         if keep:
             codec = keep[0].get("codec", "varint")
             ids, tfs, dls = decode_term_blocks(keep, codec)
@@ -160,6 +175,56 @@ def score_range_topk_and(base: int, size: int,
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
                                            + len(keep))
+
+    # --- last (hottest) term: θ-pruned, potential-ordered decode ---------
+    t = terms[-1]
+    if len(terms) == 1:
+        keep = list(t.blocks)
+    else:
+        keep = _span_keep(t)
+        acc[cnt != len(terms) - 1] = 0.0   # dead docs can't qualify; masking
+        #                                    makes block potentials tight
+    if keep:
+        codec = keep[0].get("codec", "varint")
+        pots = np.array(
+            [acc[blk["first_doc_id"] - base:blk["max_doc_id"] - base + 1]
+             .max() + t.idf * blk["block_max_tfpart"] for blk in keep])
+        dec_order = np.argsort(-pots, kind="stable")
+        n_terms = len(terms)
+        qual_scores: list[np.ndarray] = []
+        nqual = 0
+        theta = -np.inf
+        BATCH = 8
+        pos = 0
+        while pos < dec_order.size:
+            batch_ix = dec_order[pos:pos + BATCH]
+            if nqual >= k and pots[batch_ix[0]] < theta:
+                # potentials are sorted descending and θ only grows —
+                # every remaining block is unbeatable
+                if stats is not None:
+                    stats["blocks_skipped_theta"] = (
+                        stats.get("blocks_skipped_theta", 0)
+                        + dec_order.size - pos)
+                break
+            batch = [keep[j] for j in batch_ix]
+            ids, tfs, dls = decode_term_blocks(batch, codec)
+            ids = ids - base
+            acc[ids] += t.idf * tf_part(tfs, dls, avgdl)
+            cnt[ids] += 1
+            if stats is not None:
+                stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
+                                           + len(batch))
+            newq = ids[cnt[ids] == n_terms]
+            if newq.size:
+                qual_scores.append(acc[newq])
+                nqual += newq.size
+                if nqual >= k:
+                    allq = (np.concatenate(qual_scores)
+                            if len(qual_scores) > 1 else qual_scores[0])
+                    qual_scores = [allq]
+                    theta = np.partition(allq, allq.size - k)[allq.size - k]
+            pos += BATCH
+
     hit = np.flatnonzero(cnt == n_query_terms)
     if hit.size == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))

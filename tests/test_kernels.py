@@ -270,3 +270,62 @@ def test_and_kernel_handles_unsorted_block_spans():
     ids, _ = score_range_topk_and(0, n_docs, terms, avgdl, 64, 2)
     np.testing.assert_array_equal(
         np.sort(ids), np.concatenate([a_lo, a_hi]))
+
+
+def test_and_kernel_theta_prunes_hot_blocks():
+    """VERDICT r2 #5: when the rare term's docs are SPREAD across the range
+    (span-overlap alone keeps every hot block alive), the θ test must still
+    skip hot blocks once k docs have qualified and the heap is unbeatable —
+    with results identical to the brute-force conjunction."""
+    from donkey_spark.kernels.wand import score_range_topk_and
+    rng = np.random.default_rng(21)
+    n_docs = 100_000
+    dls = rng.integers(50, 150, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+    hot_ids = np.arange(n_docs, dtype=np.int64)
+    hot_tfs = np.ones(n_docs, dtype=np.int64)
+    # 200 rare docs spread uniformly; tf varies so θ separates the heap
+    rare_ids = np.sort(rng.choice(n_docs, 200, replace=False)).astype(np.int64)
+    rare_tfs = rng.integers(1, 30, size=200).astype(np.int64)
+    postings = {"rare": (rare_ids, rare_tfs), "hot": (hot_ids, hot_tfs)}
+    terms = [TermBlocks(idf(n_docs, ids.size),
+                        _make_term_blocks(ids, tfs, dls, avgdl, n_docs))
+             for ids, tfs in postings.values()]
+    stats: dict = {}
+    ids, sc = score_range_topk_and(0, n_docs, terms, avgdl, 10, 2,
+                                   stats=stats)
+    exp_ids, exp_sc = _brute_force_and(["rare", "hot"], postings, dls,
+                                       n_docs, avgdl, 10)
+    np.testing.assert_array_equal(ids, exp_ids)
+    np.testing.assert_allclose(sc, exp_sc, atol=1e-9)
+    # every hot block overlaps *some* rare span? No — but spans keep far
+    # more than θ lets through: θ must fire on this fixture
+    assert stats.get("blocks_skipped_theta", 0) > 0
+    # and the θ skips come ON TOP of span skips (strictly more total skips
+    # than the span-only baseline of the same fixture)
+    span_only = stats.get("blocks_skipped", 0)
+    total = span_only + stats["blocks_skipped_theta"]
+    assert total > span_only
+
+
+def test_and_kernel_theta_single_term_blockmax():
+    """Single-term AND: θ-pruning degenerates to pure block-max pruning."""
+    from donkey_spark.kernels.wand import score_range_topk_and
+    rng = np.random.default_rng(22)
+    n_docs = 50_000
+    dls = np.full(n_docs, 100, dtype=np.int64)
+    avgdl = 100.0
+    ids_all = np.arange(n_docs, dtype=np.int64)
+    tfs = np.ones(n_docs, dtype=np.int64)
+    tfs[rng.choice(n_docs, 20, replace=False)] = 40    # a few heavy docs
+    postings = {"t": (ids_all, tfs)}
+    terms = [TermBlocks(idf(n_docs, n_docs),
+                        _make_term_blocks(ids_all, tfs, dls, avgdl, n_docs))]
+    stats: dict = {}
+    ids, sc = score_range_topk_and(0, n_docs, terms, avgdl, 5, 1,
+                                   stats=stats)
+    exp_ids, exp_sc = _brute_force_and(["t"], postings, dls, n_docs,
+                                       avgdl, 5)
+    np.testing.assert_array_equal(ids, exp_ids)
+    np.testing.assert_allclose(sc, exp_sc, atol=1e-9)
+    assert stats.get("blocks_skipped_theta", 0) > 0
