@@ -217,3 +217,35 @@ def decode_term_blocks(blocks: list[dict], codec: str = "varint"):
 def decode_tfs(blob: bytes, codec: str = "varint") -> np.ndarray:
     """Decode a tf / dl varint-or-pfor payload to int64."""
     return _decode(blob, codec).astype(np.int64)
+
+
+def decode_blocks_arrays(blocks: list[dict], codec: str = "varint"):
+    """Whole-set vectorized decode of an ARBITRARY block list (terms may
+    mix — every block restarts its delta with an absolute first value, so
+    the segmented-cumsum correction makes each segment independent).
+
+    Returns (ids int64, tfs int64, dls int64, bounds int64) where
+    ``bounds[i]:bounds[i+1]`` slices block i's postings. This is the batch
+    query path's decode: ONE varint pass per column for a salt group's
+    (or a whole local scan's) blocks, instead of one per (query, term)."""
+    n = np.array([int(b["n_docs"]) for b in blocks], dtype=np.int64)
+    bounds = np.concatenate(([0], np.cumsum(n)))
+    if codec != "varint":
+        return (np.concatenate([decode_doc_ids(b["docids_blob"], codec)
+                                for b in blocks]),
+                np.concatenate([decode_tfs(b["tfs_blob"], codec)
+                                for b in blocks]),
+                np.concatenate([decode_tfs(b["dls_blob"], codec)
+                                for b in blocks]),
+                bounds)
+    deltas = varint_decode(b"".join(bytes(b["docids_blob"])
+                                    for b in blocks))
+    c = np.cumsum(deltas, dtype=np.uint64)
+    bstart = bounds[:-1]
+    corr = c[bstart] - deltas[bstart]
+    ids = (c - np.repeat(corr, n)).astype(np.int64)
+    tfs = varint_decode(b"".join(bytes(b["tfs_blob"])
+                                 for b in blocks)).astype(np.int64)
+    dls = varint_decode(b"".join(bytes(b["dls_blob"])
+                                 for b in blocks)).astype(np.int64)
+    return ids, tfs, dls, bounds

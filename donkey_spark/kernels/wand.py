@@ -42,9 +42,41 @@ class TermBlocks:
         self.ub = self.idf * max(b["block_max_tfpart"] for b in blocks)
 
 
+def _decode_parts(keep: list[dict], codec: str, avgdl: float,
+                  cache: dict | None):
+    """(doc_ids, tf_part) for a kept block list.
+
+    With a cache (one dict per salt group, keyed by block identity), each
+    block's varint decode AND its BM25 tf-part — both term-independent —
+    happen once per (term, salt) regardless of how many batch queries
+    touch the term; a query's contribution is then idf · cached part. The
+    uncached path computes the identical values in one batch decode, so
+    results are bit-equal either way (elementwise ufunc over the same
+    concatenation order)."""
+    if cache is None:
+        ids, tfs, dls = decode_term_blocks(keep, keep[0].get("codec", codec))
+        return ids, tf_part(tfs, dls, avgdl)
+    missing = [b for b in keep if id(b) not in cache]
+    if missing:
+        ids, tfs, dls = decode_term_blocks(missing,
+                                           missing[0].get("codec", codec))
+        part = tf_part(tfs, dls, avgdl)
+        off = 0
+        for b in missing:
+            n = int(b["n_docs"])
+            cache[id(b)] = (ids[off:off + n], part[off:off + n])
+            off += n
+    if len(keep) == 1:
+        return cache[id(keep[0])]
+    parts = [cache[id(b)] for b in keep]
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
+
+
 def score_range_topk(base: int, size: int,
                      terms: list[TermBlocks], avgdl: float, k: int,
-                     stats: dict | None = None):
+                     stats: dict | None = None,
+                     cache: dict | None = None):
     """Exact top-k for one query within one doc range.
 
     Doc lengths come from each block's own dls_blob (co-stored with the
@@ -80,9 +112,8 @@ def score_range_topk(base: int, size: int,
         else:
             keep = t.blocks
         if keep:
-            codec = keep[0].get("codec", "varint")
-            ids, tfs, dls = decode_term_blocks(keep, codec)
-            acc[ids - base] += t.idf * tf_part(tfs, dls, avgdl)
+            ids, part = _decode_parts(keep, "varint", avgdl, cache)
+            acc[ids - base] += t.idf * part
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
                                            + len(keep))
@@ -105,7 +136,8 @@ def score_range_topk(base: int, size: int,
 def score_range_topk_and(base: int, size: int,
                          terms: list[TermBlocks], avgdl: float, k: int,
                          n_query_terms: int,
-                         stats: dict | None = None):
+                         stats: dict | None = None,
+                         cache: dict | None = None):
     """Exact conjunctive (AND) top-k within one doc range (SURVEY op 32 /
     K4 intersection fast path).
 
@@ -167,10 +199,9 @@ def score_range_topk_and(base: int, size: int,
     for t in terms[:-1]:
         keep = t.blocks if t is rarest else _span_keep(t)
         if keep:
-            codec = keep[0].get("codec", "varint")
-            ids, tfs, dls = decode_term_blocks(keep, codec)
+            ids, part = _decode_parts(keep, "varint", avgdl, cache)
             ids = ids - base
-            acc[ids] += t.idf * tf_part(tfs, dls, avgdl)
+            acc[ids] += t.idf * part
             cnt[ids] += 1
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
@@ -185,7 +216,6 @@ def score_range_topk_and(base: int, size: int,
         acc[cnt != len(terms) - 1] = 0.0   # dead docs can't qualify; masking
         #                                    makes block potentials tight
     if keep:
-        codec = keep[0].get("codec", "varint")
         pots = np.array(
             [acc[blk["first_doc_id"] - base:blk["max_doc_id"] - base + 1]
              .max() + t.idf * blk["block_max_tfpart"] for blk in keep])
@@ -207,9 +237,9 @@ def score_range_topk_and(base: int, size: int,
                         + dec_order.size - pos)
                 break
             batch = [keep[j] for j in batch_ix]
-            ids, tfs, dls = decode_term_blocks(batch, codec)
+            ids, part = _decode_parts(batch, "varint", avgdl, cache)
             ids = ids - base
-            acc[ids] += t.idf * tf_part(tfs, dls, avgdl)
+            acc[ids] += t.idf * part
             cnt[ids] += 1
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)

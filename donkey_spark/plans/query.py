@@ -6,13 +6,14 @@ re-expressed Spark-first:
 
   tokenize queries (driver-side, §T) → dictionary lookup (bucket+term
   parquet pruning, memoized across queries) → segments scan pruned by
-  bucket partition dirs + term row-group stats → ONE groupBy(salt)
-  applyInPandas running the block-max scorer per doc range (every term's
+  bucket partition dirs + term row-group stats → ONE repartition("salt")
+  + mapInArrow running the block-max scorer per doc range (every term's
   postings for a range co-partition by the global range salt, so a doc's
-  whole score forms inside one group — no per-doc shuffle) → per-range
-  bounded top-k (≤ k rows per range reach the driver) → driver merge with
-  the (score desc, doc_id asc) tie-break → doc-metadata fetch by
-  pushed-down doc_id IN (...) filter.
+  whole score forms inside one group — no per-doc shuffle; blobs stay
+  Arrow buffers, never pandas objects) → per-range bounded top-k (≤ k
+  rows per range reach the driver) → driver merge with the (score desc,
+  doc_id asc) tie-break → doc-metadata fetch by pushed-down doc_id
+  IN (...) filter.
 
 Latency design (donkey keeps its index RAM-resident; the Spark analog):
 DataFrame handles for segments/dictionary/docs are built once per Index so
@@ -32,7 +33,6 @@ bit-identical (shared scorer, shared merge).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,10 +61,11 @@ _REC_COLS = ["first_doc_id", "max_doc_id", "block_max_tfpart", "n_docs",
 
 def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
-    scoring core, shared verbatim by the distributed (applyInPandas) and
+    scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results."""
 
-    def score_group(salt: int, by_term: dict[str, list[dict]]):
+    def score_group(salt: int, by_term: dict[str, list[dict]],
+                    cache: dict | None = None):
         base = salt * base_mult
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in qplan:
@@ -74,9 +75,11 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl):
                 continue
             if mode == "and":
                 ids, sc = score_range_topk_and(
-                    base, base_mult, tbs, avgdl, k, len(terms))
+                    base, base_mult, tbs, avgdl, k, len(terms),
+                    cache=cache)
             else:
-                ids, sc = score_range_topk(base, base_mult, tbs, avgdl, k)
+                ids, sc = score_range_topk(base, base_mult, tbs, avgdl, k,
+                                           cache=cache)
             out_q.extend([qid] * len(ids))
             out_d.extend(ids.tolist())
             out_s.extend(sc.tolist())
@@ -85,27 +88,106 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl):
     return score_group
 
 
-def _make_score_fn(qplan, idf_map, mode, base_mult, codec, avgdl):
-    """pandas wrapper over the group scorer for the applyInPandas path."""
+#: batch size at which the scorer pre-decodes every pruned block in bulk
+#: (one varint pass per column + one tf_part for the whole set) instead of
+#: decoding lazily per (query, term). Lazy decode preserves block-max skip
+#: savings for interactive single queries; at ≥ this many queries the
+#: per-call fixed cost of thousands of tiny decodes dominates the skips
+#: (measured: 50-query batch on the 1M index spends ~5.7 of 8.5 scorer
+#: seconds in small-array decode overhead).
+_PRECOMPUTE_MIN_QUERIES = 8
+
+
+def _prefill_parts(blocks: list[dict], codec: str, avgdl: float) -> dict:
+    """Decode cache {block identity: (doc_ids, tf_part)} for a block set,
+    built in three varint passes + one vectorized tf_part. Values are
+    bit-identical to the lazy path (same concatenation-order elementwise
+    math), so results never depend on which path ran."""
+    from ..kernels.blocks import decode_blocks_arrays
+    from ..kernels.bm25 import tf_part
+    ids, tfs, dls, bounds = decode_blocks_arrays(blocks, codec)
+    part = tf_part(tfs, dls, avgdl)
+    return {id(b): (ids[bounds[i]:bounds[i + 1]],
+                    part[bounds[i]:bounds[i + 1]])
+            for i, b in enumerate(blocks)}
+
+
+def _score_block_table(tbl, score_group, codec: str, avgdl: float,
+                       prefill: bool):
+    """Score a pyarrow Table of pruned block rows (any number of salts —
+    each salt's rows must be complete in ``tbl``): one lexsort groups rows
+    by (salt, term, block_id), then the shared group scorer runs per doc
+    range. Shared VERBATIM by the driver-local path and the distributed
+    mapInArrow partitions, so their results are bit-identical. With
+    ``prefill`` (query batches), every block decodes up front in three
+    varint passes + one tf_part instead of thousands of tiny per-(query,
+    term) decodes. Returns (qids, doc_ids, scores) lists."""
+    import numpy as np
+    term_dict = tbl["term"].combine_chunks().dictionary_encode()
+    tcode = term_dict.indices.to_numpy()
+    terms_list = term_dict.dictionary.to_pylist()
+    salt = tbl["salt"].to_numpy()
+    bid = tbl["block_id"].to_numpy()
+    order = np.lexsort((bid, tcode, salt))
+    cols = {c: tbl[c].to_pylist() for c in _REC_COLS}
+    recs = [dict(zip(_REC_COLS, row), codec=codec) for row in zip(
+        *[[cols[c][i] for i in order] for c in _REC_COLS])]
+    salt_o, tcode_o = salt[order], tcode[order]
+    bounds = np.flatnonzero(np.concatenate(
+        ([True], (salt_o[1:] != salt_o[:-1])
+         | (tcode_o[1:] != tcode_o[:-1]), [True])))
+    out_q: list = []
+    out_d: list = []
+    out_s: list = []
+    by_term: dict[str, list[dict]] = {}
+    salt_start = 0
+    for gi in range(len(bounds) - 1):
+        s, e = bounds[gi], bounds[gi + 1]
+        if not by_term:
+            salt_start = s
+        by_term[terms_list[tcode_o[s]]] = recs[s:e]
+        last_of_salt = (gi + 1 == len(bounds) - 1
+                        or salt_o[bounds[gi + 1]] != salt_o[s])
+        if last_of_salt:
+            # per-SALT bulk decode: three varint passes over ~range_size
+            # postings replace one tiny decode per (query, term) — sized so
+            # the decoded arrays stay ~MBs (whole-scan prefill measured
+            # PATHOLOGICAL on this host: hundreds of MB of live temp
+            # arrays turn every small numpy op into a page-fault stall)
+            cache = (_prefill_parts(recs[salt_start:e], codec, avgdl)
+                     if prefill else None)
+            q, d, sc = score_group(int(salt_o[s]), by_term, cache)
+            out_q.extend(q)
+            out_d.extend(d)
+            out_s.extend(sc)
+            by_term = {}
+    return out_q, out_d, out_s
+
+
+def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl):
+    """mapInArrow partition function for the distributed path: each
+    partition holds complete salts (repartition("salt") upstream), blobs
+    stay Arrow buffers end to end — no pandas object conversion of
+    posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
     score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl)
+    prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
-    def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        salt = int(pdf["salt"].iloc[0])
-        by_term: dict[str, list[dict]] = {}
-        for term, g in pdf.groupby("term", sort=False):
-            gs = g.sort_values("block_id")
-            arrs = [gs[c].to_numpy() for c in _REC_COLS]
-            # plain zip over numpy columns — ~60x faster than pandas
-            # to_dict('records'), which dominates block-heavy queries
-            recs = [dict(zip(_REC_COLS, row), codec=codec)
-                    for row in zip(*arrs)]
-            by_term[term] = recs
-        out_q, out_d, out_s = score_group(salt, by_term)
-        return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int32"),
-                             "doc_id": pd.Series(out_d, dtype="int64"),
-                             "score": pd.Series(out_s, dtype="float64")})
+    def score_arrow(batches):
+        import pyarrow as pa
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return
+        q, d, s = _score_block_table(tbl, score_group, codec, avgdl,
+                                     prefill)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(q, pa.int32()), pa.array(d, pa.int64()),
+             pa.array(s, pa.float64())],
+            names=["query_id", "doc_id", "score"])
 
-    return score_fn
+    return score_arrow
 
 
 class Index:
@@ -223,14 +305,21 @@ class Index:
             # no Spark job. Bounded by est_work ≤ local_bytes.
             scorer = _make_group_scorer(qplan, idf_map, mode,
                                         self.range_size, self.avgdl)
-            cand = self._local_candidates(needed, buckets, scorer)
+            cand = self._local_candidates(
+                needed, buckets, scorer,
+                prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES)
         else:
-            score_fn = _make_score_fn(qplan, idf_map, mode, self.range_size,
-                                      self.codec, self.avgdl)
-            seg = self._seg.where(F.col("bucket").isin(buckets)  # dir prune
-                                  & F.col("term").isin(needed))
-            scored = seg.groupBy("salt").applyInPandas(
-                score_fn, "query_id int, doc_id long, score double")
+            score_arrow = _make_arrow_scorer(qplan, idf_map, mode,
+                                             self.range_size, self.codec,
+                                             self.avgdl)
+            seg = (self._seg
+                   .where(F.col("bucket").isin(buckets)      # dir prune
+                          & F.col("term").isin(needed))
+                   .select(*_SEG_COLS))   # shuffle ONLY scorer columns
+            # ONE exchange co-locating each salt's rows, then Arrow-native
+            # scoring per partition (blobs never convert to pandas objects)
+            scored = seg.repartition("salt").mapInArrow(
+                score_arrow, "query_id int, doc_id long, score double")
             # Global top-k (op 35). Candidates are ≤ k per (query, touched
             # range). Small bound → merge on the driver (TakeOrdered
             # analog, saves a window+join job pair per call); large bound
@@ -289,12 +378,10 @@ class Index:
         return self._pa_cache[sub]
 
     def _local_candidates(self, needed, buckets,
-                          score_group) -> list[tuple]:
-        """Driver-side scoring over the pruned block set (pyarrow): one
-        lexsort groups the block rows by (salt, term, block_id), then the
-        shared group scorer runs per doc range. Returns (qid, doc_id,
-        score) tuples."""
-        import numpy as np
+                          score_group, prefill: bool = False) -> list[tuple]:
+        """Driver-side scoring over the pruned block set: a pyarrow scan of
+        the probed bucket dirs feeds the SAME table scorer the distributed
+        partitions run. Returns (qid, doc_id, score) tuples."""
         import pyarrow.dataset as ds
         dset = self._pa_dataset("segments")
         tbl = dset.to_table(
@@ -303,32 +390,9 @@ class Index:
             & ds.field("term").isin(needed))
         if tbl.num_rows == 0:
             return []
-        term_dict = tbl["term"].combine_chunks().dictionary_encode()
-        tcode = term_dict.indices.to_numpy()
-        terms_list = term_dict.dictionary.to_pylist()
-        salt = tbl["salt"].to_numpy()
-        bid = tbl["block_id"].to_numpy()
-        order = np.lexsort((bid, tcode, salt))
-        cols = {c: tbl[c].to_pylist() for c in _REC_COLS}
-        codec = self.codec
-        recs = [dict(zip(_REC_COLS, row), codec=codec) for row in zip(
-            *[[cols[c][i] for i in order] for c in _REC_COLS])]
-        salt_o, tcode_o = salt[order], tcode[order]
-        bounds = np.flatnonzero(np.concatenate(
-            ([True], (salt_o[1:] != salt_o[:-1])
-             | (tcode_o[1:] != tcode_o[:-1]), [True])))
-        out: list[tuple] = []
-        by_term: dict[str, list[dict]] = {}
-        for gi in range(len(bounds) - 1):
-            s, e = bounds[gi], bounds[gi + 1]
-            by_term[terms_list[tcode_o[s]]] = recs[s:e]
-            last_of_salt = (gi + 1 == len(bounds) - 1
-                            or salt_o[bounds[gi + 1]] != salt_o[s])
-            if last_of_salt:
-                q, d, sc = score_group(int(salt_o[s]), by_term)
-                out.extend(zip(q, d, sc))
-                by_term = {}
-        return out
+        q, d, s = _score_block_table(tbl, score_group, self.codec,
+                                     self.avgdl, prefill)
+        return list(zip(q, d, s))
 
     def _doc_meta(self, ids: list, use_local: bool) -> dict:
         """doc_id -> (repo, path) for a BOUNDED id set (≤ Σk)."""
