@@ -388,8 +388,11 @@ def q_dictionary_stats(spark, sf_dir):
     index's aggregate integrity value-exactly."""
     d = spark.read.parquet(
         f"{contract_index_dir(spark, sf_dir)}/dictionary")
-    return d.select("term", F.col("df").cast("long").alias("df"),
-                    F.col("cf").cast("long").alias("cf"))
+    # the dictionary is a union of per-chunk partials (batch + stream
+    # epochs); the canonical relation sums df/cf per term
+    return (d.groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("cf").cast("long").alias("cf")))
 
 
 def q_scan_queries(spark, sf_dir):

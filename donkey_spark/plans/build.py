@@ -19,7 +19,9 @@ anti-join of chunk ids against manifest status='done' (SURVEY op 29).
 Index layout:
   out/docs/        doc_id, repo, path, commit, lang, dl, sha256
   out/segments/    chunk=<c>/bucket=<b>/*.parquet   (block rows)
-  out/dictionary/  bucket=<b>/*.parquet             (term, df, cf, ...)
+  out/dictionary/  chunk=<c>/bucket=<b>/*.parquet   (per-chunk partials;
+                   readers SUM df/cf per term — batch builds write one
+                   chunk, streaming epochs append theirs)
   out/meta/        1-row parquet (n_docs, avgdl, range_size, codec, ...)
   out/manifest/    chunk lineage + metrics (append-only journal analog)
 """
@@ -162,7 +164,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         # chunk dirs — a rebuild with fewer chunks (or over a streamed
         # index's chunk=stream* dirs) must not leave orphans that the
         # finalize union would silently fold into df/cf and query results
-        for sub in ("manifest", "manifest_stream", "segments", "docs"):
+        for sub in ("manifest", "manifest_stream", "segments", "docs",
+                    "dictionary"):
             jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{sub}")
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
             if fs.exists(jpath):
@@ -258,11 +261,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             f"finalize a mixed index — rebuild with resume=False")
     seg_all = spark.read.option("basePath", f"{out_dir}/segments").parquet(
         f"{out_dir}/segments")
+    # dictionary/ is a union of per-chunk PARTIALS (readers sum df/cf per
+    # term — associative): a batch build writes one chunk=batch partial,
+    # each streaming epoch adds its own chunk=stream<eid> partial, so
+    # ingest never rewrites the full dictionary (O(epoch), SURVEY §2.10)
     (dictionary_from_segments(seg_all)
         .repartitionByRange(max(1, N_BUCKETS // 4), "bucket", "term")
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(f"{out_dir}/dictionary"))
+        .parquet(f"{out_dir}/dictionary/chunk=batch"))
     # total postings from the manifest journal — no second segment scan
     n_postings = int(spark.read.parquet(manifest_dir)
                      .where(F.col("status") == "done")

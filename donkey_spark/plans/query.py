@@ -232,24 +232,30 @@ class Index:
         """term -> df via dictionary (bucket dirs + term stats pruning);
         memoized — repeated terms never re-probe parquet. On a local
         filesystem the probe is a pyarrow row-group-pruned read (~ms);
-        remote storage uses the Spark scan."""
+        remote storage uses the Spark scan. The dictionary is a union of
+        per-chunk partials (batch + streaming epochs), so a term's df is
+        the SUM of its rows; probe cost grows with the number of stream
+        epochs until compact_index() folds them back into one chunk."""
         missing = [t for t in terms if t not in self._df_memo]
         if missing:
             buckets = sorted({term_bucket_py(t, self.n_buckets)
                               for t in missing})
+            found: dict[str, int] = {}
             if self.local_bytes > 0:
                 import pyarrow.dataset as ds
                 tbl = self._pa_dataset("dictionary").to_table(
                     columns=["term", "df"],
                     filter=ds.field("bucket").isin(buckets)
                     & ds.field("term").isin(missing))
-                found = dict(zip(tbl["term"].to_pylist(),
-                                 (int(x) for x in tbl["df"].to_pylist())))
+                for t, d in zip(tbl["term"].to_pylist(),
+                                tbl["df"].to_pylist()):
+                    found[t] = found.get(t, 0) + int(d)
             else:
                 rows = (self._dict
                         .where(F.col("bucket").isin(buckets)
                                & F.col("term").isin(missing))
-                        .select("term", "df").collect())
+                        .groupBy("term").agg(F.sum("df").alias("df"))
+                        .collect())
                 found = {r["term"]: int(r["df"]) for r in rows}
             for t in missing:
                 self._df_memo[t] = found.get(t)

@@ -7,13 +7,17 @@ unverified, SURVEY §0]`. The Structured-Streaming re-expression:
 
   insert RPC stream   → file-source readStream over the corpus directory
   journal append      → foreachBatch: each epoch builds its own segment
-                        chunk dir (chunk=stream<epoch>), docs chunk dir and
-                        manifest row — ALL epoch-keyed overwrites, and the
-                        running (n_docs, sum_dl) state is re-derived from
-                        the committed docs chunks (excluding this epoch's),
-                        never from the mutable meta file; re-delivered
-                        batches therefore converge to the identical index
-                        (exactly-once effect)
+                        chunk dir (chunk=stream<epoch>), docs chunk dir,
+                        dictionary PARTIAL and manifest row — ALL
+                        epoch-keyed overwrites. The running (n_docs,
+                        sum_dl, n_postings) state = a once-per-run batch
+                        base + the tiny per-epoch manifest_stream journal
+                        (this epoch's row excluded), never the mutable
+                        meta file; re-delivered batches therefore converge
+                        to the identical index (exactly-once effect), and
+                        per-epoch cost is O(epoch) — nothing rescans the
+                        accumulated docs/segments/dictionary (r2 rewrote
+                        the full dictionary every epoch)
   periodic reindex    → compact_index(): canonical batch rebuild over the
                         accumulated docs table (restores dense global ids
                         and a single avgdl)
@@ -39,34 +43,72 @@ from ..operators.postings import build_segments, merge_segments
 from ..sources.corpus import CORPUS_SCHEMA
 
 
+def _base_state(spark: SparkSession, index_dir: str) -> dict:
+    """Committed BATCH state (docs/dl/postings of every non-stream chunk) —
+    static while a stream runs, so stream_ingest computes it once per run
+    and every epoch reuses it (the memo). Per-epoch state then comes from
+    the tiny manifest_stream journal (one row per epoch), never from a
+    scan of the whole docs table — per-epoch cost is O(epoch), not
+    O(index)."""
+    from ..fsutil import fs_exists
+    base = {"n": 0, "dl": 0.0, "p": 0, "rsize": None}
+    if fs_exists(spark, f"{index_dir}/docs"):
+        batch_docs = (spark.read.parquet(f"{index_dir}/docs")
+                      .where(~F.col("chunk").cast("string")
+                             .startswith("stream")))
+        agg = batch_docs.agg(F.count("*").alias("n"),
+                             F.sum("dl").alias("s")).collect()[0]
+        base["n"], base["dl"] = int(agg["n"]), float(agg["s"] or 0.0)
+    if fs_exists(spark, f"{index_dir}/manifest"):
+        base["p"] = int(spark.read.parquet(f"{index_dir}/manifest")
+                        .where(F.col("status") == "done")
+                        .agg(F.coalesce(F.sum("n_postings"), F.lit(0)))
+                        .collect()[0][0])
+    if fs_exists(spark, f"{index_dir}/meta"):
+        base["rsize"] = int(spark.read.parquet(f"{index_dir}/meta")
+                            .collect()[0]["range_size"])
+    return base
+
+
 def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
-                  codec: str, block_size: int) -> None:
+                  codec: str, block_size: int,
+                  memo: dict | None = None) -> None:
     spark = batch_df.sparkSession
-    # Derive the committed state from the docs table (chunk=... dirs written
-    # with per-epoch overwrite), NEVER from the mutable meta file: a
-    # foreachBatch retry that died after the meta write would otherwise
-    # re-read the already-bumped n_docs and assign shifted doc_ids. Rows of
-    # this very epoch's earlier (failed) attempt are excluded by chunk id,
-    # so replay is idempotent end to end.
+    # Derive the committed state from the batch base (memoized per stream
+    # run) plus the per-epoch manifest_stream journal — NEVER from the
+    # mutable meta file: a foreachBatch retry that died after the meta
+    # write would otherwise re-read the already-bumped n_docs and assign
+    # shifted doc_ids. This very epoch's earlier (failed) attempt is
+    # excluded by its epoch key, so replay is idempotent end to end. An
+    # epoch whose docs chunk committed but whose manifest row didn't is
+    # excluded too — correct, because the checkpoint replays THAT epoch
+    # first (in order) and its chunk dirs are overwritten in place.
     this_chunk = f"stream{epoch_id}"
     # ONLY path-absence may mean "empty index": a transient FS/schema error
-    # reading committed docs must fail the micro-batch (the checkpoint
+    # reading committed state must fail the micro-batch (the checkpoint
     # retries) rather than silently restart doc_ids at 0 over already
     # committed epochs.
     from ..fsutil import fs_exists
-    if fs_exists(spark, f"{index_dir}/docs"):
-        committed = (spark.read.parquet(f"{index_dir}/docs")
-                     .where(F.col("chunk") != this_chunk))
-        agg = committed.agg(F.count("*").alias("n"),
-                            F.sum("dl").alias("s")).collect()[0]
-        n_before, sum_dl = int(agg["n"]), float(agg["s"] or 0.0)
+    if memo is None or "base" not in memo:
+        base = _base_state(spark, index_dir)
+        if memo is not None:
+            memo["base"] = base
     else:
-        n_before, sum_dl = 0, 0.0
-    if fs_exists(spark, f"{index_dir}/meta"):
-        rsize = int(spark.read.parquet(f"{index_dir}/meta")
-                    .collect()[0]["range_size"])
-    else:
-        rsize = None
+        base = memo["base"]
+    n_before, sum_dl = base["n"], base["dl"]
+    postings_before = base["p"]
+    rsize = base["rsize"]
+    if fs_exists(spark, f"{index_dir}/manifest_stream"):
+        prev = (spark.read.parquet(f"{index_dir}/manifest_stream")
+                .where(F.col("epoch") != int(epoch_id))
+                .agg(F.count("*").alias("e"),
+                     F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+                     F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s"),
+                     F.coalesce(F.sum("n_postings"), F.lit(0)).alias("p"))
+                .collect()[0])
+        n_before += int(prev["n"])
+        sum_dl += float(prev["s"])
+        postings_before += int(prev["p"])
 
     batch = batch_df.dropDuplicates(["repo", "path", "commit"])
     # dense ids within the (small) micro-batch, offset by the running count;
@@ -88,6 +130,8 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     n_docs = n_before + n_batch
     avgdl_new = (sum_dl + batch_dl) / n_docs
     rsize = rsize or default_range_size(n_docs)
+    base["rsize"] = int(rsize)   # pin in the memo: the range salt must be
+    #                              identical across every epoch of the run
 
     dt = (rows.select("doc_id", F.col("f.dl").alias("dl"),
                       F.explode(F.arrays_zip("f.terms", "f.tfs")).alias("e"))
@@ -97,31 +141,37 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
                                         block_size=block_size))
     # idempotent per epoch: every epoch-scoped artifact is an overwrite of
     # an epoch-keyed directory (segments chunk dir, docs chunk dir,
-    # manifest row), so re-delivery of a batch converges to the same state
+    # dictionary partial, manifest row), so re-delivery of a batch
+    # converges to the same state. Everything below touches ONLY this
+    # epoch's data — O(epoch) per epoch, flat as the index grows.
+    from pyspark.sql import Observation
+    obs = Observation(f"stream{epoch_id}")
+    seg = seg.observe(obs, F.coalesce(F.sum("n_docs"), F.lit(0)).alias("p"))
     (seg.write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{index_dir}/segments/chunk={this_chunk}"))
+    epoch_postings = int(obs.get["p"])
     (rows.select("doc_id", "repo", "path", "commit", "lang",
                  F.col("f.dl").alias("dl"), "sha256")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/docs/chunk={this_chunk}"))
+    # per-epoch dictionary PARTIAL (readers sum df/cf per term across
+    # chunk partials) — replaces the r2 full-dictionary rewrite that
+    # rescanned every segment each epoch; read back this epoch's chunk
+    # (already in page cache) rather than recompute the segment plan
+    from ..operators.postings import dictionary_from_segments
+    seg_chunk = spark.read.parquet(f"{index_dir}/segments/chunk={this_chunk}")
+    (dictionary_from_segments(seg_chunk)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{index_dir}/dictionary/chunk={this_chunk}"))
     (spark.createDataFrame(
-        [("stream", n_batch, batch_dl)],
-        "status string, n_docs long, sum_dl long")
+        [("stream", n_batch, batch_dl, epoch_postings)],
+        "status string, n_docs long, sum_dl long, n_postings long")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/manifest_stream/epoch={int(epoch_id)}"))
-
-    seg_all = spark.read.option("basePath", f"{index_dir}/segments").parquet(
-        f"{index_dir}/segments")
-    from ..operators.postings import dictionary_from_segments
-    (dictionary_from_segments(seg_all)
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(f"{index_dir}/dictionary"))
-    n_postings = int(seg_all.agg(F.coalesce(F.sum("n_docs"), F.lit(0)))
-                     .collect()[0][0])
     from ..config import N_BUCKETS
     (spark.createDataFrame(
-        [(1, n_docs, float(avgdl_new), n_postings, int(rsize),
-          int(block_size), codec, int(N_BUCKETS), -1)],
+        [(1, n_docs, float(avgdl_new), postings_before + epoch_postings,
+          int(rsize), int(block_size), codec, int(N_BUCKETS), -1)],
         "version int, n_docs long, avgdl double, n_postings long, "
         "range_size long, block_size int, codec string, n_buckets int, "
         "n_chunks int")
@@ -137,9 +187,11 @@ def stream_ingest(spark: SparkSession, source_dir: str, index_dir: str,
     stream = (spark.readStream.schema(CORPUS_SCHEMA)
               .option("maxFilesPerTrigger", 8)
               .parquet(source_dir))
+    memo: dict = {}        # per-run batch-base state (computed once,
+    #                        epochs add deltas from manifest_stream)
     writer = (stream.writeStream
               .foreachBatch(lambda df, eid: _append_epoch(
-                  df, eid, index_dir, codec, block_size))
+                  df, eid, index_dir, codec, block_size, memo=memo))
               .option("checkpointLocation", checkpoint_dir))
     if trigger_once:
         writer = writer.trigger(availableNow=True)
