@@ -11,6 +11,13 @@ alongside it, honestly labeled. Each run is a fresh subprocess (clean JVM).
 Usage:
     python bench/scaling.py --data /tmp/fix_bench --runs 3 \
         --cores 2 8 32 --out BENCH/BASELINE.md
+
+Weak-scaling mode (VERDICT r2 #1 — fixed input bytes PER CORE, the regime
+a real cluster's per-node memory buses provide, where each added node
+brings its own bandwidth; ideal result is FLAT wall time, efficiency =
+wall_lo / wall_hi):
+    python bench/scaling.py --weak --pairs 2=/tmp/fix_250k 8=/tmp/fix_1m \
+        --runs 3
 """
 
 from __future__ import annotations
@@ -32,13 +39,51 @@ def run(cmd: list[str]) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def weak_scaling(pairs: list[tuple[int, str]], runs: int) -> None:
+    """Fixed work per core: each (cores, fixture) level should take the
+    SAME wall time under ideal scaling. Efficiency of level i vs the
+    baseline level 0 = wall_0 / wall_i (per-core throughput ratio, since
+    files/core is constant by construction)."""
+    levels = []
+    for cores, data in pairs:
+        walls, info = [], None
+        for r in range(runs):
+            info = run([sys.executable, "bench/run_build.py",
+                        "--data", data, "--cores", str(cores),
+                        "--out", f"/tmp/weak_idx_{cores}"])
+            walls.append(info["wall_s"])
+        levels.append({"cores": cores, "data": data,
+                       "n_docs": info["n_docs"],
+                       "files_per_core": info["n_docs"] // cores,
+                       "walls": [round(w, 1) for w in walls],
+                       "median_wall_s": round(statistics.median(walls), 1)})
+    base = levels[0]
+    for lv in levels:
+        lv["weak_efficiency_vs_first"] = round(
+            base["median_wall_s"] / lv["median_wall_s"], 3)
+    print(json.dumps({"protocol": "weak-scaling (fixed files per core)",
+                      "runs": runs, "levels": levels}, indent=2))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", required=True)
+    ap.add_argument("--data")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cores", type=int, nargs="+", default=[2, 8, 32])
     ap.add_argument("--out", default=None, help="markdown report path")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak-scaling protocol (see module docstring)")
+    ap.add_argument("--pairs", nargs="+", default=[],
+                    help="cores=fixture_dir entries for --weak")
     a = ap.parse_args()
+
+    if a.weak:
+        pairs = [(int(p.split("=", 1)[0]), p.split("=", 1)[1])
+                 for p in a.pairs]
+        weak_scaling(pairs, a.runs)
+        return
+    if not a.data:
+        ap.error("--data is required without --weak")
 
     results: dict[int, list[dict]] = {}
     digests: dict[int, str] = {}

@@ -77,17 +77,34 @@ def lsh_bucket_expr(vec_col: Column, planes: np.ndarray,
     return acc
 
 
-def probe_buckets(probe: list[float], n_tables: int,
-                  n_planes: int) -> list[int]:
-    """The probe vector's bucket id in every hash table (driver-side)."""
+def _bucket_id(table: int, n_planes: int, bits) -> int:
+    b = int(table * (1 << (n_planes + 1)))
+    for bit in bits:
+        b = b * 2 + int(bit)
+    return b
+
+
+def probe_buckets(probe: list[float], n_tables: int, n_planes: int,
+                  multiprobe: int = 0) -> list[int]:
+    """The probe vector's bucket id in every hash table (driver-side).
+
+    ``multiprobe`` > 0 adds, per table, the buckets reached by flipping
+    the ``multiprobe`` sign bits with the SMALLEST projection margin
+    [multi-probe LSH, Lv et al. VLDB 2007]: a near neighbor that landed
+    on the other side of a close plane lives in exactly such a bucket, so
+    each extra probe buys recall at the cost of one more partition dir
+    read — a query-time knob needing no index rebuild."""
     pv = np.array(probe, dtype=np.float64)
     out = []
     for t in range(n_tables):
         planes = _planes(len(probe), n_planes, seed=f"t{t}")
-        b = int(t * (1 << (n_planes + 1)))
-        for p in planes:
-            b = b * 2 + int(pv @ p >= 0)
-        out.append(b)
+        proj = planes @ pv
+        bits = (proj >= 0).astype(np.int64)
+        out.append(_bucket_id(t, n_planes, bits))
+        for j in np.argsort(np.abs(proj))[:max(0, multiprobe)]:
+            flipped = bits.copy()
+            flipped[j] ^= 1
+            out.append(_bucket_id(t, n_planes, flipped))
     return out
 
 
@@ -144,11 +161,14 @@ def build_ann_index(vectors: DataFrame, out_dir: str,
 
 def ann_topk(spark, index_dir: str, probe: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_tables: int = 8, n_planes: int = 6) -> DataFrame:
+             n_tables: int = 8, n_planes: int = 6,
+             multiprobe: int = 0) -> DataFrame:
     """Probe the materialized bucket table: partition-pruned scan of the
-    probe's n_tables buckets → dedupe → exact cosine top-k. Identical
-    results to lsh_ann_topk on the same (n_tables, n_planes)."""
-    pbs = probe_buckets(probe, n_tables, n_planes)
+    probe's n_tables·(1+multiprobe) buckets → dedupe → exact cosine
+    top-k. Identical results to lsh_ann_topk on the same knobs at
+    multiprobe=0; recall@10 per knob is measured in BENCH/BASELINE.md
+    (bench/ann_recall.py)."""
+    pbs = probe_buckets(probe, n_tables, n_planes, multiprobe)
     cand = (spark.read.parquet(index_dir)
             .where(F.col("bucket").isin(pbs))        # dir pruning
             .dropDuplicates([id_col]))
