@@ -101,6 +101,23 @@ def q_tokenize_tf(spark, sf_dir):
     return _doc_terms(spark, sf_dir).select("doc_id", "term", "tf")
 
 
+def q_tokenize_tf_arrow(spark, sf_dir):
+    """ops 10/11 via the VECTORIZED extractor (kernels/exttok.py —
+    mapInArrow, zero per-token Python): same (doc_id, term, tf) relation,
+    same DuckDB oracle as tokenize_tf — driver-certifies the alternative
+    extractor hash-exactly against an independent engine."""
+    from .functions.tokenize import FEATURES_STRUCT_DDL, doc_features_arrow
+    feats = (_docs(spark, sf_dir)
+             .select("doc_id", F.col("text").alias("content"))
+             .mapInArrow(doc_features_arrow,
+                         "doc_id long, " + FEATURES_STRUCT_DDL))
+    return (feats
+            .select("doc_id", F.explode(
+                F.arrays_zip("f.terms", "f.tfs")).alias("e"))
+            .select("doc_id", F.col("e.terms").alias("term"),
+                    F.col("e.tfs").cast("long").alias("tf")))
+
+
 def q_doc_lengths(spark, sf_dir):
     """op 19 — dl per doc (zero-token docs included)."""
     return (_docs(spark, sf_dir)
@@ -819,6 +836,10 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
           SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
         GROUP BY doc_id, term""",
+    "tokenize_tf_arrow": f"""
+        SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+          SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+        GROUP BY doc_id, term""",
     "doc_lengths": f"""
         SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl FROM documents""",
     "corpus_stats": f"""
@@ -1031,6 +1052,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "tokenize_tf": q_tokenize_tf,
+    "tokenize_tf_arrow": q_tokenize_tf_arrow,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
     "doc_freq": q_doc_freq,
