@@ -14,6 +14,10 @@ same top-10 as the mirror — the mirror is a measurement tool, not a
 second implementation of record.
 
 Usage: python bench/ann_recall.py [--n 100000] [--dim 64] [--probes 50]
+       [--n-planes 12]
+
+(The committed BENCH/BASELINE.md table is the default config: n=100k,
+dim=64, 50 probes, n_planes=12.)
 """
 
 from __future__ import annotations
@@ -58,7 +62,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--probes", type=int, default=50)
-    ap.add_argument("--n-planes", type=int, default=6)
+    ap.add_argument("--n-planes", type=int, default=12)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--skip-spark", action="store_true")
     a = ap.parse_args()

@@ -135,10 +135,28 @@ def _ascii_doc_features(content: pa.Array, cap: int):
 
 
 def _py_doc_features(text: str | None, cap: int):
-    """Reference path for one (non-ASCII) document."""
+    """Reference path for one (non-ASCII) document. tokenize_py caps at
+    the module default; a caller-supplied smaller cap must bind here too
+    or the splice path diverges from the ASCII path's semantics."""
     from ..functions.tokenize import tokenize_py
-    c = Counter(tokenize_py(text))
+    c = Counter(tokenize_py(text)[:cap])
     return list(c.keys()), list(c.values()), sum(c.values())
+
+
+def _splice_rows(bulk: pa.Array, patches: dict[int, list]) -> pa.Array:
+    """Replace the rows at ``patches``' indices in a ListArray: Arrow
+    slice + concat around each patched row — O(#patches) Python, one
+    buffer copy, never a to_pylist() round-trip of the whole batch."""
+    parts = []
+    prev = 0
+    for i in sorted(patches):
+        if i > prev:
+            parts.append(bulk.slice(prev, i - prev))
+        parts.append(pa.array([patches[i]], bulk.type))
+        prev = i + 1
+    if prev < len(bulk):
+        parts.append(bulk.slice(prev, len(bulk) - prev))
+    return pa.concat_arrays(parts)
 
 
 def extract_doc_features(content: pa.Array, cap: int = MAX_TOKENS_PER_DOC):
@@ -146,6 +164,13 @@ def extract_doc_features(content: pa.Array, cap: int = MAX_TOKENS_PER_DOC):
     string batch — exact §T semantics (tokenize_py + Counter per doc)."""
     content = content.combine_chunks() if isinstance(
         content, pa.ChunkedArray) else content
+    if pa.types.is_large_string(content.type):
+        # the byte kernel reads int32 offsets; large_utf8 (int64 offsets)
+        # would be silently misread — downcast (Arrow raises if any batch
+        # actually exceeds 2 GiB, which mapInArrow batches never do)
+        content = content.cast(pa.utf8())
+    elif not pa.types.is_string(content.type):
+        raise TypeError(f"expected a utf8 array, got {content.type}")
     if content.null_count:
         content = pc.fill_null(content, "")
     is_ascii = pc.string_is_ascii(content)
@@ -154,20 +179,16 @@ def extract_doc_features(content: pa.Array, cap: int = MAX_TOKENS_PER_DOC):
     bulk = content
     if exotic.size:
         # blank the exotic docs for the bulk pass; splice reference results
-        mask = np.ones(len(content), dtype=bool)
-        mask[exotic] = False
         bulk = pc.if_else(is_ascii, content, "")
     terms, tfs, dl = _ascii_doc_features(bulk, cap)
     if not exotic.size:
         return terms, tfs, dl
-    # splice per exotic doc (rare by construction): rebuild the two list
-    # arrays around the patched rows
-    t_lists = terms.to_pylist()
-    f_lists = tfs.to_pylist()
+    # splice per exotic doc (rare by construction): Arrow slice+concat
+    # around the patched rows — cost O(exotic), not O(batch)
+    t_patch: dict[int, list] = {}
+    f_patch: dict[int, list] = {}
     for i in exotic.tolist():
         tl, fl, d = _py_doc_features(content[i].as_py(), cap)
-        t_lists[i], f_lists[i] = tl, fl
+        t_patch[i], f_patch[i] = tl, fl
         dl[i] = d
-    return (pa.array(t_lists, pa.list_(pa.utf8())),
-            pa.array(f_lists, pa.list_(pa.int32())),
-            dl)
+    return (_splice_rows(terms, t_patch), _splice_rows(tfs, f_patch), dl)

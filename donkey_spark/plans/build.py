@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from ..config import BLOCK_SIZE, N_BUCKETS, default_range_size
+from ..fsutil import hadoop_fs
 from ..functions.tokenize import (FEATURES_STRUCT_DDL, doc_features_arrow,
                                   doc_features_udf)
 from ..operators.doc_ids import assign_doc_ids
@@ -166,8 +167,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         # finalize union would silently fold into df/cf and query results
         for sub in ("manifest", "manifest_stream", "segments", "docs",
                     "dictionary"):
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{sub}")
-            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs, jpath = hadoop_fs(spark, f"{out_dir}/{sub}")
             if fs.exists(jpath):
                 fs.delete(jpath, True)
 
@@ -247,8 +247,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # --- finalize: dictionary + meta from the committed segments ---------
     # chunk-layout guard (resume against a stale/mismatched layout) via a
     # filesystem listing — no Spark job
-    spath = spark._jvm.org.apache.hadoop.fs.Path(f"{out_dir}/segments")
-    sfs = spath.getFileSystem(spark._jsc.hadoopConfiguration())
+    sfs, spath = hadoop_fs(spark, f"{out_dir}/segments")
     found = {st.getPath().getName().split("=", 1)[1]
              for st in sfs.listStatus(spath)
              if st.isDirectory() and st.getPath().getName()

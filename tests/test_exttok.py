@@ -122,3 +122,31 @@ def test_build_unknown_extractor_raises(spark):
         "content string")
     with pytest.raises(ValueError, match="unknown extractor"):
         build_index(spark, df, "/tmp/never", extractor="bogus")
+
+
+def test_exttok_large_utf8_is_downcast_not_misread():
+    """large_utf8 has int64 offsets; the byte kernel must downcast (or
+    reject), never silently misread them as int32 (review r3)."""
+    arr = pa.array(["alpha beta", "gamma delta"], pa.large_utf8())
+    terms, tfs, dl = extract_doc_features(arr)
+    assert terms.to_pylist() == [["alpha", "beta"], ["gamma", "delta"]]
+    assert list(dl) == [2, 2]
+    with pytest.raises(TypeError, match="utf8"):
+        extract_doc_features(pa.array([1, 2]))
+
+
+def test_exttok_cap_binds_on_non_ascii_splice_path():
+    """A caller-supplied cap must bind in the reference splice path too,
+    not only in the ASCII bulk pass (review r3)."""
+    docs = ["alpha beta gamma delta epsilon",
+            "é alpha beta gamma delta epsilon"]
+    _check_batch(docs, cap=2)
+
+
+def test_exttok_splice_preserves_surrounding_rows():
+    """The O(exotic) Arrow slice+concat splice must leave every ASCII
+    row's lists intact around patched rows at the edges and interior."""
+    docs = ["é first", "aa bb", "é mid", "cc dd", "é last"]
+    _check_batch(docs)
+    docs2 = ["aa bb", "é x9", "cc dd"]
+    _check_batch(docs2)
