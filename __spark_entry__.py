@@ -36,7 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins; keys match ``queries()``.
-    index_manifest / segment_stats are intentionally absent (engine
-    internals — rows-only check)."""
+    segment_stats / build_resume / stream_ingest are intentionally absent
+    (engine internals whose outputs are codec- or run-dependent —
+    rows-only check, each pytest-verified)."""
     from donkey_spark.contract import ORACLE_SQL
     return dict(ORACLE_SQL)

@@ -578,10 +578,18 @@ def q_stream_ingest(spark, sf_dir):
 
 
 def q_index_manifest(spark, sf_dir):
-    """op 4/29 surface — per-chunk lineage + metrics journal."""
+    """op 4/29 surface — per-chunk lineage + metrics journal, now
+    VALUE-EXACT against a from-first-principles DuckDB twin (was
+    rows-only through r2): the oracle recomputes per-chunk n_docs,
+    n_postings (distinct (doc, term) pairs) and n_blocks (Σ over
+    (term, salt) groups of ceil(cnt/BLOCK_SIZE), with salt = doc_id //
+    range_size and range_size re-derived by the same doubling rule the
+    engine uses) from raw text — a lost posting, a mis-salted group or
+    a mis-cut block anywhere in the build shifts one of these.
+    bytes_out/wall/job_id stay pytest-only (codec- and run-dependent)."""
     return (spark.read.parquet(f"{contract_index_dir(spark, sf_dir)}/manifest")
             .select("chunk", "status", "n_docs", "n_postings", "n_blocks",
-                    "bytes_out", "attempt", "job_id"))
+                    "attempt"))
 
 
 def q_segment_stats(spark, sf_dir):
@@ -749,6 +757,42 @@ FROM qset"""
 
 
 ORACLE_SQL: dict[str, str] = {
+    # from-first-principles twin of the build's manifest journal: doc ids
+    # dense by (repo, path) [commit is a pure function of doc_id], the
+    # engine's range_size doubling rule re-derived in SQL (smallest power
+    # of two ≥1024 with n_docs // d ≤ DEFAULT_TARGET_RANGES, capped 2^20),
+    # blocks = ceil(group/128) per (term, salt). One 'start' + one 'done'
+    # row, attempt 1 (the contract build is single-chunk, fresh).
+    "index_manifest": f"""
+WITH ids AS (
+  SELECT row_number() OVER (ORDER BY source,
+                            'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS did,
+         text
+  FROM documents),
+nn AS (SELECT count(*) AS n_docs FROM documents),
+rs AS (
+  SELECT COALESCE(MIN(p), 1048576) AS d
+  FROM (VALUES (1024),(2048),(4096),(8192),(16384),(32768),(65536),
+               (131072),(262144),(524288)) t(p)
+  WHERE (SELECT n_docs FROM nn) // p <= 256),
+tf AS (
+  SELECT did, term FROM (
+    SELECT did, unnest({_TOKS_SQL}) AS term FROM ids)
+  GROUP BY did, term),
+grp AS (
+  SELECT term, did // (SELECT d FROM rs) AS salt, count(*) AS cnt
+  FROM tf GROUP BY 1, 2),
+agg AS (
+  SELECT (SELECT n_docs FROM nn)::BIGINT AS n_docs,
+         (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+         COALESCE(SUM(CAST(CEIL(cnt / 128.0) AS BIGINT)), 0)::BIGINT
+           AS n_blocks
+  FROM grp)
+SELECT 0::INTEGER AS chunk, 'start' AS status, 0::BIGINT AS n_docs,
+       0::BIGINT AS n_postings, 0::BIGINT AS n_blocks, 1::INTEGER AS attempt
+UNION ALL
+SELECT 0::INTEGER, 'done', n_docs, n_postings, n_blocks, 1::INTEGER
+FROM agg""",
     "dictionary_stats": f"""
         SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM (
           SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
