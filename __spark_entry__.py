@@ -28,16 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (plus two
-    rows-only engine-internal surfaces)."""
+    """One entry per implemented ◇ operator from SURVEY.md §2, all
+    oracle-backed."""
     from donkey_spark.contract import QUERIES
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins; keys match ``queries()``.
-    segment_stats / build_resume / stream_ingest are intentionally absent
-    (engine internals whose outputs are codec- or run-dependent —
-    rows-only check, each pytest-verified)."""
+    """DuckDB-runnable ANSI SQL twins — one per ``queries()`` key (since
+    r3 EVERY entry has one, including the engine-internal surfaces:
+    manifest lineage, per-salt segment layout, resume chunking and
+    streaming convergence are value-checked against from-first-principles
+    SQL recomputation; only codec-dependent byte counts stay pytest-only)."""
     from donkey_spark.contract import ORACLE_SQL
     return dict(ORACLE_SQL)
