@@ -302,6 +302,30 @@ def q_bm25_topk(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_topk_deleted(spark, sf_dir):
+    """Tombstone deletion (plans/delete.py) end to end: a dedicated index
+    copy tombstones every doc_id % 7 == 0, then runs the flagship query
+    set — deleted docs must vanish from every result while live docs rank
+    with the FROZEN index stats (Lucene-between-merges semantics). The
+    DuckDB twin computes BM25 over the full corpus and filters the
+    deleted ids only at ranking, mirroring exactly that contract."""
+    from .plans.build import build_index
+    from .plans.delete import delete_docs
+    from .plans.query import Index
+    out = tempfile.mkdtemp(prefix="donkey_del_")
+    corpus = documents_as_corpus(spark, sf_dir)
+    build_index(spark, corpus, out)
+    dead = (spark.read.parquet(f"{out}/docs")
+            .where(F.col("doc_id") % 7 == 0).select("doc_id"))
+    delete_docs(spark, out, dead)
+    res = Index(spark, out).search_batch(BM25_QUERIES)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
 def q_map_fns(spark, sf_dir):
     """op 15 — map functions: per-doc term→tf map via map_from_arrays,
     probed with element_at and sized with size (order-insensitive outputs,
@@ -617,10 +641,14 @@ def q_segment_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
-                     conjunctive: bool = False) -> str:
+                     conjunctive: bool = False,
+                     deleted_pred: str | None = None) -> str:
     """From-first-principles DuckDB BM25 over the documents view for the
     given query set; conjunctive=True keeps only docs matched by EVERY
-    query term (HAVING count = per-query term count)."""
+    query term (HAVING count = per-query term count); deleted_pred (a
+    predicate over the dense ``doc_id``) filters tombstoned docs at
+    RANKING time only — df/avgdl stay computed over the full corpus,
+    mirroring the engine's frozen-stats deletion semantics."""
     from .functions.tokenize import tokenize_py
     vals = ",\n  ".join(
         f"({qid}, '{t}', {k})"
@@ -662,7 +690,8 @@ WITH ordered AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY ROUND(score, 6) DESC, doc_id ASC)
          AS rank, k
-  FROM scored
+  FROM scored{f'''
+  WHERE NOT ({deleted_pred})''' if deleted_pred else ''}
 )
 SELECT query_id, rank::INT AS rank, doc_id, score
 FROM ranked WHERE rank <= k
@@ -671,6 +700,8 @@ FROM ranked WHERE rank <= k
 
 _BM25_ORACLE = _bm25_oracle_sql(BM25_QUERIES)
 _BM25_AND_ORACLE = _bm25_oracle_sql(BM25_AND_QUERIES, conjunctive=True)
+_BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
+                                        deleted_pred="doc_id % 7 = 0")
 
 
 _H60 = ("CAST(CAST('0x'||substr(sha256(t||'#{i}'),1,15) AS UBIGINT) "
@@ -1073,6 +1104,7 @@ SELECT 2::INTEGER AS n_epochs,
         GROUP BY n_name""",
     "bm25_topk": _BM25_ORACLE,
     "bm25_topk_and": _BM25_AND_ORACLE,
+    "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "lsh_ann_topk": _ann_oracle_sql(),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
     # sha256(term) (big-endian), acc_j = Σ tf·(2·bit_j − 1), sign bits
@@ -1188,6 +1220,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_and": q_bm25_topk_and,
+    "bm25_topk_deleted": q_bm25_topk_deleted,
     "dictionary_stats": q_dictionary_stats,
     "scan_queries": q_scan_queries,
     # training-data pipeline ops

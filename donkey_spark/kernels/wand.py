@@ -76,12 +76,16 @@ def _decode_parts(keep: list[dict], codec: str, avgdl: float,
 def score_range_topk(base: int, size: int,
                      terms: list[TermBlocks], avgdl: float, k: int,
                      stats: dict | None = None,
-                     cache: dict | None = None):
+                     cache: dict | None = None,
+                     dead: np.ndarray | None = None):
     """Exact top-k for one query within one doc range.
 
     Doc lengths come from each block's own dls_blob (co-stored with the
-    postings — no side table). Returns (doc_ids int64, scores float64)
-    with score desc, doc_id asc.
+    postings — no side table). ``dead`` (LOCAL indices of tombstoned docs
+    in this range) are re-zeroed after every accumulation so they can
+    neither rank nor inflate θ / block potentials — Lucene-style
+    visibility deletion with df/avgdl frozen until compaction. Returns
+    (doc_ids int64, scores float64) with score desc, doc_id asc.
     """
     if not terms or k <= 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
@@ -114,6 +118,8 @@ def score_range_topk(base: int, size: int,
         if keep:
             ids, part = _decode_parts(keep, "varint", avgdl, cache)
             acc[ids - base] += t.idf * part
+            if dead is not None and dead.size:
+                acc[dead] = 0.0
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
                                            + len(keep))
@@ -137,7 +143,8 @@ def score_range_topk_and(base: int, size: int,
                          terms: list[TermBlocks], avgdl: float, k: int,
                          n_query_terms: int,
                          stats: dict | None = None,
-                         cache: dict | None = None):
+                         cache: dict | None = None,
+                         dead: np.ndarray | None = None):
     """Exact conjunctive (AND) top-k within one doc range (SURVEY op 32 /
     K4 intersection fast path).
 
@@ -181,6 +188,11 @@ def score_range_topk_and(base: int, size: int,
     r_lo, r_hi = r_lo[o], r_hi[o]
     acc = np.zeros(size, dtype=np.float64)
     cnt = np.zeros(size, dtype=np.int32)
+    if dead is not None and dead.size:
+        # tombstoned docs can never reach cnt == n_query_terms, never
+        # qualify for θ, and (with the acc re-zeroing below) never
+        # inflate a block potential
+        cnt[dead] = np.int32(-(1 << 30))
 
     def _span_keep(t):
         keep = []
@@ -203,6 +215,8 @@ def score_range_topk_and(base: int, size: int,
             ids = ids - base
             acc[ids] += t.idf * part
             cnt[ids] += 1
+            if dead is not None and dead.size:
+                acc[dead] = 0.0
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
                                            + len(keep))
@@ -241,6 +255,8 @@ def score_range_topk_and(base: int, size: int,
             ids = ids - base
             acc[ids] += t.idf * part
             cnt[ids] += 1
+            if dead is not None and dead.size:
+                acc[dead] = 0.0
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
                                            + len(batch))

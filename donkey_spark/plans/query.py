@@ -59,14 +59,24 @@ _REC_COLS = ["first_doc_id", "max_doc_id", "block_max_tfpart", "n_docs",
              "docids_blob", "tfs_blob", "dls_blob"]
 
 
-def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl):
+def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
+                       tombstones=None):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
-    driver-local (pyarrow) paths: identical kernels, identical results."""
+    driver-local (pyarrow) paths: identical kernels, identical results.
+    ``tombstones`` (sorted global doc ids) are sliced per range by
+    searchsorted and passed to the kernels as local dead indices."""
+    import numpy as np
 
     def score_group(salt: int, by_term: dict[str, list[dict]],
                     cache: dict | None = None):
         base = salt * base_mult
+        dead = None
+        if tombstones is not None and len(tombstones):
+            lo = np.searchsorted(tombstones, base)
+            hi = np.searchsorted(tombstones, base + base_mult)
+            if hi > lo:
+                dead = tombstones[lo:hi] - base
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in qplan:
             tbs = [TermBlocks(idf_map[t], by_term[t])
@@ -76,10 +86,10 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl):
             if mode == "and":
                 ids, sc = score_range_topk_and(
                     base, base_mult, tbs, avgdl, k, len(terms),
-                    cache=cache)
+                    cache=cache, dead=dead)
             else:
                 ids, sc = score_range_topk(base, base_mult, tbs, avgdl, k,
-                                           cache=cache)
+                                           cache=cache, dead=dead)
             out_q.extend([qid] * len(ids))
             out_d.extend(ids.tolist())
             out_s.extend(sc.tolist())
@@ -164,12 +174,14 @@ def _score_block_table(tbl, score_group, codec: str, avgdl: float,
     return out_q, out_d, out_s
 
 
-def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl):
+def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
+                       tombstones=None):
     """mapInArrow partition function for the distributed path: each
     partition holds complete salts (repartition("salt") upstream), blobs
     stay Arrow buffers end to end — no pandas object conversion of
     posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
-    score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl)
+    score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
+                                     tombstones)
     prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
     def score_arrow(batches):
@@ -222,6 +234,10 @@ class Index:
             f"{index_dir}/segments")
         self._dict = spark.read.parquet(f"{index_dir}/dictionary")
         self._docs = spark.read.parquet(f"{index_dir}/docs")
+        # tombstoned doc ids (plans/delete.py): invisible to every query,
+        # stats frozen until compact_index — loaded once per Index
+        from .delete import load_tombstones
+        self._tombstones = load_tombstones(spark, index_dir)
         self._df_memo: dict[str, int | None] = {}
         if cache:
             self._seg = self._seg.persist()
@@ -310,14 +326,15 @@ class Index:
             # does), then the identical per-salt kernel runs in-process —
             # no Spark job. Bounded by est_work ≤ local_bytes.
             scorer = _make_group_scorer(qplan, idf_map, mode,
-                                        self.range_size, self.avgdl)
+                                        self.range_size, self.avgdl,
+                                        self._tombstones)
             cand = self._local_candidates(
                 needed, buckets, scorer,
                 prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES)
         else:
             score_arrow = _make_arrow_scorer(qplan, idf_map, mode,
                                              self.range_size, self.codec,
-                                             self.avgdl)
+                                             self.avgdl, self._tombstones)
             seg = (self._seg
                    .where(F.col("bucket").isin(buckets)      # dir prune
                           & F.col("term").isin(needed))

@@ -201,6 +201,18 @@ def stream_ingest(spark: SparkSession, source_dir: str, index_dir: str,
 def compact_index(spark: SparkSession, corpus: DataFrame,
                   index_dir: str, **build_opts) -> dict:
     """The `reindex` analog: canonical batch rebuild (dense global ids,
-    single global avgdl/df) over the full corpus."""
+    single global avgdl/df) over the full corpus. Tombstoned documents
+    (plans/delete.py) are reclaimed here: their (repo, path, commit) keys
+    — resolved through the existing docs table — are anti-joined out of
+    the corpus before the rebuild, and the fresh build clears the
+    tombstone set (deletion becomes physical)."""
+    from ..fsutil import fs_exists
     from ..plans.build import build_index
+    if fs_exists(spark, f"{index_dir}/tombstones"):
+        dead_keys = (spark.read.parquet(f"{index_dir}/tombstones")
+                     .join(spark.read.parquet(f"{index_dir}/docs"),
+                           "doc_id")
+                     .select("repo", "path", "commit"))
+        corpus = corpus.join(F.broadcast(dead_keys),
+                             ["repo", "path", "commit"], "left_anti")
     return build_index(spark, corpus, index_dir, **build_opts)

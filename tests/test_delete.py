@@ -1,0 +1,154 @@
+"""Tombstone deletion (plans/delete.py) — visibility-exact semantics.
+
+The contract: a tombstoned doc is invisible to every query path and
+mode immediately (it can neither rank nor inflate θ/block potentials),
+live docs rank EXACTLY as if scored with the frozen index stats and the
+dead docs filtered afterward, and compact_index makes deletion physical
+(rebuild without the docs, tombstones cleared).
+"""
+
+import numpy as np
+import pytest
+
+from fixtures.gen_corpus import gen_corpus
+from tests.oracle_bm25 import OracleIndex
+
+
+# ---------- kernel level -----------------------------------------------------
+
+def _rand_postings(rng, n_docs, vocab):
+    postings = {}
+    for t in vocab:
+        df = int(rng.integers(1, n_docs + 1))
+        ids = np.sort(rng.choice(n_docs, size=df,
+                                 replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 20, size=df).astype(np.int64)
+        postings[t] = (ids, tfs)
+    return postings
+
+
+def test_kernel_dead_docs_excluded_or_and():
+    """Both kernels vs brute force with dead docs filtered AFTER scoring
+    (stats frozen) — 100 random corpora, random dead sets."""
+    from donkey_spark.kernels.blocks import build_blocks
+    from donkey_spark.kernels.bm25 import idf, tf_part
+    from donkey_spark.kernels.wand import (TermBlocks, score_range_topk,
+                                           score_range_topk_and)
+    for trial in range(100):
+        rng = np.random.default_rng(8000 + trial)
+        n_docs = int(rng.integers(10, 300))
+        vocab = [f"t{j}" for j in range(int(rng.integers(3, 12)))]
+        dls = rng.integers(1, 200, size=n_docs).astype(np.int64)
+        avgdl = float(dls.mean())
+        postings = _rand_postings(rng, n_docs, vocab)
+        nq = int(rng.integers(1, 4))
+        qterms = list(rng.choice(vocab, size=nq, replace=False))
+        k = int(rng.integers(1, 12))
+        n_dead = int(rng.integers(0, max(1, n_docs // 3)))
+        dead = np.sort(rng.choice(n_docs, size=n_dead,
+                                  replace=False)).astype(np.int64)
+        dead_set = set(dead.tolist())
+
+        # brute force with frozen stats, dead filtered before top-k
+        acc = np.zeros(n_docs)
+        cnt = np.zeros(n_docs, dtype=np.int64)
+        for t in qterms:
+            ids, tfs = postings[t]
+            acc[ids] += idf(n_docs, ids.size) * tf_part(tfs, dls[ids], avgdl)
+            cnt[ids] += 1
+
+        def expect(mode):
+            live = [d for d in range(n_docs) if d not in dead_set]
+            if mode == "and":
+                hits = [d for d in live if cnt[d] == len(qterms)]
+            else:
+                hits = [d for d in live if acc[d] > 0]
+            order = sorted(hits, key=lambda d: (-acc[d], d))[:k]
+            return (np.array(order, dtype=np.int64),
+                    np.array([acc[d] for d in order]))
+
+        terms = []
+        for t in qterms:
+            ids, tfs = postings[t]
+            rows = list(build_blocks(ids, tfs, dls[ids], avgdl,
+                                     block_size=8, codec="varint"))
+            for r in rows:
+                r["codec"] = "varint"
+            terms.append(TermBlocks(idf(n_docs, ids.size), rows))
+
+        g_ids, g_sc = score_range_topk(0, n_docs, terms, avgdl, k,
+                                       dead=dead)
+        e_ids, e_sc = expect("or")
+        np.testing.assert_array_equal(g_ids, e_ids)
+        np.testing.assert_allclose(g_sc, e_sc, atol=1e-9)
+
+        g_ids, g_sc = score_range_topk_and(0, n_docs, terms, avgdl, k,
+                                           len(qterms), dead=dead)
+        e_ids, e_sc = expect("and")
+        np.testing.assert_array_equal(g_ids, e_ids)
+        np.testing.assert_allclose(g_sc, e_sc, atol=1e-9)
+
+
+# ---------- engine level -----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def del_index(spark, tmp_path_factory):
+    from donkey_spark.plans.build import build_index
+    pdf = gen_corpus(300, seed=42)
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("delidx"))
+    build_index(spark, corpus, out, range_size=64)
+    ordered = pdf.sort_values(["repo", "path", "commit"]).reset_index()
+    oracle = OracleIndex(list(enumerate(ordered["content"])))
+    return out, corpus, oracle
+
+
+def test_delete_then_query_matches_filtered_oracle(spark, del_index):
+    from donkey_spark.plans.delete import delete_docs
+    from donkey_spark.plans.query import Index
+    out, _, oracle = del_index
+    base = Index(spark, out)
+    # delete the CURRENT top-3 of the query — the hardest case for θ
+    top = [r["doc_id"] for r in base.search("def return", k=3).collect()]
+    n = delete_docs(spark, out, top)
+    assert n == 3
+    assert delete_docs(spark, out, top) == 3        # idempotent re-delete
+
+    for local_bytes in (64 << 20, 0):               # local AND distributed
+        idx = Index(spark, out, local_bytes=local_bytes)
+        for mode in ("or", "and"):
+            got = idx.search_batch([(0, "def return", 10)],
+                                   mode=mode).collect()
+            search = (oracle.search if mode == "or" else oracle.search_and)
+            exp = [(d, s) for _, d, s in search("def return", 10 + 3)
+                   if d not in set(top)][:10]
+            assert [r["doc_id"] for r in got] == [d for d, _ in exp], mode
+            np.testing.assert_allclose([r["score"] for r in got],
+                                       [s for _, s in exp], atol=1e-9)
+            assert not set(top) & {r["doc_id"] for r in got}
+
+
+def test_compact_reclaims_tombstones(spark, del_index, tmp_path):
+    """compact_index over a tombstoned index: deleted docs physically
+    gone, tombstone set cleared, stats refreshed."""
+    import os
+    from donkey_spark.plans.delete import delete_docs, load_tombstones
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.streaming import compact_index
+    from fixtures.gen_corpus import gen_corpus as _gen
+    pdf = _gen(120, seed=5)
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path / "cidx")
+    build_index(spark, corpus, out, range_size=64)
+    idx = Index(spark, out)
+    victims = [r["doc_id"] for r in idx.search("def", k=2).collect()]
+    delete_docs(spark, out, victims)
+
+    info = compact_index(spark, corpus, out, range_size=64)
+    assert info["n_docs"] == 120 - len(victims)
+    assert load_tombstones(spark, out).size == 0
+    assert not os.path.isdir(f"{out}/tombstones")
+    idx2 = Index(spark, out)
+    assert idx2.n_docs == 120 - len(victims)
+    assert len(idx2.search("def", k=5).collect()) == 5
