@@ -795,14 +795,14 @@ SELECT query_id, k, unnest(list_distinct({toks_on_query})) AS term
 FROM qset"""
 
 
-ORACLE_SQL: dict[str, str] = {
-    # from-first-principles twin of the build's manifest journal: doc ids
-    # dense by (repo, path) [commit is a pure function of doc_id], the
-    # engine's range_size doubling rule re-derived in SQL (smallest power
-    # of two ≥1024 with n_docs // d ≤ DEFAULT_TARGET_RANGES, capped 2^20),
-    # blocks = ceil(group/128) per (term, salt). One 'start' + one 'done'
-    # row, attempt 1 (the contract build is single-chunk, fresh).
-    "index_manifest": f"""
+#: shared from-first-principles index-layout scaffolding (used by the
+#: index_manifest AND segment_stats twins — one definition so the
+#: range-size rule / id-ordering convention can never diverge between
+#: them): doc ids dense by (repo, path) [commit is a pure function of
+#: doc_id], the engine's range_size doubling rule re-derived in SQL
+#: (smallest power of two ≥1024 with n_docs // d ≤ DEFAULT_TARGET_RANGES,
+#: capped 2^20), distinct (doc, term) pairs, (term, salt) group sizes.
+_LAYOUT_CTES = f"""
 WITH ids AS (
   SELECT row_number() OVER (ORDER BY source,
                             'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS did,
@@ -820,7 +820,14 @@ tf AS (
   GROUP BY did, term),
 grp AS (
   SELECT term, did // (SELECT d FROM rs) AS salt, count(*) AS cnt
-  FROM tf GROUP BY 1, 2),
+  FROM tf GROUP BY 1, 2)"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    # manifest journal twin over the shared layout scaffolding: blocks =
+    # ceil(group/128) per (term, salt); one 'start' + one 'done' row,
+    # attempt 1 (the contract build is single-chunk, fresh)
+    "index_manifest": f"""{_LAYOUT_CTES},
 agg AS (
   SELECT (SELECT n_docs FROM nn)::BIGINT AS n_docs,
          (SELECT count(*) FROM tf)::BIGINT AS n_postings,
@@ -832,28 +839,10 @@ SELECT 0::INTEGER AS chunk, 'start' AS status, 0::BIGINT AS n_docs,
 UNION ALL
 SELECT 0::INTEGER, 'done', n_docs, n_postings, n_blocks, 1::INTEGER
 FROM agg""",
-    # per-SALT layout twin of the same scaffolding: the engine's written
-    # block rows, grouped by doc range, must match ceil(group/128) blocks
-    # and exact posting counts recomputed from raw text
-    "segment_stats": f"""
-WITH ids AS (
-  SELECT row_number() OVER (ORDER BY source,
-                            'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS did,
-         text
-  FROM documents),
-nn AS (SELECT count(*) AS n_docs FROM documents),
-rs AS (
-  SELECT COALESCE(MIN(p), 1048576) AS d
-  FROM (VALUES (1024),(2048),(4096),(8192),(16384),(32768),(65536),
-               (131072),(262144),(524288)) t(p)
-  WHERE (SELECT n_docs FROM nn) // p <= 256),
-tf AS (
-  SELECT did, term FROM (
-    SELECT did, unnest({_TOKS_SQL}) AS term FROM ids)
-  GROUP BY did, term),
-grp AS (
-  SELECT term, did // (SELECT d FROM rs) AS salt, count(*) AS cnt
-  FROM tf GROUP BY 1, 2)
+    # per-SALT layout twin over the SAME scaffolding: the engine's
+    # written block rows, grouped by doc range, must match
+    # ceil(group/128) blocks and exact posting counts from raw text
+    "segment_stats": f"""{_LAYOUT_CTES}
 SELECT salt::BIGINT AS salt,
        SUM(CAST(CEIL(cnt / 128.0) AS BIGINT))::BIGINT AS n_blocks,
        SUM(cnt)::BIGINT AS n_postings

@@ -135,11 +135,16 @@ def _ascii_doc_features(content: pa.Array, cap: int):
 
 
 def _py_doc_features(text: str | None, cap: int):
-    """Reference path for one (non-ASCII) document. tokenize_py caps at
-    the module default; a caller-supplied smaller cap must bind here too
-    or the splice path diverges from the ASCII path's semantics."""
-    from ..functions.tokenize import tokenize_py
-    c = Counter(tokenize_py(text)[:cap])
+    """Reference path for one (non-ASCII) document. The caller's cap must
+    bind EXACTLY here (smaller or larger than the module default) or the
+    splice path diverges from the ASCII path's semantics — so tokenize
+    inline rather than through tokenize_py, whose internal cap would
+    clamp a larger caller cap."""
+    import unicodedata
+    from ..functions.tokenize import _RE_LEN
+    toks = (_RE_LEN.findall(unicodedata.normalize("NFC", text).lower())[:cap]
+            if text else [])
+    c = Counter(toks)
     return list(c.keys()), list(c.values()), sum(c.values())
 
 

@@ -166,7 +166,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         # index's chunk=stream* dirs) must not leave orphans that the
         # finalize union would silently fold into df/cf and query results
         for sub in ("manifest", "manifest_stream", "segments", "docs",
-                    "dictionary", "tombstones"):
+                    "dictionary", "tombstones", "tombstones_staging"):
             fs, jpath = hadoop_fs(spark, f"{out_dir}/{sub}")
             if fs.exists(jpath):
                 fs.delete(jpath, True)

@@ -2,19 +2,32 @@
 
 Donkey mutates its corpus through inserts + periodic `reindex`
 `[donkey:src/donkey.cpp — unverified, SURVEY §0]`; deletion here follows
-the same shape Lucene uses between merges: a tombstone set makes doc ids
-INVISIBLE to every query immediately (they can neither rank nor inflate
-the scorer's θ / block potentials), while posting blocks, df and avgdl
-stay frozen until ``streaming.compact_index`` rebuilds without the
-tombstoned documents and clears the set. This is the decontamination
-primitive a training-data pipeline needs: drop poisoned/benchmark-leaked
-documents from retrieval NOW, reclaim space on the next compaction.
+the same shape Lucene uses between merges: a tombstone set makes
+documents INVISIBLE to every query immediately (they can neither rank
+nor inflate the scorer's θ / block potentials), while posting blocks,
+df and avgdl stay frozen until ``streaming.compact_index`` rebuilds
+without the tombstoned documents. This is the decontamination primitive
+a training-data pipeline needs: drop poisoned/benchmark-leaked documents
+from retrieval NOW, reclaim space on the next compaction.
+
+Durability design:
+
+* Tombstones store the corpus PRIMARY KEYS (repo, path, commit), not doc
+  ids — ids are index-generation-specific, so a key set stays correct
+  across rebuilds: after a compact the keys simply resolve to no ids,
+  and a crash anywhere in the compact can never remap a tombstone onto
+  a different live document. Each Index resolves keys → current doc ids
+  once at construction (one bounded semi-join against the docs table).
+* The set is committed by write-to-staging + atomic rename, so a torn
+  write can never lose previously committed tombstones; the reader
+  falls back to the staging dir if a crash landed between delete and
+  rename (the staging copy is always the full merged set).
 
 Scale note: the tombstone set between compactions is assumed
-driver-manageable (10^8 ids ≈ 800 MB) — the same regime Lucene's
-live-docs bitmaps assume per segment. Each scoring task receives only
-the set once (closure broadcast) and slices its own range by
-searchsorted, so per-range cost is O(|dead ∩ range|).
+driver-manageable (10^8 ids ≈ 800 MB resolved) — the live-docs-bitmap
+regime Lucene assumes per segment. The resolved id array ships to
+executors once per Index via a Spark broadcast; each scoring task
+slices its own range by searchsorted — O(|dead ∩ range|) per range.
 """
 
 from __future__ import annotations
@@ -22,38 +35,83 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_KEY_COLS = ["repo", "path", "commit"]
+
+
+def _dirs(index_dir: str) -> tuple[str, str]:
+    return f"{index_dir}/tombstones", f"{index_dir}/tombstones_staging"
+
 
 def delete_docs(spark: SparkSession, index_dir: str,
-                doc_ids: DataFrame | list[int]) -> int:
-    """Add doc ids to the index's tombstone set (idempotent union —
-    re-deleting is a no-op). Returns the new tombstone count."""
-    from ..fsutil import fs_exists
-    if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame([(int(d),) for d in doc_ids],
-                                        "doc_id long")
-    new = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
-    tomb_dir = f"{index_dir}/tombstones"
-    if fs_exists(spark, tomb_dir):
-        new = new.unionByName(spark.read.parquet(tomb_dir))
-    merged = new.distinct()
-    # write-then-swap would need a rename; a plain overwrite is safe here
-    # because a torn write only UNDER-deletes until the retry, never
-    # corrupts the index itself
-    merged.persist()
+                docs: DataFrame | list[int]) -> int:
+    """Tombstone documents (idempotent union — re-deleting is a no-op).
+
+    ``docs``: a DataFrame with either the key columns (repo, path,
+    commit) or a doc_id column (resolved to keys through the index's
+    docs table), or a plain list of doc ids. Returns the new tombstone
+    count."""
+    from ..fsutil import fs_exists, hadoop_fs
+    if not isinstance(docs, DataFrame):
+        docs = spark.createDataFrame([(int(d),) for d in docs],
+                                     "doc_id long")
+    if "doc_id" in docs.columns and not set(_KEY_COLS) <= set(docs.columns):
+        docs = (spark.read.parquet(f"{index_dir}/docs")
+                .join(docs.select("doc_id"), "doc_id"))
+    new = docs.select(*_KEY_COLS)
+    tomb_dir, staging = _dirs(index_dir)
+    existing = _read_tombstone_keys(spark, index_dir)
+    if existing is not None:
+        new = new.unionByName(existing)
+    merged = new.distinct().persist()
     n = merged.count()
-    merged.coalesce(1).write.mode("overwrite").parquet(tomb_dir)
+    # commit protocol: full merged set to staging, then swap — a torn
+    # staging write leaves the committed set untouched; a crash between
+    # delete and rename is covered by the reader's staging fallback
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
     merged.unpersist()
+    fs, tpath = hadoop_fs(spark, tomb_dir)
+    if fs_exists(spark, tomb_dir):
+        fs.delete(tpath, True)
+    _, spath = hadoop_fs(spark, staging)
+    fs.rename(spath, tpath)
     return int(n)
 
 
-def load_tombstones(spark: SparkSession, index_dir: str):
-    """Sorted int64 numpy array of tombstoned doc ids ([] if none)."""
-    import numpy as np
+def _read_tombstone_keys(spark: SparkSession,
+                         index_dir: str) -> DataFrame | None:
+    """The committed key set (staging fallback covers a crashed swap)."""
     from ..fsutil import fs_exists
-    tomb_dir = f"{index_dir}/tombstones"
-    if not fs_exists(spark, tomb_dir):
+    tomb_dir, staging = _dirs(index_dir)
+    for d in (tomb_dir, staging):
+        if fs_exists(spark, d):
+            return spark.read.parquet(d).select(*_KEY_COLS)
+    return None
+
+
+def tombstone_keys(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Public reader (compact_index's reclamation input)."""
+    return _read_tombstone_keys(spark, index_dir)
+
+
+def clear_tombstones(spark: SparkSession, index_dir: str) -> None:
+    from ..fsutil import fs_exists, hadoop_fs
+    for d in _dirs(index_dir):
+        if fs_exists(spark, d):
+            fs, p = hadoop_fs(spark, d)
+            fs.delete(p, True)
+
+
+def load_tombstones(spark: SparkSession, index_dir: str):
+    """Sorted int64 numpy array of the CURRENT index's tombstoned doc
+    ids ([] if none): keys resolved through the docs table, so a set
+    surviving a rebuild yields exactly the ids that still exist."""
+    import numpy as np
+    keys = _read_tombstone_keys(spark, index_dir)
+    if keys is None:
         return np.empty(0, dtype=np.int64)
-    ids = np.array([r["doc_id"] for r in
-                    spark.read.parquet(tomb_dir).collect()], dtype=np.int64)
+    ids = (spark.read.parquet(f"{index_dir}/docs")
+           .join(keys, _KEY_COLS)
+           .select("doc_id").toPandas()["doc_id"]
+           .to_numpy(dtype=np.int64))
     ids.sort()
     return ids

@@ -64,19 +64,22 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results.
-    ``tombstones`` (sorted global doc ids) are sliced per range by
-    searchsorted and passed to the kernels as local dead indices."""
+    ``tombstones`` (a sorted global doc-id ndarray, or a Spark Broadcast
+    of one on the distributed path) is sliced per range by searchsorted
+    and passed to the kernels as local dead indices."""
     import numpy as np
 
     def score_group(salt: int, by_term: dict[str, list[dict]],
                     cache: dict | None = None):
         base = salt * base_mult
         dead = None
-        if tombstones is not None and len(tombstones):
-            lo = np.searchsorted(tombstones, base)
-            hi = np.searchsorted(tombstones, base + base_mult)
+        ts = (tombstones.value if hasattr(tombstones, "value")
+              else tombstones) if tombstones is not None else None
+        if ts is not None and len(ts):
+            lo = np.searchsorted(ts, base)
+            hi = np.searchsorted(ts, base + base_mult)
             if hi > lo:
-                dead = tombstones[lo:hi] - base
+                dead = ts[lo:hi] - base
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in qplan:
             tbs = [TermBlocks(idf_map[t], by_term[t])
@@ -235,9 +238,14 @@ class Index:
         self._dict = spark.read.parquet(f"{index_dir}/dictionary")
         self._docs = spark.read.parquet(f"{index_dir}/docs")
         # tombstoned doc ids (plans/delete.py): invisible to every query,
-        # stats frozen until compact_index — loaded once per Index
+        # stats frozen until compact_index — keys resolved to ids once
+        # per Index; the array ships to executors ONCE via broadcast
+        # (a plain closure capture would re-serialize it per search call)
         from .delete import load_tombstones
         self._tombstones = load_tombstones(spark, index_dir)
+        self._tombstones_bc = (
+            spark.sparkContext.broadcast(self._tombstones)
+            if self._tombstones.size else None)
         self._df_memo: dict[str, int | None] = {}
         if cache:
             self._seg = self._seg.persist()
@@ -334,7 +342,8 @@ class Index:
         else:
             score_arrow = _make_arrow_scorer(qplan, idf_map, mode,
                                              self.range_size, self.codec,
-                                             self.avgdl, self._tombstones)
+                                             self.avgdl,
+                                             self._tombstones_bc)
             seg = (self._seg
                    .where(F.col("bucket").isin(buckets)      # dir prune
                           & F.col("term").isin(needed))

@@ -202,17 +202,24 @@ def compact_index(spark: SparkSession, corpus: DataFrame,
                   index_dir: str, **build_opts) -> dict:
     """The `reindex` analog: canonical batch rebuild (dense global ids,
     single global avgdl/df) over the full corpus. Tombstoned documents
-    (plans/delete.py) are reclaimed here: their (repo, path, commit) keys
-    — resolved through the existing docs table — are anti-joined out of
-    the corpus before the rebuild, and the fresh build clears the
-    tombstone set (deletion becomes physical)."""
-    from ..fsutil import fs_exists
+    (plans/delete.py) are reclaimed here: their (repo, path, commit)
+    keys are MATERIALIZED to the driver first (bounded by the
+    inter-compaction deletion budget) so the rebuild never holds a lazy
+    plan over directories it is about to overwrite, then anti-joined out
+    of the corpus. The key set is cleared only after the build commits —
+    and because tombstones are keys, not ids, a crash leaving a stale
+    set behind is harmless: the keys no longer resolve to any document
+    in the rebuilt index."""
     from ..plans.build import build_index
-    if fs_exists(spark, f"{index_dir}/tombstones"):
-        dead_keys = (spark.read.parquet(f"{index_dir}/tombstones")
-                     .join(spark.read.parquet(f"{index_dir}/docs"),
-                           "doc_id")
-                     .select("repo", "path", "commit"))
-        corpus = corpus.join(F.broadcast(dead_keys),
-                             ["repo", "path", "commit"], "left_anti")
-    return build_index(spark, corpus, index_dir, **build_opts)
+    from ..plans.delete import clear_tombstones, tombstone_keys
+    keys = tombstone_keys(spark, index_dir)
+    if keys is not None:
+        rows = keys.collect()                      # eager, bounded
+        if rows:
+            dead = spark.createDataFrame(
+                rows, "repo string, path string, commit string")
+            corpus = corpus.join(F.broadcast(dead),
+                                 ["repo", "path", "commit"], "left_anti")
+    info = build_index(spark, corpus, index_dir, **build_opts)
+    clear_tombstones(spark, index_dir)
+    return info

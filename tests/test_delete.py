@@ -152,3 +152,27 @@ def test_compact_reclaims_tombstones(spark, del_index, tmp_path):
     idx2 = Index(spark, out)
     assert idx2.n_docs == 120 - len(victims)
     assert len(idx2.search("def", k=5).collect()) == 5
+
+
+def test_tombstone_staging_fallback_and_remerge(spark, del_index, tmp_path):
+    """Crash-window recovery: if a crash lands between the old set's
+    delete and the staging rename, the reader must fall back to the
+    staging copy (always the full merged set), and the next delete_docs
+    must re-merge losslessly."""
+    import shutil
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import delete_docs, load_tombstones
+    from fixtures.gen_corpus import gen_corpus as _gen
+    out = str(tmp_path / "sidx")
+    build_index(spark, spark.createDataFrame(_gen(80, seed=9)), out,
+                range_size=64)
+    assert delete_docs(spark, out, [1, 2, 3]) == 3
+    # simulate the torn swap: committed dir gone, staging holds the set
+    shutil.move(f"{out}/tombstones", f"{out}/tombstones_staging")
+    assert sorted(load_tombstones(spark, out).tolist()) == [1, 2, 3]
+    # next delete must merge staging content, then commit atomically
+    assert delete_docs(spark, out, [7]) == 4
+    assert sorted(load_tombstones(spark, out).tolist()) == [1, 2, 3, 7]
+    import os
+    assert os.path.isdir(f"{out}/tombstones")
+    assert not os.path.isdir(f"{out}/tombstones_staging")
