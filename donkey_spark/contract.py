@@ -326,6 +326,27 @@ def q_bm25_topk_deleted(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_topk_filtered(spark, sf_dir):
+    """Field-filtered search end to end: a facet-enabled index copy
+    (facets=("lang",) — zero-idf presence postings co-located with
+    content postings) runs the flagship query set restricted to
+    lang=en. The DuckDB twin scores over the full corpus and keeps only
+    lang=en docs at ranking: survivor scores must be IDENTICAL to the
+    unfiltered query's (facets never touch BM25 stats)."""
+    from .plans.build import build_index
+    from .plans.query import Index
+    out = tempfile.mkdtemp(prefix="donkey_facet_")
+    build_index(spark, documents_as_corpus(spark, sf_dir), out,
+                facets=("lang",))
+    res = Index(spark, out).search_batch(BM25_QUERIES,
+                                         filters={"lang": _FACET_LANG})
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
 def q_map_fns(spark, sf_dir):
     """op 15 — map functions: per-doc term→tf map via map_from_arrays,
     probed with element_at and sized with size (order-insensitive outputs,
@@ -642,13 +663,19 @@ def q_segment_stats(spark, sf_dir):
 
 def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
                      conjunctive: bool = False,
-                     deleted_pred: str | None = None) -> str:
+                     deleted_pred: str | None = None,
+                     keep_sql: str | None = None) -> str:
     """From-first-principles DuckDB BM25 over the documents view for the
     given query set; conjunctive=True keeps only docs matched by EVERY
     query term (HAVING count = per-query term count); deleted_pred (a
     predicate over the dense ``doc_id``) filters tombstoned docs at
     RANKING time only — df/avgdl stay computed over the full corpus,
-    mirroring the engine's frozen-stats deletion semantics."""
+    mirroring the engine's frozen-stats deletion semantics; keep_sql is
+    the positive twin (facet filters): only docs satisfying it may rank,
+    scores unchanged — mirroring zero-idf presence intersection."""
+    assert not (deleted_pred and keep_sql)
+    if deleted_pred:
+        keep_sql = f"NOT ({deleted_pred})"
     from .functions.tokenize import tokenize_py
     vals = ",\n  ".join(
         f"({qid}, '{t}', {k})"
@@ -691,7 +718,7 @@ WITH ordered AS (
                             ORDER BY ROUND(score, 6) DESC, doc_id ASC)
          AS rank, k
   FROM scored{f'''
-  WHERE NOT ({deleted_pred})''' if deleted_pred else ''}
+  WHERE ({keep_sql})''' if keep_sql else ''}
 )
 SELECT query_id, rank::INT AS rank, doc_id, score
 FROM ranked WHERE rank <= k
@@ -702,6 +729,16 @@ _BM25_ORACLE = _bm25_oracle_sql(BM25_QUERIES)
 _BM25_AND_ORACLE = _bm25_oracle_sql(BM25_AND_QUERIES, conjunctive=True)
 _BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
                                         deleted_pred="doc_id % 7 = 0")
+#: facet value the filtered-search pair pins (present at every sf)
+_FACET_LANG = "en"
+_BM25_FILTERED_ORACLE = _bm25_oracle_sql(
+    BM25_QUERIES,
+    keep_sql=f"""doc_id IN (
+    SELECT did FROM (
+      SELECT row_number() OVER (ORDER BY source,
+                                'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS did,
+             lang FROM documents)
+    WHERE lang = '{_FACET_LANG}')""")
 
 
 _H60 = ("CAST(CAST('0x'||substr(sha256(t||'#{i}'),1,15) AS UBIGINT) "
@@ -1094,6 +1131,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk": _BM25_ORACLE,
     "bm25_topk_and": _BM25_AND_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
+    "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "lsh_ann_topk": _ann_oracle_sql(),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
     # sha256(term) (big-endian), acc_j = Σ tf·(2·bit_j − 1), sign bits
@@ -1210,6 +1248,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_topk_deleted": q_bm25_topk_deleted,
+    "bm25_topk_filtered": q_bm25_topk_filtered,
     "dictionary_stats": q_dictionary_stats,
     "scan_queries": q_scan_queries,
     # training-data pipeline ops

@@ -77,18 +77,35 @@ def score_range_topk(base: int, size: int,
                      terms: list[TermBlocks], avgdl: float, k: int,
                      stats: dict | None = None,
                      cache: dict | None = None,
-                     dead: np.ndarray | None = None):
+                     dead: np.ndarray | None = None,
+                     required: list[TermBlocks] | None = None):
     """Exact top-k for one query within one doc range.
 
     Doc lengths come from each block's own dls_blob (co-stored with the
     postings — no side table). ``dead`` (LOCAL indices of tombstoned docs
     in this range) are re-zeroed after every accumulation so they can
     neither rank nor inflate θ / block potentials — Lucene-style
-    visibility deletion with df/avgdl frozen until compaction. Returns
-    (doc_ids int64, scores float64) with score desc, doc_id asc.
+    visibility deletion with df/avgdl frozen until compaction.
+    ``required`` (facet filter terms, zero score weight): only docs
+    present in EVERY required posting list may rank — the presence mask
+    is applied after each accumulation, exactly like ``dead``, so θ and
+    potentials stay tight over the allowed docs. Returns (doc_ids int64,
+    scores float64) with score desc, doc_id asc.
     """
     if not terms or k <= 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    mask = None
+    if required:
+        present = np.zeros(size, dtype=np.int32)
+        for rt in required:
+            rids, _ = _decode_parts(rt.blocks, "varint", avgdl, cache)
+            present[rids - base] += 1
+        mask = present == np.int32(len(required))
+        if dead is not None and dead.size:
+            mask[dead] = False
+        if not mask.any():
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
     acc = np.zeros(size, dtype=np.float64)
     order = sorted(terms, key=lambda t: -t.ub)
     ubs = np.array([t.ub for t in order], dtype=np.float64)
@@ -118,7 +135,9 @@ def score_range_topk(base: int, size: int,
         if keep:
             ids, part = _decode_parts(keep, "varint", avgdl, cache)
             acc[ids - base] += t.idf * part
-            if dead is not None and dead.size:
+            if mask is not None:
+                np.multiply(acc, mask, out=acc)
+            elif dead is not None and dead.size:
                 acc[dead] = 0.0
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)

@@ -100,8 +100,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                 codec: str = "varint", range_size: int | None = None,
                 block_size: int = BLOCK_SIZE, n_chunks: int = 1,
                 resume: bool = False, ref_hashes: DataFrame | None = None,
-                job_id: str = "job-0", extractor: str = "python") -> dict:
-    """Build the full inverted index; returns build info/metrics dict."""
+                job_id: str = "job-0", extractor: str = "python",
+                facets: tuple[str, ...] = ()) -> dict:
+    """Build the full inverted index; returns build info/metrics dict.
+
+    ``facets``: metadata columns (e.g. ("lang",)) indexed as synthetic
+    presence terms "\\x01<col>=<value>" with tf=1 — the scale-correct
+    field-filter design: filter postings co-locate with content postings
+    in the same (term, salt) layout, so a filtered query is one extra
+    posting-list intersection with NO side lookup, NO docs-table join,
+    and NO change to BM25 stats (dl excludes facet terms; facet idf is
+    forced to 0 at query time). The \\x01 prefix cannot collide with §T
+    tokens. Off by default (keeps indexes byte-identical to r2)."""
     t0 = time.monotonic()
     phases: dict[str, float] = {}
     _last = [t0]
@@ -210,9 +220,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         # ops 22/23, two-stage: per-partition combiner (no shuffle) then a
         # partials-only exchange + vectorized merge — the shuffle moves
         # ~2.5 B/posting of compressed runs instead of 26 B/posting rows.
+        fterms, ftfs = F.col("f.terms"), F.col("f.tfs")
+        for fc in facets:
+            tag = F.concat(F.lit(f"\x01{fc}="), F.col(fc).cast("string"))
+            has = F.col(fc).isNotNull()
+            fterms = F.when(has, F.concat(fterms, F.array(tag))) \
+                      .otherwise(fterms)
+            ftfs = F.when(has, F.concat(ftfs, F.array(F.lit(1)))) \
+                    .otherwise(ftfs)
         feat_cols = chunk.select("doc_id", F.col("f.dl").alias("dl"),
-                                 F.col("f.terms").alias("terms"),
-                                 F.col("f.tfs").alias("tfs"))
+                                 fterms.alias("terms"), ftfs.alias("tfs"))
         partials = build_partial_postings(feat_cols, rsize)
         seg = merge_segments(
             merge_partials_to_segments(partials, avgdl, codec=codec,
@@ -275,12 +292,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                      .agg(F.coalesce(F.sum("n_postings"), F.lit(0)))
                      .collect()[0][0])
     meta = [(1, n_docs, float(avgdl), int(n_postings), int(rsize),
-             int(block_size), codec, int(N_BUCKETS), int(n_chunks_eff))]
+             int(block_size), codec, int(N_BUCKETS), int(n_chunks_eff),
+             ",".join(facets))]
     _write_small(
         spark, meta,
         "version int, n_docs long, avgdl double, n_postings long, "
         "range_size long, block_size int, codec string, "
-        "n_buckets int, n_chunks int",
+        "n_buckets int, n_chunks int, facets string",
         f"{out_dir}/meta", "overwrite", "meta")
     docs_feat.unpersist()
     _mark("dictionary_meta")

@@ -60,7 +60,7 @@ _REC_COLS = ["first_doc_id", "max_doc_id", "block_max_tfpart", "n_docs",
 
 
 def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
-                       tombstones=None):
+                       tombstones=None, required_terms=None):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results.
@@ -80,6 +80,13 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
             hi = np.searchsorted(ts, base + base_mult)
             if hi > lo:
                 dead = ts[lo:hi] - base
+        req_tbs = None
+        if required_terms:
+            if any(t not in by_term for t in required_terms):
+                # a required facet has no postings in this doc range —
+                # nothing here can match any query of the batch
+                return [], [], []
+            req_tbs = [TermBlocks(0.0, by_term[t]) for t in required_terms]
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in qplan:
             tbs = [TermBlocks(idf_map[t], by_term[t])
@@ -92,7 +99,8 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                     cache=cache, dead=dead)
             else:
                 ids, sc = score_range_topk(base, base_mult, tbs, avgdl, k,
-                                           cache=cache, dead=dead)
+                                           cache=cache, dead=dead,
+                                           required=req_tbs)
             out_q.extend([qid] * len(ids))
             out_d.extend(ids.tolist())
             out_s.extend(sc.tolist())
@@ -178,13 +186,13 @@ def _score_block_table(tbl, score_group, codec: str, avgdl: float,
 
 
 def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
-                       tombstones=None):
+                       tombstones=None, required_terms=None):
     """mapInArrow partition function for the distributed path: each
     partition holds complete salts (repartition("salt") upstream), blobs
     stay Arrow buffers end to end — no pandas object conversion of
     posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
     score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
-                                     tombstones)
+                                     tombstones, required_terms)
     prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
     def score_arrow(batches):
@@ -232,6 +240,9 @@ class Index:
         self.range_size = int(m["range_size"])
         self.codec = m["codec"]
         self.n_buckets = int(m["n_buckets"])
+        md = m.asDict()
+        self.facets = tuple(f for f in (md.get("facets") or "").split(",")
+                            if f)
         self._seg = spark.read.option(
             "basePath", f"{index_dir}/segments").parquet(
             f"{index_dir}/segments")
@@ -288,7 +299,8 @@ class Index:
 
     # -- search ------------------------------------------------------------
     def search_rows(self, queries: list[tuple[int, str, int]],
-                    mode: str = "or") -> list[tuple]:
+                    mode: str = "or",
+                    filters: dict[str, str] | None = None) -> list[tuple]:
         """queries: [(query_id, text, k)] -> fully-materialized result rows
         [(query_id, rank, doc_id, score, repo, path)] sorted by
         (query_id, rank) — the serving-layer surface (donkey's Hits
@@ -297,35 +309,64 @@ class Index:
         mode="or" (default): disjunctive block-max scoring. mode="and":
         conjunctive — only docs containing EVERY query term score (op 32
         intersection fast path); a query with any out-of-dictionary term
-        returns no rows (no doc can contain it)."""
+        returns no rows (no doc can contain it).
+
+        filters={"lang": "py", ...}: restrict every query of the batch to
+        docs carrying the facet values (index must be built with
+        facets=...; see plans/build.py). Facet terms intersect as
+        zero-score presence postings — BM25 scores are identical to the
+        unfiltered query's scores for the surviving docs."""
         if mode not in ("or", "and"):
             raise ValueError(mode)
+        facet_terms: list[str] = []
+        if filters:
+            unknown = sorted(set(filters) - set(self.facets))
+            if unknown:
+                raise ValueError(
+                    f"index has no facet(s) {unknown}; built with "
+                    f"facets={self.facets or '()'} — rebuild with "
+                    f"build_index(..., facets=(...))")
+            facet_terms = [f"\x01{c}={v}" for c, v in sorted(filters.items())]
         spark = self.spark
         parsed = {qid: (sorted(set(tokenize_py(text))), k)
                   for qid, text, k in queries}
-        all_terms = sorted({t for ts, _ in parsed.values() for t in ts})
+        all_terms = sorted({t for ts, _ in parsed.values() for t in ts}
+                           | set(facet_terms))
         dfs = self._lookup_terms(all_terms)
+        if any(t not in dfs for t in facet_terms):
+            return []          # no doc carries some requested facet value
         live_terms = sorted(dfs)
         if not live_terms:
             return []
         idf_map = {t: float(bm25_idf(self.n_docs, dfs[t]))
                    for t in live_terms}
+        for ft in facet_terms:
+            idf_map[ft] = 0.0          # presence-only: never adds score
         qplan = [(qid, [t for t in ts if t in idf_map], k)
                  for qid, (ts, k) in parsed.items()
                  if mode == "or" or all(t in idf_map for t in ts)]
         qplan = [q for q in qplan if q[1]]
+        if mode == "and" and facet_terms:
+            # facets ride the existing conjunction machinery as extra
+            # zero-idf conjuncts
+            qplan = [(qid, ts + facet_terms, k) for qid, ts, k in qplan]
+        required = facet_terms if (mode == "or" and facet_terms) else None
         if not qplan:
             return []
 
-        needed = sorted({t for _, ts, _ in qplan for t in ts})
+        needed = sorted({t for _, ts, _ in qplan for t in ts}
+                        | set(facet_terms))
         buckets = sorted({term_bucket_py(t, self.n_buckets)
                           for t in needed})
         # Cost model: the scorer touches each query's terms' postings, so
         # driver-local WORK is Σ_q Σ_{t∈q} df(t) — not the union — while
         # the distributed path amortizes one ~2 s job over all queries and
         # all cores. Go local only when the single-threaded work is small.
-        est_work = sum(dfs[t] for _, ts, _ in qplan
-                       for t in ts) * _BYTES_PER_POSTING
+        # Facet postings decode once per salt (shared cache), so they
+        # count once, not per query.
+        est_work = (sum(dfs[t] for _, ts, _ in qplan
+                        for t in ts if t not in facet_terms)
+                    + sum(dfs[t] for t in facet_terms)) * _BYTES_PER_POSTING
         use_local = 0 < est_work <= self.local_bytes
 
         if use_local:
@@ -335,7 +376,7 @@ class Index:
             # no Spark job. Bounded by est_work ≤ local_bytes.
             scorer = _make_group_scorer(qplan, idf_map, mode,
                                         self.range_size, self.avgdl,
-                                        self._tombstones)
+                                        self._tombstones, required)
             cand = self._local_candidates(
                 needed, buckets, scorer,
                 prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES)
@@ -343,7 +384,7 @@ class Index:
             score_arrow = _make_arrow_scorer(qplan, idf_map, mode,
                                              self.range_size, self.codec,
                                              self.avgdl,
-                                             self._tombstones_bc)
+                                             self._tombstones_bc, required)
             seg = (self._seg
                    .where(F.col("bucket").isin(buckets)      # dir prune
                           & F.col("term").isin(needed))
@@ -393,10 +434,12 @@ class Index:
                 for qid, rk, d, s in sorted(hits)]
 
     def search_batch(self, queries: list[tuple[int, str, int]],
-                     mode: str = "or") -> DataFrame:
+                     mode: str = "or",
+                     filters: dict[str, str] | None = None) -> DataFrame:
         """DataFrame wrapper over search_rows (same columns/ordering)."""
-        return self.spark.createDataFrame(self.search_rows(queries, mode),
-                                          _RESULT_SCHEMA)
+        return self.spark.createDataFrame(
+            self.search_rows(queries, mode, filters=filters),
+            _RESULT_SCHEMA)
 
     def _pa_dataset(self, sub: str):
         """Memoized pyarrow dataset handles (file discovery is per-Index,
@@ -440,6 +483,7 @@ class Index:
                 self._docs.where(F.col("doc_id").isin(ids))  # pushed down
                 .select("doc_id", "repo", "path").collect()}  # Spark job 2
 
-    def search(self, text: str, k: int = 10,
-               mode: str = "or") -> DataFrame:
-        return self.search_batch([(0, text, k)], mode=mode).drop("query_id")
+    def search(self, text: str, k: int = 10, mode: str = "or",
+               filters: dict[str, str] | None = None) -> DataFrame:
+        return (self.search_batch([(0, text, k)], mode=mode,
+                                  filters=filters).drop("query_id"))

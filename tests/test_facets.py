@@ -1,0 +1,104 @@
+"""Field filters via facet terms (plans/build.py facets=... +
+Index.search(filters=...)).
+
+Contract: a filtered query returns exactly the unfiltered ranking
+restricted to docs carrying the facet value (scores byte-identical for
+survivors — facet postings are presence-only and never touch BM25
+stats), in OR and AND mode, on both execution paths; and building with
+facets changes NOTHING for unfiltered queries.
+"""
+
+import numpy as np
+import pytest
+
+from fixtures.gen_corpus import gen_corpus
+
+
+@pytest.fixture(scope="module")
+def facet_setup(spark, tmp_path_factory):
+    from donkey_spark.plans.build import build_index
+    pdf = gen_corpus(300, seed=42)
+    corpus = spark.createDataFrame(pdf)
+    plain = str(tmp_path_factory.mktemp("plain"))
+    faceted = str(tmp_path_factory.mktemp("faceted"))
+    build_index(spark, corpus, plain, range_size=64)
+    build_index(spark, corpus, faceted, range_size=64, facets=("lang",))
+    # doc_id -> lang via the engine's own docs table
+    lang = {r["doc_id"]: r["lang"] for r in
+            spark.read.parquet(f"{faceted}/docs").collect()}
+    return plain, faceted, lang
+
+
+def test_unfiltered_results_identical_with_and_without_facets(
+        spark, facet_setup):
+    from donkey_spark.plans.query import Index
+    plain, faceted, _ = facet_setup
+    qs = [(0, "def return", 10), (1, "class import spark", 5), (2, "def", 50)]
+    for mode in ("or", "and"):
+        a = sorted(map(tuple, Index(spark, plain)
+                       .search_batch(qs, mode=mode).collect()))
+        b = sorted(map(tuple, Index(spark, faceted)
+                       .search_batch(qs, mode=mode).collect()))
+        assert a == b, mode
+
+
+def test_filtered_equals_unfiltered_restricted(spark, facet_setup):
+    from donkey_spark.plans.query import Index
+    plain, faceted, lang = facet_setup
+    n = len(lang)
+    target = lang[0]                      # some lang present in the corpus
+    for local_bytes in (64 << 20, 0):     # driver-local AND distributed
+        idx = Index(spark, faceted, local_bytes=local_bytes)
+        for mode, text in (("or", "def return"), ("and", "def return")):
+            full = idx.search_rows([(0, text, n)], mode=mode)
+            exp = [(r[2], round(r[3], 9)) for r in full
+                   if lang[r[2]] == target][:10]
+            assert len(exp) > 2           # fixture sanity
+            got = idx.search_rows([(0, text, 10)], mode=mode,
+                                  filters={"lang": target})
+            assert [(r[2], round(r[3], 9)) for r in got] == exp, \
+                (mode, local_bytes)
+            assert all(lang[r[2]] == target for r in got)
+
+
+def test_filter_nonexistent_value_returns_empty(spark, facet_setup):
+    from donkey_spark.plans.query import Index
+    _, faceted, _ = facet_setup
+    idx = Index(spark, faceted)
+    assert idx.search_rows([(0, "def", 10)],
+                           filters={"lang": "klingon"}) == []
+
+
+def test_filter_on_unfaceted_index_raises(spark, facet_setup):
+    from donkey_spark.plans.query import Index
+    plain, faceted, _ = facet_setup
+    with pytest.raises(ValueError, match="no facet"):
+        Index(spark, plain).search_rows([(0, "def", 5)],
+                                        filters={"lang": "py"})
+    with pytest.raises(ValueError, match="no facet"):
+        Index(spark, faceted).search_rows([(0, "def", 5)],
+                                          filters={"repo": "x"})
+
+
+def test_filters_compose_with_tombstones(spark, facet_setup):
+    """Deletion and facet filtering stack: a deleted doc stays invisible
+    inside the filtered result set too."""
+    import shutil
+    from donkey_spark.plans.delete import delete_docs
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    idx = Index(spark, faceted)
+    target = lang[0]
+    got = idx.search_rows([(0, "def return", 5)], filters={"lang": target})
+    assert got
+    victim = got[0][2]
+    delete_docs(spark, faceted, [victim])
+    try:
+        got2 = Index(spark, faceted).search_rows(
+            [(0, "def return", 5)], filters={"lang": target})
+        assert victim not in [r[2] for r in got2]
+        assert [r[2] for r in got2][:len(got) - 1] == \
+            [r[2] for r in got][1:]
+    finally:
+        for d in ("tombstones", "tombstones_staging"):
+            shutil.rmtree(f"{faceted}/{d}", ignore_errors=True)
