@@ -51,7 +51,7 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
     scan of the whole docs table — per-epoch cost is O(epoch), not
     O(index)."""
     from ..fsutil import fs_exists
-    base = {"n": 0, "dl": 0.0, "p": 0, "rsize": None}
+    base = {"n": 0, "dl": 0.0, "p": 0, "rsize": None, "facets": ()}
     if fs_exists(spark, f"{index_dir}/docs"):
         batch_docs = (spark.read.parquet(f"{index_dir}/docs")
                       .where(~F.col("chunk").cast("string")
@@ -65,8 +65,12 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
                         .agg(F.coalesce(F.sum("n_postings"), F.lit(0)))
                         .collect()[0][0])
     if fs_exists(spark, f"{index_dir}/meta"):
-        base["rsize"] = int(spark.read.parquet(f"{index_dir}/meta")
-                            .collect()[0]["range_size"])
+        m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
+        base["rsize"] = int(m["range_size"])
+        # epochs over a facet-enabled batch index keep indexing the same
+        # facets, so filtered queries stay correct across the stream
+        base["facets"] = tuple(f for f in (m.get("facets") or "").split(",")
+                               if f)
     return base
 
 
@@ -133,8 +137,17 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     base["rsize"] = int(rsize)   # pin in the memo: the range salt must be
     #                              identical across every epoch of the run
 
+    fterms, ftfs = F.col("f.terms"), F.col("f.tfs")
+    for fc in base["facets"]:
+        tag = F.concat(F.lit(f"\x01{fc}="), F.col(fc).cast("string"))
+        has = F.col(fc).isNotNull()
+        fterms = F.when(has, F.concat(fterms, F.array(tag))) \
+                  .otherwise(fterms)
+        ftfs = F.when(has, F.concat(ftfs, F.array(F.lit(1)))) \
+                .otherwise(ftfs)
     dt = (rows.select("doc_id", F.col("f.dl").alias("dl"),
-                      F.explode(F.arrays_zip("f.terms", "f.tfs")).alias("e"))
+                      F.explode(F.arrays_zip(fterms.alias("terms"),
+                                             ftfs.alias("tfs"))).alias("e"))
           .select("doc_id", "dl", F.col("e.terms").alias("term"),
                   F.col("e.tfs").alias("tf")))
     seg = merge_segments(build_segments(dt, avgdl_new, rsize, codec=codec,
@@ -171,10 +184,11 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     from ..config import N_BUCKETS
     (spark.createDataFrame(
         [(1, n_docs, float(avgdl_new), postings_before + epoch_postings,
-          int(rsize), int(block_size), codec, int(N_BUCKETS), -1)],
+          int(rsize), int(block_size), codec, int(N_BUCKETS), -1,
+          ",".join(base["facets"]))],
         "version int, n_docs long, avgdl double, n_postings long, "
         "range_size long, block_size int, codec string, n_buckets int, "
-        "n_chunks int")
+        "n_chunks int, facets string")
         .write.mode("overwrite").parquet(f"{index_dir}/meta"))
     rows.unpersist()
 

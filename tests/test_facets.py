@@ -102,3 +102,35 @@ def test_filters_compose_with_tombstones(spark, facet_setup):
     finally:
         for d in ("tombstones", "tombstones_staging"):
             shutil.rmtree(f"{faceted}/{d}", ignore_errors=True)
+
+
+def test_stream_epochs_preserve_base_facets(spark, tmp_path):
+    """Epochs appended over a facet-enabled batch index must keep
+    indexing the same facets: filtered queries stay exact over the union
+    of batch and streamed docs."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming.ingest import _append_epoch
+    from donkey_spark.sources.corpus import CORPUS_SCHEMA
+    pdf = gen_corpus(120, seed=23)
+    out = str(tmp_path / "sfidx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:80]), out,
+                range_size=64, facets=("lang",))
+    memo: dict = {}
+    _append_epoch(spark.createDataFrame(pdf.iloc[80:], CORPUS_SCHEMA),
+                  0, out, "varint", 128, memo=memo)
+    idx = Index(spark, out)
+    assert idx.facets == ("lang",)
+    lang = {r["doc_id"]: r["lang"] for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    target = lang[0]
+    n = idx.n_docs
+    full = idx.search_rows([(0, "def return", n)])
+    exp = [r[2] for r in full if lang[r[2]] == target][:10]
+    got = [r[2] for r in idx.search_rows([(0, "def return", 10)],
+                                         filters={"lang": target})]
+    assert got == exp
+    # streamed docs must be findable through the filter too
+    streamed = {d for d, v in lang.items() if d >= 80 and v == target}
+    assert streamed & set(r[2] for r in full if lang[r[2]] == target) \
+        or not streamed
