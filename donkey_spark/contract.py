@@ -519,8 +519,8 @@ def q_quality_score(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# rows-only entries (engine internals — no SQL equivalent; driver records a
-# weaker rows>0 check, SURVEY §3.4)
+# engine-internal surfaces (resume journal, streaming convergence, index
+# layout) — since r3 each has a from-first-principles SQL twin too
 # ---------------------------------------------------------------------------
 
 def q_simhash(spark, sf_dir):
@@ -1258,7 +1258,8 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
-    # rows-only (engine internals / no SQL oracle; pytest-verified instead)
+    # engine-internal surfaces (SQL twins recompute the expected values
+    # from raw text + the engine's published arithmetic)
     "build_resume": q_build_resume,
     "stream_ingest": q_stream_ingest,
     "index_manifest": q_index_manifest,
