@@ -78,7 +78,7 @@ def score_range_topk(base: int, size: int,
                      stats: dict | None = None,
                      cache: dict | None = None,
                      dead: np.ndarray | None = None,
-                     required: list[TermBlocks] | None = None):
+                     allowed: np.ndarray | None = None):
     """Exact top-k for one query within one doc range.
 
     Doc lengths come from each block's own dls_blob (co-stored with the
@@ -86,26 +86,15 @@ def score_range_topk(base: int, size: int,
     in this range) are re-zeroed after every accumulation so they can
     neither rank nor inflate θ / block potentials — Lucene-style
     visibility deletion with df/avgdl frozen until compaction.
-    ``required`` (facet filter terms, zero score weight): only docs
-    present in EVERY required posting list may rank — the presence mask
-    is applied after each accumulation, exactly like ``dead``, so θ and
-    potentials stay tight over the allowed docs. Returns (doc_ids int64,
-    scores float64) with score desc, doc_id asc.
+    ``allowed`` (bool mask over the range, facet filters — built ONCE per
+    salt by the caller, query-independent): only allowed docs may rank;
+    the mask is applied after each accumulation, exactly like ``dead``,
+    so θ and potentials stay tight over the allowed docs. Returns
+    (doc_ids int64, scores float64) with score desc, doc_id asc.
     """
     if not terms or k <= 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-    mask = None
-    if required:
-        present = np.zeros(size, dtype=np.int32)
-        for rt in required:
-            rids, _ = _decode_parts(rt.blocks, "varint", avgdl, cache)
-            present[rids - base] += 1
-        mask = present == np.int32(len(required))
-        if dead is not None and dead.size:
-            mask[dead] = False
-        if not mask.any():
-            return (np.empty(0, dtype=np.int64),
-                    np.empty(0, dtype=np.float64))
+    mask = allowed
     acc = np.zeros(size, dtype=np.float64)
     order = sorted(terms, key=lambda t: -t.ub)
     ubs = np.array([t.ub for t in order], dtype=np.float64)
@@ -163,7 +152,8 @@ def score_range_topk_and(base: int, size: int,
                          n_query_terms: int,
                          stats: dict | None = None,
                          cache: dict | None = None,
-                         dead: np.ndarray | None = None):
+                         dead: np.ndarray | None = None,
+                         allowed: np.ndarray | None = None):
     """Exact conjunctive (AND) top-k within one doc range (SURVEY op 32 /
     K4 intersection fast path).
 
@@ -212,6 +202,9 @@ def score_range_topk_and(base: int, size: int,
         # qualify for θ, and (with the acc re-zeroing below) never
         # inflate a block potential
         cnt[dead] = np.int32(-(1 << 30))
+    if allowed is not None:
+        # facet filter: disallowed docs are dead for this batch
+        cnt[~allowed] = np.int32(-(1 << 30))
 
     def _span_keep(t):
         keep = []
@@ -234,7 +227,9 @@ def score_range_topk_and(base: int, size: int,
             ids = ids - base
             acc[ids] += t.idf * part
             cnt[ids] += 1
-            if dead is not None and dead.size:
+            if allowed is not None:
+                np.multiply(acc, allowed, out=acc)
+            elif dead is not None and dead.size:
                 acc[dead] = 0.0
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
@@ -274,7 +269,9 @@ def score_range_topk_and(base: int, size: int,
             ids = ids - base
             acc[ids] += t.idf * part
             cnt[ids] += 1
-            if dead is not None and dead.size:
+            if allowed is not None:
+                np.multiply(acc, allowed, out=acc)
+            elif dead is not None and dead.size:
                 acc[dead] = 0.0
             if stats is not None:
                 stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)

@@ -1,0 +1,33 @@
+"""Facet-term encoding — the ONE definition of the field-filter format.
+
+A facet posting is a synthetic presence term "\\x01<col>=<value>" with
+tf=1, indexed into the same (term, salt) layout as content postings. The
+\\x01 prefix cannot collide with §T tokens ([a-z0-9_]+). Batch build,
+streaming ingest, and the query planner all derive their tags from the
+two functions here so the three sites can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FACET_PREFIX = "\x01"
+
+
+def facet_term(col: str, value) -> str:
+    """Driver-side tag for a (facet column, value) pair."""
+    return f"{FACET_PREFIX}{col}={value}"
+
+
+def append_facet_terms(terms: Column, tfs: Column,
+                       facets: tuple[str, ...]) -> tuple[Column, Column]:
+    """Append one presence term (tf=1) per non-null facet column to a
+    (terms array, tfs array) column pair — JVM expressions only."""
+    for fc in facets:
+        tag = F.concat(F.lit(f"{FACET_PREFIX}{fc}="),
+                       F.col(fc).cast("string"))
+        has = F.col(fc).isNotNull()
+        terms = F.when(has, F.concat(terms, F.array(tag))).otherwise(terms)
+        tfs = F.when(has, F.concat(tfs, F.array(F.lit(1)))).otherwise(tfs)
+    return terms, tfs

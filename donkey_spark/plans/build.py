@@ -220,14 +220,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         # ops 22/23, two-stage: per-partition combiner (no shuffle) then a
         # partials-only exchange + vectorized merge — the shuffle moves
         # ~2.5 B/posting of compressed runs instead of 26 B/posting rows.
-        fterms, ftfs = F.col("f.terms"), F.col("f.tfs")
-        for fc in facets:
-            tag = F.concat(F.lit(f"\x01{fc}="), F.col(fc).cast("string"))
-            has = F.col(fc).isNotNull()
-            fterms = F.when(has, F.concat(fterms, F.array(tag))) \
-                      .otherwise(fterms)
-            ftfs = F.when(has, F.concat(ftfs, F.array(F.lit(1)))) \
-                    .otherwise(ftfs)
+        from ..operators.facets import append_facet_terms
+        fterms, ftfs = append_facet_terms(F.col("f.terms"), F.col("f.tfs"),
+                                          facets)
         feat_cols = chunk.select("doc_id", F.col("f.dl").alias("dl"),
                                  fterms.alias("terms"), ftfs.alias("tfs"))
         partials = build_partial_postings(feat_cols, rsize)

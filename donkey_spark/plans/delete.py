@@ -59,6 +59,14 @@ def delete_docs(spark: SparkSession, index_dir: str,
                 .join(docs.select("doc_id"), "doc_id"))
     new = docs.select(*_KEY_COLS)
     tomb_dir, staging = _dirs(index_dir)
+    fs, tpath = hadoop_fs(spark, tomb_dir)
+    _, spath = hadoop_fs(spark, staging)
+    # restore the invariant first: if a prior swap crashed between delete
+    # and rename, the committed set lives ONLY in staging — promote it
+    # back before anything may overwrite staging
+    if not fs_exists(spark, tomb_dir) and fs_exists(spark, staging):
+        if not fs.rename(spath, tpath):
+            raise IOError(f"could not promote {staging} to {tomb_dir}")
     existing = _read_tombstone_keys(spark, index_dir)
     if existing is not None:
         new = new.unionByName(existing)
@@ -66,25 +74,33 @@ def delete_docs(spark: SparkSession, index_dir: str,
     n = merged.count()
     # commit protocol: full merged set to staging, then swap — a torn
     # staging write leaves the committed set untouched; a crash between
-    # delete and rename is covered by the reader's staging fallback
+    # delete and rename is covered by the reader's staging fallback (and
+    # re-promoted above on the next call)
     merged.coalesce(1).write.mode("overwrite").parquet(staging)
     merged.unpersist()
-    fs, tpath = hadoop_fs(spark, tomb_dir)
-    if fs_exists(spark, tomb_dir):
-        fs.delete(tpath, True)
-    _, spath = hadoop_fs(spark, staging)
-    fs.rename(spath, tpath)
+    if fs_exists(spark, tomb_dir) and not fs.delete(tpath, True):
+        raise IOError(f"could not clear {tomb_dir} for the swap")
+    if not fs.rename(spath, tpath):
+        raise IOError(f"tombstone swap failed: rename {staging} -> "
+                      f"{tomb_dir} returned false; the merged set is "
+                      f"intact in {staging} (reader falls back to it)")
     return int(n)
 
 
 def _read_tombstone_keys(spark: SparkSession,
                          index_dir: str) -> DataFrame | None:
-    """The committed key set (staging fallback covers a crashed swap)."""
+    """The committed key set (staging fallback covers a crashed swap).
+    A set written by the pre-r3 doc_id format migrates transparently by
+    resolving the ids through the docs table."""
     from ..fsutil import fs_exists
     tomb_dir, staging = _dirs(index_dir)
     for d in (tomb_dir, staging):
         if fs_exists(spark, d):
-            return spark.read.parquet(d).select(*_KEY_COLS)
+            t = spark.read.parquet(d)
+            if not set(_KEY_COLS) <= set(t.columns):
+                t = (spark.read.parquet(f"{index_dir}/docs")
+                     .join(t.select("doc_id"), "doc_id"))
+            return t.select(*_KEY_COLS)
     return None
 
 

@@ -80,13 +80,28 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
             hi = np.searchsorted(ts, base + base_mult)
             if hi > lo:
                 dead = ts[lo:hi] - base
-        req_tbs = None
+        allowed = None
         if required_terms:
             if any(t not in by_term for t in required_terms):
                 # a required facet has no postings in this doc range —
                 # nothing here can match any query of the batch
                 return [], [], []
-            req_tbs = [TermBlocks(0.0, by_term[t]) for t in required_terms]
+            # query-independent presence mask, built ONCE per salt; the
+            # facet postings decode once too (through the batch prefill
+            # cache when present, a salt-local one otherwise)
+            from ..kernels.wand import _decode_parts
+            req_cache = cache if cache is not None else {}
+            present = np.zeros(base_mult, dtype=np.int32)
+            for t in required_terms:
+                rids, _ = _decode_parts(by_term[t], "varint", avgdl,
+                                        req_cache)
+                present[rids - base] += 1
+            allowed = present == np.int32(len(required_terms))
+            if dead is not None and dead.size:
+                allowed[dead] = False
+                dead = None                 # folded into the mask
+            if not allowed.any():
+                return [], [], []
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in qplan:
             tbs = [TermBlocks(idf_map[t], by_term[t])
@@ -96,11 +111,11 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
             if mode == "and":
                 ids, sc = score_range_topk_and(
                     base, base_mult, tbs, avgdl, k, len(terms),
-                    cache=cache, dead=dead)
+                    cache=cache, dead=dead, allowed=allowed)
             else:
                 ids, sc = score_range_topk(base, base_mult, tbs, avgdl, k,
                                            cache=cache, dead=dead,
-                                           required=req_tbs)
+                                           allowed=allowed)
             out_q.extend([qid] * len(ids))
             out_d.extend(ids.tolist())
             out_s.extend(sc.tolist())
@@ -340,17 +355,13 @@ class Index:
             return []
         idf_map = {t: float(bm25_idf(self.n_docs, dfs[t]))
                    for t in live_terms}
-        for ft in facet_terms:
-            idf_map[ft] = 0.0          # presence-only: never adds score
         qplan = [(qid, [t for t in ts if t in idf_map], k)
                  for qid, (ts, k) in parsed.items()
                  if mode == "or" or all(t in idf_map for t in ts)]
         qplan = [q for q in qplan if q[1]]
-        if mode == "and" and facet_terms:
-            # facets ride the existing conjunction machinery as extra
-            # zero-idf conjuncts
-            qplan = [(qid, ts + facet_terms, k) for qid, ts, k in qplan]
-        required = facet_terms if (mode == "or" and facet_terms) else None
+        # facets apply as a per-salt presence mask in BOTH modes — built
+        # once per salt, never per query (see _make_group_scorer)
+        required = facet_terms or None
         if not qplan:
             return []
 

@@ -137,14 +137,9 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     base["rsize"] = int(rsize)   # pin in the memo: the range salt must be
     #                              identical across every epoch of the run
 
-    fterms, ftfs = F.col("f.terms"), F.col("f.tfs")
-    for fc in base["facets"]:
-        tag = F.concat(F.lit(f"\x01{fc}="), F.col(fc).cast("string"))
-        has = F.col(fc).isNotNull()
-        fterms = F.when(has, F.concat(fterms, F.array(tag))) \
-                  .otherwise(fterms)
-        ftfs = F.when(has, F.concat(ftfs, F.array(F.lit(1)))) \
-                .otherwise(ftfs)
+    from ..operators.facets import append_facet_terms
+    fterms, ftfs = append_facet_terms(F.col("f.terms"), F.col("f.tfs"),
+                                      base["facets"])
     dt = (rows.select("doc_id", F.col("f.dl").alias("dl"),
                       F.explode(F.arrays_zip(fterms.alias("terms"),
                                              ftfs.alias("tfs"))).alias("e"))
@@ -224,8 +219,16 @@ def compact_index(spark: SparkSession, corpus: DataFrame,
     and because tombstones are keys, not ids, a crash leaving a stale
     set behind is harmless: the keys no longer resolve to any document
     in the rebuilt index."""
+    from ..fsutil import fs_exists
     from ..plans.build import build_index
     from ..plans.delete import clear_tombstones, tombstone_keys
+    # a compaction keeps the index's facet schema unless the caller
+    # explicitly overrides it — otherwise the first reindex would
+    # silently stop indexing filter postings
+    if "facets" not in build_opts and fs_exists(spark, f"{index_dir}/meta"):
+        m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
+        build_opts["facets"] = tuple(
+            f for f in (m.get("facets") or "").split(",") if f)
     keys = tombstone_keys(spark, index_dir)
     if keys is not None:
         rows = keys.collect()                      # eager, bounded

@@ -176,3 +176,24 @@ def test_tombstone_staging_fallback_and_remerge(spark, del_index, tmp_path):
     import os
     assert os.path.isdir(f"{out}/tombstones")
     assert not os.path.isdir(f"{out}/tombstones_staging")
+
+
+def test_old_id_format_tombstones_migrate(spark, tmp_path):
+    """A pre-r3 tombstone set (doc_id-only parquet) must keep working:
+    ids resolve through the docs table instead of crashing."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import delete_docs, load_tombstones
+    from donkey_spark.plans.query import Index
+    from fixtures.gen_corpus import gen_corpus as _gen
+    out = str(tmp_path / "oldidx")
+    build_index(spark, spark.createDataFrame(_gen(60, seed=3)), out,
+                range_size=64)
+    # simulate the old format: ids-only parquet at tombstones/
+    (spark.createDataFrame([(4,), (9,)], "doc_id long")
+     .coalesce(1).write.parquet(f"{out}/tombstones"))
+    assert sorted(load_tombstones(spark, out).tolist()) == [4, 9]
+    assert 4 not in [r["doc_id"] for r in
+                     Index(spark, out).search("def", k=60).collect()]
+    # a further delete migrates the set to the key format losslessly
+    assert delete_docs(spark, out, [11]) == 3
+    assert sorted(load_tombstones(spark, out).tolist()) == [4, 9, 11]

@@ -134,3 +134,25 @@ def test_stream_epochs_preserve_base_facets(spark, tmp_path):
     streamed = {d for d, v in lang.items() if d >= 80 and v == target}
     assert streamed & set(r[2] for r in full if lang[r[2]] == target) \
         or not streamed
+
+
+def test_compact_preserves_facets(spark, tmp_path):
+    """The periodic reindex must keep indexing the same facets (review
+    r3: compact used to rebuild with facets=() and silently break
+    filtered queries)."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming import compact_index
+    pdf = gen_corpus(100, seed=31)
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path / "cfidx")
+    build_index(spark, corpus, out, range_size=64, facets=("lang",))
+    lang0 = Index(spark, out).search_rows([(0, "def", 3)])[0]
+    compact_index(spark, corpus, out, range_size=64)
+    idx = Index(spark, out)
+    assert idx.facets == ("lang",)
+    lang = {r["doc_id"]: r["lang"] for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    target = lang[0]
+    got = idx.search_rows([(0, "def", 5)], filters={"lang": target})
+    assert got and all(lang[r[2]] == target for r in got)
