@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--codec", default="varint", choices=["varint", "pfor"])
     ap.add_argument("--job-id", default="job-0")
+    ap.add_argument("--facets", default="",
+                    help="comma-separated metadata columns to index as "
+                         "filter postings (e.g. lang) — enables "
+                         "query.py --filter col=value")
+    ap.add_argument("--extractor", default="python",
+                    choices=["python", "arrow"])
     a = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,7 +46,9 @@ def main() -> None:
     ref = (spark.read.parquet(a.ref_hashes) if a.ref_hashes else None)
     info = build_index(spark, corpus, a.out, codec=a.codec,
                        n_chunks=a.chunks, resume=a.resume,
-                       ref_hashes=ref, job_id=a.job_id)
+                       ref_hashes=ref, job_id=a.job_id,
+                       extractor=a.extractor,
+                       facets=tuple(f for f in a.facets.split(",") if f))
     json.dump(info, sys.stdout, default=str)
     print()
 
