@@ -197,3 +197,70 @@ def test_old_id_format_tombstones_migrate(spark, tmp_path):
     # a further delete migrates the set to the key format losslessly
     assert delete_docs(spark, out, [11]) == 3
     assert sorted(load_tombstones(spark, out).tolist()) == [4, 9, 11]
+
+
+def test_kernel_allowed_mask_with_dead_or_and():
+    """Facet allowed-mask + tombstones combined, kernel level: both
+    kernels vs brute force restricted to (allowed ∧ ¬dead) docs with
+    frozen stats — 60 random corpora."""
+    import numpy as np
+    from donkey_spark.kernels.blocks import build_blocks
+    from donkey_spark.kernels.bm25 import idf, tf_part
+    from donkey_spark.kernels.wand import (TermBlocks, score_range_topk,
+                                           score_range_topk_and)
+    for trial in range(60):
+        rng = np.random.default_rng(9100 + trial)
+        n_docs = int(rng.integers(10, 250))
+        vocab = [f"t{j}" for j in range(int(rng.integers(3, 10)))]
+        dls = rng.integers(1, 150, size=n_docs).astype(np.int64)
+        avgdl = float(dls.mean())
+        postings = _rand_postings(rng, n_docs, vocab)
+        qterms = list(rng.choice(vocab, size=int(rng.integers(1, 4)),
+                                 replace=False))
+        k = int(rng.integers(1, 10))
+        allowed = rng.random(n_docs) < 0.6
+        dead = np.sort(rng.choice(n_docs, size=int(rng.integers(0, 6)),
+                                  replace=False)).astype(np.int64)
+        live = allowed.copy()
+        live[dead] = False
+
+        acc = np.zeros(n_docs)
+        cnt = np.zeros(n_docs, dtype=np.int64)
+        for t in qterms:
+            ids, tfs = postings[t]
+            acc[ids] += idf(n_docs, ids.size) * tf_part(tfs, dls[ids], avgdl)
+            cnt[ids] += 1
+
+        def expect(mode):
+            if mode == "and":
+                hits = [d for d in range(n_docs)
+                        if live[d] and cnt[d] == len(qterms)]
+            else:
+                hits = [d for d in range(n_docs) if live[d] and acc[d] > 0]
+            order = sorted(hits, key=lambda d: (-acc[d], d))[:k]
+            return (np.array(order, dtype=np.int64),
+                    np.array([acc[d] for d in order]))
+
+        terms = []
+        for t in qterms:
+            ids, tfs = postings[t]
+            rows = list(build_blocks(ids, tfs, dls[ids], avgdl,
+                                     block_size=8, codec="varint"))
+            for r in rows:
+                r["codec"] = "varint"
+            terms.append(TermBlocks(idf(n_docs, ids.size), rows))
+
+        # the engine folds dead into the mask when both are present
+        # (query.py score_group); mirror that here
+        mask = allowed.copy()
+        mask[dead] = False
+        g_ids, g_sc = score_range_topk(0, n_docs, terms, avgdl, k,
+                                       allowed=mask)
+        e_ids, e_sc = expect("or")
+        np.testing.assert_array_equal(g_ids, e_ids)
+        np.testing.assert_allclose(g_sc, e_sc, atol=1e-9)
+        g_ids, g_sc = score_range_topk_and(0, n_docs, terms, avgdl, k,
+                                           len(qterms), allowed=mask)
+        e_ids, e_sc = expect("and")
+        np.testing.assert_array_equal(g_ids, e_ids)
+        np.testing.assert_allclose(g_sc, e_sc, atol=1e-9)
