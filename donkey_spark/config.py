@@ -20,6 +20,12 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 # --- index layout ---------------------------------------------------------------
+#: on-disk index format version written to meta. 2 = chunked dictionary
+#: partials (dictionary/chunk=<c>/bucket=<b>, readers sum df/cf per term);
+#: 1 = the pre-r3 flat dictionary/bucket=<b> layout. Readers accept
+#: version <= META_VERSION; writers fail fast on a flat-layout dictionary
+#: root rather than mixing the two layouts (plans/build.py).
+META_VERSION = 2
 BLOCK_SIZE = 128          # postings per compressed block = skip granularity
 N_BUCKETS = 32            # dictionary/segment hash buckets (partition pruning)
 DEFAULT_TARGET_RANGES = 256  # ~ranges per corpus at default range size

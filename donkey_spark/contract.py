@@ -465,7 +465,9 @@ def q_scan_queries(spark, sf_dir):
     from .sources.corpus import scan_queries
     qset = (BM25_QUERIES
             + [(100 + qid, text, k) for qid, text, k in BM25_AND_QUERIES])
-    out = os.path.join(tempfile.gettempdir(), "donkey_queries_parquet")
+    # fresh dir per run (mkdtemp, like the neighboring contract queries):
+    # a fixed shared path would race concurrent contract runs on one host
+    out = os.path.join(tempfile.mkdtemp(prefix="donkey_queries_"), "q")
     (spark.createDataFrame(qset, "query_id int, query string, k int")
      .coalesce(1).write.mode("overwrite").parquet(out))
     q = scan_queries(spark, out)

@@ -95,6 +95,14 @@ def score_range_topk(base: int, size: int,
     if not terms or k <= 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     mask = allowed
+    if mask is not None and dead is not None and dead.size:
+        # same parameter semantics as the AND kernel: both constraints
+        # apply — fold dead into the mask (copy: the caller may reuse its
+        # mask across queries) so the single accumulation-masking path
+        # below enforces both
+        mask = mask.copy()
+        mask[dead] = False
+        dead = None
     acc = np.zeros(size, dtype=np.float64)
     order = sorted(terms, key=lambda t: -t.ub)
     ubs = np.array([t.ub for t in order], dtype=np.float64)

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
-from ..config import BLOCK_SIZE, N_BUCKETS, default_range_size
+from ..config import BLOCK_SIZE, META_VERSION, N_BUCKETS, default_range_size
 from ..fsutil import hadoop_fs
 from ..functions.tokenize import (FEATURES_STRUCT_DDL, doc_features_arrow,
                                   doc_features_udf)
@@ -73,6 +73,30 @@ def _write_small(spark: SparkSession, rows: list[tuple], schema: str,
         [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
         schema=arrow_schema)
     pq.write_table(tbl, os.path.join(p, f"part-{name}.parquet"))
+
+
+def _check_dictionary_layout(spark: SparkSession, out_dir: str) -> None:
+    """Fail fast on a pre-chunked (meta version 1) dictionary layout.
+
+    r3 moved the dictionary to per-chunk partials (dictionary/chunk=<c>/
+    bucket=<b>); the old layout had bucket=<b> dirs at the root. A
+    resume=True build or a streaming epoch over an old index would write
+    chunk=* dirs BESIDE the old bucket=* dirs, breaking Hive partition
+    discovery for every later dictionary read — refuse instead and point
+    at the (cheap) migration: a fresh rebuild rewrites the dictionary in
+    the current layout."""
+    fs, jpath = hadoop_fs(spark, f"{out_dir}/dictionary")
+    if not fs.exists(jpath):
+        return
+    flat = [st.getPath().getName() for st in fs.listStatus(jpath)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("bucket=")]
+    if flat:
+        raise ValueError(
+            f"{out_dir}/dictionary has a flat bucket=* layout (pre-chunked "
+            f"index format, meta version 1); mixing chunk=* partials beside "
+            f"it would corrupt dictionary reads — rebuild the index with "
+            f"resume=False (or compact_index) to migrate")
 
 
 def _manifest_state(spark: SparkSession,
@@ -113,6 +137,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     forced to 0 at query time). The \\x01 prefix cannot collide with §T
     tokens. Off by default (keeps indexes byte-identical to r2)."""
     t0 = time.monotonic()
+    if resume:
+        # fail fast (before the expensive extract phase): resuming must
+        # not write chunk=* dictionary partials beside a pre-chunked
+        # (flat bucket=*) dictionary root
+        _check_dictionary_layout(spark, out_dir)
     phases: dict[str, float] = {}
     _last = [t0]
 
@@ -174,9 +203,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         # fresh build: clear the stale journal AND any stale segment/docs
         # chunk dirs — a rebuild with fewer chunks (or over a streamed
         # index's chunk=stream* dirs) must not leave orphans that the
-        # finalize union would silently fold into df/cf and query results
+        # finalize union would silently fold into df/cf and query results.
+        # Tombstones are deliberately NOT on this list: the key set is
+        # durable state owned by delete_docs/compact_index — a crash
+        # mid-compaction (after this cleanup, before the post-commit
+        # clear) must not lose it, or a recovery rebuild would silently
+        # resurrect deleted documents. Stale keys over a fresh build are
+        # harmless by design (they resolve to no/matching docs); only
+        # compact_index's post-commit clear_tombstones erases them.
         for sub in ("manifest", "manifest_stream", "segments", "docs",
-                    "dictionary", "tombstones", "tombstones_staging"):
+                    "dictionary"):
             fs, jpath = hadoop_fs(spark, f"{out_dir}/{sub}")
             if fs.exists(jpath):
                 fs.delete(jpath, True)
@@ -286,7 +322,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                      .where(F.col("status") == "done")
                      .agg(F.coalesce(F.sum("n_postings"), F.lit(0)))
                      .collect()[0][0])
-    meta = [(1, n_docs, float(avgdl), int(n_postings), int(rsize),
+    meta = [(META_VERSION, n_docs, float(avgdl), int(n_postings), int(rsize),
              int(block_size), codec, int(N_BUCKETS), int(n_chunks_eff),
              ",".join(facets))]
     _write_small(

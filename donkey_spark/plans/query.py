@@ -250,6 +250,11 @@ class Index:
                             if fs_is_local(spark, index_dir) else 0)
         self._local_dir = local_path(index_dir)
         m = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+        from ..config import META_VERSION
+        if int(m["version"]) > META_VERSION:
+            raise ValueError(
+                f"index {index_dir} has format version {int(m['version'])} "
+                f"> supported {META_VERSION}; upgrade the engine to read it")
         self.n_docs = int(m["n_docs"])
         self.avgdl = float(m["avgdl"])
         self.range_size = int(m["range_size"])

@@ -51,6 +51,10 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
     scan of the whole docs table — per-epoch cost is O(epoch), not
     O(index)."""
     from ..fsutil import fs_exists
+    from ..plans.build import _check_dictionary_layout
+    # epochs append chunk=* dictionary partials — refuse to mix them into
+    # a pre-chunked (flat bucket=*) dictionary root (memoized per run)
+    _check_dictionary_layout(spark, index_dir)
     base = {"n": 0, "dl": 0.0, "p": 0, "rsize": None, "facets": ()}
     if fs_exists(spark, f"{index_dir}/docs"):
         batch_docs = (spark.read.parquet(f"{index_dir}/docs")
@@ -176,9 +180,10 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         "status string, n_docs long, sum_dl long, n_postings long")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/manifest_stream/epoch={int(epoch_id)}"))
-    from ..config import N_BUCKETS
+    from ..config import META_VERSION, N_BUCKETS
     (spark.createDataFrame(
-        [(1, n_docs, float(avgdl_new), postings_before + epoch_postings,
+        [(META_VERSION, n_docs, float(avgdl_new),
+          postings_before + epoch_postings,
           int(rsize), int(block_size), codec, int(N_BUCKETS), -1,
           ",".join(base["facets"]))],
         "version int, n_docs long, avgdl double, n_postings long, "

@@ -264,3 +264,83 @@ def test_kernel_allowed_mask_with_dead_or_and():
         e_ids, e_sc = expect("and")
         np.testing.assert_array_equal(g_ids, e_ids)
         np.testing.assert_allclose(g_sc, e_sc, atol=1e-9)
+
+
+def test_kernel_dead_plus_allowed_both_passed():
+    """Both kernels accept dead AND allowed simultaneously with identical
+    semantics (r4 ADVICE: the OR kernel used to silently ignore dead when
+    a mask was present, relying on the caller to fold them)."""
+    from donkey_spark.kernels.blocks import build_blocks
+    from donkey_spark.kernels.bm25 import idf, tf_part
+    from donkey_spark.kernels.wand import (TermBlocks, score_range_topk,
+                                           score_range_topk_and)
+    for trial in range(40):
+        rng = np.random.default_rng(9400 + trial)
+        n_docs = int(rng.integers(10, 250))
+        vocab = [f"t{j}" for j in range(int(rng.integers(2, 8)))]
+        dls = rng.integers(1, 150, size=n_docs).astype(np.int64)
+        avgdl = float(dls.mean())
+        postings = _rand_postings(rng, n_docs, vocab)
+        qterms = list(rng.choice(
+            vocab, size=int(rng.integers(1, min(4, len(vocab) + 1))),
+            replace=False))
+        k = int(rng.integers(1, 10))
+        allowed = rng.random(n_docs) < 0.7
+        dead = np.sort(rng.choice(n_docs, size=int(rng.integers(1, 8)),
+                                  replace=False)).astype(np.int64)
+        folded = allowed.copy()
+        folded[dead] = False
+
+        terms = []
+        for t in qterms:
+            ids, tfs = postings[t]
+            rows = list(build_blocks(ids, tfs, dls[ids], avgdl,
+                                     block_size=8, codec="varint"))
+            for r in rows:
+                r["codec"] = "varint"
+            terms.append(TermBlocks(idf(n_docs, ids.size), rows))
+
+        for kern, extra in ((score_range_topk, ()),
+                            (score_range_topk_and, (len(qterms),))):
+            allowed_before = allowed.copy()
+            b_ids, b_sc = kern(0, n_docs, terms, avgdl, k, *extra,
+                               dead=dead, allowed=allowed)
+            f_ids, f_sc = kern(0, n_docs, terms, avgdl, k, *extra,
+                               allowed=folded)
+            np.testing.assert_array_equal(b_ids, f_ids)
+            np.testing.assert_allclose(b_sc, f_sc, atol=1e-12)
+            assert not set(dead.tolist()) & set(b_ids.tolist())
+            # the kernel must not mutate the caller's mask (reused across
+            # the batch's queries)
+            np.testing.assert_array_equal(allowed, allowed_before)
+
+
+def test_fresh_build_preserves_tombstones(spark, tmp_path):
+    """A fresh (resume=False) build over an index dir with committed
+    tombstones must NOT erase the key set (r4 ADVICE: a crash inside
+    compact_index between its cleanup and its post-commit clear would
+    otherwise silently resurrect deleted documents on recovery). Keys
+    survive the rebuild and keep hiding the matching docs; only
+    compact_index's post-commit clear erases them."""
+    import os
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import delete_docs, load_tombstones
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming import compact_index
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(gen_corpus(80, seed=21))
+    build_index(spark, corpus, out, range_size=64)
+    assert delete_docs(spark, out, [5, 6]) == 2
+    # crash-recovery analog: a full fresh rebuild over the SAME corpus
+    build_index(spark, corpus, out, range_size=64)
+    assert os.path.isdir(f"{out}/tombstones")
+    ids = load_tombstones(spark, out)
+    assert ids.size == 2               # keys still resolve to the docs
+    idx = Index(spark, out)
+    got = {r["doc_id"] for q in ("def return", "import class")
+           for r in idx.search(q, k=80).collect()}
+    assert not set(ids.tolist()) & got
+    # the sanctioned eraser: compaction clears after its build commits
+    compact_index(spark, corpus, out, range_size=64)
+    assert load_tombstones(spark, out).size == 0
+    assert not os.path.isdir(f"{out}/tombstones")
