@@ -104,9 +104,12 @@ def _ascii_doc_features(content: pa.Array, cap: int):
     toff = np.empty(kl.size + 1, dtype=np.int32)
     toff[0] = 0
     np.cumsum(kl, out=toff[1:])
+    # py_buffer over the ndarrays is ZERO-copy (buffer protocol; Arrow
+    # holds a reference to the numpy base) — .tobytes() here would add
+    # two gratuitous full-buffer passes to a bandwidth-bound kernel
     tok_arr = pa.Array.from_buffers(
         pa.utf8(), kl.size,
-        [None, pa.py_buffer(toff.tobytes()), pa.py_buffer(packed.tobytes())])
+        [None, pa.py_buffer(toff), pa.py_buffer(packed)])
     enc = pc.dictionary_encode(tok_arr)
     codes = enc.indices.to_numpy().astype(np.int64)
     uniq = enc.dictionary

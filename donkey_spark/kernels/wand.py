@@ -73,6 +73,31 @@ def _decode_parts(keep: list[dict], codec: str, avgdl: float,
             np.concatenate([p[1] for p in parts]))
 
 
+def _span_maxima(acc: np.ndarray, lo: np.ndarray,
+                 hi: np.ndarray) -> np.ndarray:
+    """max(acc[lo_i:hi_i]) for disjoint spans, one ufunc call.
+
+    Replaces a per-block Python loop of `acc[lo:hi].max()` slices (the
+    last per-block Python left in the hot kernels) with a single
+    np.maximum.reduceat over the interleaved span boundaries. Spans are
+    sorted by lo first (same-term blocks are disjoint, so sorting lo
+    sorts hi too) and results are scattered back to input order; the
+    even reduceat segments are exactly [lo_i, hi_i), the odd gap
+    segments are discarded. A trailing boundary == acc.size would be
+    out of reduceat's index domain — dropping it leaves the final
+    segment running to the array end, which is the same span."""
+    m = lo.size
+    o = np.argsort(lo, kind="stable")
+    flat = np.empty(2 * m, dtype=np.int64)
+    flat[0::2] = lo[o]
+    flat[1::2] = hi[o]
+    idx = flat[:-1] if flat[-1] >= acc.size else flat
+    seg = np.maximum.reduceat(acc, idx)[0::2]
+    out = np.empty(m, dtype=acc.dtype)
+    out[o] = seg
+    return out
+
+
 def score_range_topk(base: int, size: int,
                      terms: list[TermBlocks], avgdl: float, k: int,
                      stats: dict | None = None,
@@ -115,18 +140,18 @@ def score_range_topk(base: int, size: int,
         # start — decide all skips first, then batch-decode the keepers
         # in one varint pass (amortizes the per-block decode overhead).
         if theta > 0.0:
-            keep = []
-            for blk in t.blocks:
-                lo = blk["first_doc_id"] - base
-                hi = blk["max_doc_id"] - base
-                potential = (acc[lo:hi + 1].max()
-                             + t.idf * blk["block_max_tfpart"] + rem)
-                if potential < theta:
-                    if stats is not None:
-                        stats["blocks_skipped"] = (
-                            stats.get("blocks_skipped", 0) + 1)
-                else:
-                    keep.append(blk)
+            pots = (_span_maxima(
+                acc,
+                np.array([b["first_doc_id"] for b in t.blocks],
+                         dtype=np.int64) - base,
+                np.array([b["max_doc_id"] for b in t.blocks],
+                         dtype=np.int64) - base + 1)
+                + t.idf * np.array([b["block_max_tfpart"]
+                                    for b in t.blocks]) + rem)
+            keep = [b for b, p in zip(t.blocks, pots) if p >= theta]
+            if stats is not None and len(keep) < len(t.blocks):
+                stats["blocks_skipped"] = (stats.get("blocks_skipped", 0)
+                                           + len(t.blocks) - len(keep))
         else:
             keep = t.blocks
         if keep:
@@ -252,9 +277,13 @@ def score_range_topk_and(base: int, size: int,
         acc[cnt != len(terms) - 1] = 0.0   # dead docs can't qualify; masking
         #                                    makes block potentials tight
     if keep:
-        pots = np.array(
-            [acc[blk["first_doc_id"] - base:blk["max_doc_id"] - base + 1]
-             .max() + t.idf * blk["block_max_tfpart"] for blk in keep])
+        pots = (_span_maxima(
+            acc,
+            np.array([b["first_doc_id"] for b in keep],
+                     dtype=np.int64) - base,
+            np.array([b["max_doc_id"] for b in keep],
+                     dtype=np.int64) - base + 1)
+            + t.idf * np.array([b["block_max_tfpart"] for b in keep]))
         dec_order = np.argsort(-pots, kind="stable")
         n_terms = len(terms)
         qual_scores: list[np.ndarray] = []
