@@ -559,6 +559,21 @@ def q_lsh_ann_topk(spark, sf_dir):
                     k=10, n_tables=ANN_TABLES, n_planes=ANN_PLANES)
 
 
+def q_lsh_ann_topk_deleted(spark, sf_dir):
+    """ANN probe with tombstone visibility (r4): every vec_id % 5 == 0 is
+    deleted, so those vectors must vanish from the top-k while the
+    survivors keep their exact cosines — the bucket table stays frozen
+    (no rebuild), exclusion applies at rescoring. The DuckDB twin drops
+    the same ids from the candidate set only."""
+    from .pipeline.similarity import ann_topk, build_ann_index
+    q_lsh_ann_topk(spark, sf_dir)          # ensure the cached bucket table
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dead = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    return ann_topk(spark, _ANN_CACHE[sf_dir], _probe_vec(spark, sf_dir),
+                    k=10, n_tables=ANN_TABLES, n_planes=ANN_PLANES,
+                    exclude=dead)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> feature vectors via
     mapInPandas (decode stubbed deterministically — no codecs in image).
@@ -767,7 +782,8 @@ _DOT = ("list_sum(list_transform(range(1, len({a})+1), "
         "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
 
 def _ann_oracle_sql(dim: int = ANN_DIM, n_tables: int = ANN_TABLES,
-                    n_planes: int = ANN_PLANES, k: int = 10) -> str:
+                    n_planes: int = ANN_PLANES, k: int = 10,
+                    keep_pred: str | None = None) -> str:
     """DuckDB twin of the materialized-LSH probe: recompute every
     sha-seeded hyperplane as a literal, derive each vector's per-table
     bucket, take vectors sharing ANY table bucket with vec_id=0, exact
@@ -801,6 +817,7 @@ WITH planes(tbl, pidx, vals) AS (VALUES
 ), cand AS (
   SELECT DISTINCT b.vec_id FROM buck b
   JOIN buck p ON p.vec_id = 0 AND p.tbl = b.tbl AND p.bucket = b.bucket
+  {"WHERE " + keep_pred.replace('vec_id', 'b.vec_id') if keep_pred else ""}
 ), pv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, cosine FROM (
   SELECT e.vec_id, ROUND({cos}, 6) AS cosine
@@ -1135,6 +1152,9 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "lsh_ann_topk": _ann_oracle_sql(),
+    # tombstone visibility on the ANN path: same planes/buckets, the
+    # deleted ids (vec_id % 5 == 0) dropped from candidates only
+    "lsh_ann_topk_deleted": _ann_oracle_sql(keep_pred="vec_id % 5 != 0"),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
     # sha256(term) (big-endian), acc_j = Σ tf·(2·bit_j − 1), sign bits
     # packed into a signed int64 (bit 63 via two's-complement offset)
@@ -1269,5 +1289,6 @@ QUERIES = {
     "simhash": q_simhash,
     "winnow_fingerprints": q_winnow_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "lsh_ann_topk_deleted": q_lsh_ann_topk_deleted,
     "media_features": q_media_features,
 }

@@ -108,13 +108,45 @@ def probe_buckets(probe: list[float], n_tables: int, n_planes: int,
     return out
 
 
+def _apply_exclusions(spark, cand: DataFrame, id_col: str, exclude,
+                      tombstones_from: str | None) -> DataFrame:
+    """Drop excluded/tombstoned ids from an ANN candidate set BEFORE
+    rescoring — the similarity twin of the BM25 scorer's dead mask, so a
+    decontaminated document vanishes from BOTH retrieval paths without
+    an index rebuild (r4: tombstones previously governed BM25 only).
+
+    ``exclude``: a DataFrame carrying ``id_col`` or a plain id list.
+    ``tombstones_from``: a BM25 index dir (plans/delete.py layout) whose
+    resolved tombstone doc ids govern this vector table too — the
+    pipeline convention that per-document embeddings carry vec_id ==
+    doc_id. Same bounded-broadcast regime as the scorer (the key set is
+    driver-manageable between compactions by design)."""
+    if tombstones_from is not None:
+        from ..plans.delete import load_tombstones
+        ids = load_tombstones(spark, tombstones_from)
+        if ids.size:
+            cand = cand.where(~F.col(id_col).isin([int(i) for i in ids]))
+    if exclude is not None:
+        if isinstance(exclude, DataFrame):
+            cand = cand.join(F.broadcast(exclude.select(id_col).distinct()),
+                             id_col, "left_anti")
+        else:
+            ids = [int(i) for i in exclude]
+            if ids:
+                cand = cand.where(~F.col(id_col).isin(ids))
+    return cand
+
+
 def lsh_ann_topk(vectors: DataFrame, probe: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_tables: int = 8, n_planes: int = 6) -> DataFrame:
+                 n_tables: int = 8, n_planes: int = 6,
+                 exclude=None, tombstones_from: str | None = None
+                 ) -> DataFrame:
     """Approximate top-k over the RAW vector table: union of the probe's
     buckets across hash tables, exact cosine rescoring of candidates only.
     One full codegen scan — fine ad hoc; the indexed path below
-    (build_ann_index/ann_topk) replaces the scan with partition pruning."""
+    (build_ann_index/ann_topk) replaces the scan with partition pruning.
+    ``exclude``/``tombstones_from``: see _apply_exclusions."""
     dim = len(probe)
     pbs = probe_buckets(probe, n_tables, n_planes)
     match = None
@@ -122,7 +154,8 @@ def lsh_ann_topk(vectors: DataFrame, probe: list[float], k: int = 10,
         planes = _planes(dim, n_planes, seed=f"t{t}")
         cond = lsh_bucket_expr(F.col(vec_col), planes, t) == pbs[t]
         match = cond if match is None else (match | cond)
-    cand = vectors.where(match)
+    cand = _apply_exclusions(vectors.sparkSession, vectors.where(match),
+                             id_col, exclude, tombstones_from)
     return cosine_topk(cand, probe, k, id_col, vec_col)
 
 
@@ -162,14 +195,19 @@ def build_ann_index(vectors: DataFrame, out_dir: str,
 def ann_topk(spark, index_dir: str, probe: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_tables: int = 8, n_planes: int = 6,
-             multiprobe: int = 0) -> DataFrame:
+             multiprobe: int = 0, exclude=None,
+             tombstones_from: str | None = None) -> DataFrame:
     """Probe the materialized bucket table: partition-pruned scan of the
     probe's n_tables·(1+multiprobe) buckets → dedupe → exact cosine
     top-k. Identical results to lsh_ann_topk on the same knobs at
     multiprobe=0; recall@10 per knob is measured in BENCH/BASELINE.md
-    (bench/ann_recall.py)."""
+    (bench/ann_recall.py). ``exclude``/``tombstones_from`` drop
+    deleted vectors before rescoring (see _apply_exclusions) — the
+    bucket table itself stays frozen until the next build_ann_index,
+    exactly like posting blocks between compactions."""
     pbs = probe_buckets(probe, n_tables, n_planes, multiprobe)
     cand = (spark.read.parquet(index_dir)
             .where(F.col("bucket").isin(pbs))        # dir pruning
             .dropDuplicates([id_col]))
+    cand = _apply_exclusions(spark, cand, id_col, exclude, tombstones_from)
     return cosine_topk(cand, probe, k, id_col, vec_col)

@@ -220,3 +220,46 @@ def test_ann_topk_multiprobe_superset_recall(spark, tmp_path):
                    multiprobe=2).collect()]
     assert len(set(r2) & set(truth)) >= len(set(r0) & set(truth))
     assert len(r2) == 10
+
+
+def test_ann_topk_tombstone_visibility(spark, tmp_path):
+    """r4: deletion governs BOTH retrieval paths. A tombstoned document's
+    vector vanishes from ANN top-k (bucket table frozen, exclusion at
+    rescoring) while every surviving rank/cosine is unchanged — via an
+    explicit exclude set AND via a BM25 index's tombstones
+    (tombstones_from, vec_id == doc_id convention)."""
+    from donkey_spark.pipeline.similarity import ann_topk, build_ann_index
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import delete_docs
+    from donkey_spark.sources.corpus import documents_as_corpus
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .collect()[0]["embedding"]]
+    out = str(tmp_path / "ann")
+    build_ann_index(emb, out, n_tables=4, n_planes=4)
+    base = [(r["vec_id"], r["cosine"]) for r in
+            ann_topk(spark, out, probe, k=10, n_tables=4,
+                     n_planes=4).collect()]
+    dead = [base[0][0], base[3][0]]            # delete two current top-10
+
+    got = [(r["vec_id"], r["cosine"]) for r in
+           ann_topk(spark, out, probe, k=10, n_tables=4, n_planes=4,
+                    exclude=dead).collect()]
+    assert not set(dead) & {v for v, _ in got}
+    # survivors keep their exact cosines and relative order
+    expect = [(v, c) for v, c in base if v not in set(dead)]
+    assert got[:len(expect)] == expect
+
+    # tombstones_from: a BM25 index over the documents corpus whose
+    # doc_ids line up with vec_ids; its tombstones govern the ANN probe.
+    # documents_as_corpus assigns doc_id by (repo,path,commit) rank, so
+    # resolve the dead vec_ids to their corpus keys through the docs
+    # table after the build.
+    idx_dir = str(tmp_path / "bm25")
+    build_index(spark, documents_as_corpus(spark, "/root/testdata/sf0.001"),
+                idx_dir)
+    delete_docs(spark, idx_dir, dead)
+    got2 = [(r["vec_id"], r["cosine"]) for r in
+            ann_topk(spark, out, probe, k=10, n_tables=4, n_planes=4,
+                     tombstones_from=idx_dir).collect()]
+    assert got2 == got
