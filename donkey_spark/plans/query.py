@@ -60,13 +60,16 @@ _REC_COLS = ["first_doc_id", "max_doc_id", "block_max_tfpart", "n_docs",
 
 
 def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
-                       tombstones=None, required_terms=None):
+                       tombstones=None, required_groups=None):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results.
     ``tombstones`` (a sorted global doc-id ndarray, or a Spark Broadcast
     of one on the distributed path) is sliced per range by searchsorted
-    and passed to the kernels as local dead indices."""
+    and passed to the kernels as local dead indices. ``required_groups``
+    (facet filters, list of facet-term lists): a doc must carry AT LEAST
+    ONE term of EVERY group — OR within a column's values, AND across
+    columns (`lang IN (py, java) AND repo = r`)."""
     import numpy as np
 
     def score_group(salt: int, by_term: dict[str, list[dict]],
@@ -81,22 +84,24 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
             if hi > lo:
                 dead = ts[lo:hi] - base
         allowed = None
-        if required_terms:
-            if any(t not in by_term for t in required_terms):
-                # a required facet has no postings in this doc range —
-                # nothing here can match any query of the batch
-                return [], [], []
+        if required_groups:
             # query-independent presence mask, built ONCE per salt; the
             # facet postings decode once too (through the batch prefill
             # cache when present, a salt-local one otherwise)
             from ..kernels.wand import _decode_parts
             req_cache = cache if cache is not None else {}
-            present = np.zeros(base_mult, dtype=np.int32)
-            for t in required_terms:
-                rids, _ = _decode_parts(by_term[t], "varint", avgdl,
-                                        req_cache)
-                present[rids - base] += 1
-            allowed = present == np.int32(len(required_terms))
+            for group in required_groups:
+                g_here = [t for t in group if t in by_term]
+                if not g_here:
+                    # no value of this column's filter has postings in
+                    # this doc range — nothing here can match
+                    return [], [], []
+                gmask = np.zeros(base_mult, dtype=bool)
+                for t in g_here:
+                    rids, _ = _decode_parts(by_term[t], "varint", avgdl,
+                                            req_cache)
+                    gmask[rids - base] = True     # OR within the column
+                allowed = gmask if allowed is None else (allowed & gmask)
             if dead is not None and dead.size:
                 allowed[dead] = False
                 dead = None                 # folded into the mask
@@ -201,13 +206,13 @@ def _score_block_table(tbl, score_group, codec: str, avgdl: float,
 
 
 def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
-                       tombstones=None, required_terms=None):
+                       tombstones=None, required_groups=None):
     """mapInArrow partition function for the distributed path: each
     partition holds complete salts (repartition("salt") upstream), blobs
     stay Arrow buffers end to end — no pandas object conversion of
     posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
     score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
-                                     tombstones, required_terms)
+                                     tombstones, required_groups)
     prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
     def score_arrow(batches):
@@ -320,7 +325,7 @@ class Index:
     # -- search ------------------------------------------------------------
     def search_rows(self, queries: list[tuple[int, str, int]],
                     mode: str = "or",
-                    filters: dict[str, str] | None = None) -> list[tuple]:
+                    filters: dict | None = None) -> list[tuple]:
         """queries: [(query_id, text, k)] -> fully-materialized result rows
         [(query_id, rank, doc_id, score, repo, path)] sorted by
         (query_id, rank) — the serving-layer surface (donkey's Hits
@@ -331,14 +336,16 @@ class Index:
         intersection fast path); a query with any out-of-dictionary term
         returns no rows (no doc can contain it).
 
-        filters={"lang": "py", ...}: restrict every query of the batch to
-        docs carrying the facet values (index must be built with
-        facets=...; see plans/build.py). Facet terms intersect as
-        zero-score presence postings — BM25 scores are identical to the
-        unfiltered query's scores for the surviving docs."""
+        filters={"lang": "py"} or {"lang": ["py", "java"], ...}: restrict
+        every query of the batch to docs carrying the facet values —
+        a LIST is an OR within that column (`lang IN (py, java)`), and
+        columns AND together (index must be built with facets=...; see
+        plans/build.py). Facet terms intersect as zero-score presence
+        postings — BM25 scores are identical to the unfiltered query's
+        scores for the surviving docs."""
         if mode not in ("or", "and"):
             raise ValueError(mode)
-        facet_terms: list[str] = []
+        facet_groups: list[list[str]] = []
         if filters:
             unknown = sorted(set(filters) - set(self.facets))
             if unknown:
@@ -346,15 +353,23 @@ class Index:
                     f"index has no facet(s) {unknown}; built with "
                     f"facets={self.facets or '()'} — rebuild with "
                     f"build_index(..., facets=(...))")
-            facet_terms = [f"\x01{c}={v}" for c, v in sorted(filters.items())]
+            for c, v in sorted(filters.items()):
+                vals = [v] if isinstance(v, str) else sorted(set(v))
+                if not vals:
+                    raise ValueError(f"empty filter value list for {c!r}")
+                facet_groups.append([f"\x01{c}={x}" for x in vals])
+        facet_terms = [t for g in facet_groups for t in g]
         spark = self.spark
         parsed = {qid: (sorted(set(tokenize_py(text))), k)
                   for qid, text, k in queries}
         all_terms = sorted({t for ts, _ in parsed.values() for t in ts}
                            | set(facet_terms))
         dfs = self._lookup_terms(all_terms)
-        if any(t not in dfs for t in facet_terms):
-            return []          # no doc carries some requested facet value
+        if any(all(t not in dfs for t in g) for g in facet_groups):
+            return []    # no doc carries ANY requested value of a column
+        # values absent from the dictionary drop out of their OR group
+        facet_groups = [[t for t in g if t in dfs] for g in facet_groups]
+        facet_terms = [t for g in facet_groups for t in g]
         live_terms = sorted(dfs)
         if not live_terms:
             return []
@@ -366,7 +381,7 @@ class Index:
         qplan = [q for q in qplan if q[1]]
         # facets apply as a per-salt presence mask in BOTH modes — built
         # once per salt, never per query (see _make_group_scorer)
-        required = facet_terms or None
+        required = facet_groups or None
         if not qplan:
             return []
 
@@ -451,7 +466,7 @@ class Index:
 
     def search_batch(self, queries: list[tuple[int, str, int]],
                      mode: str = "or",
-                     filters: dict[str, str] | None = None) -> DataFrame:
+                     filters: dict | None = None) -> DataFrame:
         """DataFrame wrapper over search_rows (same columns/ordering)."""
         return self.spark.createDataFrame(
             self.search_rows(queries, mode, filters=filters),
@@ -500,6 +515,6 @@ class Index:
                 .select("doc_id", "repo", "path").collect()}  # Spark job 2
 
     def search(self, text: str, k: int = 10, mode: str = "or",
-               filters: dict[str, str] | None = None) -> DataFrame:
+               filters: dict | None = None) -> DataFrame:
         return (self.search_batch([(0, text, k)], mode=mode,
                                   filters=filters).drop("query_id"))

@@ -21,9 +21,10 @@ def main() -> None:
     ap.add_argument("--mode", default="or", choices=["or", "and"],
                     help="'and' = docs must contain EVERY query term")
     ap.add_argument("--filter", action="append", default=[],
-                    metavar="COL=VALUE",
-                    help="facet filter (repeatable); index must be built "
-                         "with --facets")
+                    metavar="COL=VALUE[,VALUE...]",
+                    help="facet filter (repeatable); a comma list is an OR "
+                         "within the column, separate --filter flags AND "
+                         "together; index must be built with --facets")
     ap.add_argument("--out", default=None, help="write results parquet here")
     a = ap.parse_args()
     if not a.query and not a.queries:
@@ -39,7 +40,8 @@ def main() -> None:
     else:
         batch = [(int(r["query_id"]), r["query"], int(r["k"]))
                  for r in spark.read.parquet(a.queries).collect()]
-    filters = dict(f.split("=", 1) for f in a.filter) or None
+    filters = {c: (v.split(",") if "," in v else v)
+               for c, v in (f.split("=", 1) for f in a.filter)} or None
     res = idx.search_batch(batch, mode=a.mode, filters=filters)
     if a.out:
         res.write.mode("overwrite").parquet(a.out)

@@ -156,3 +156,49 @@ def test_compact_preserves_facets(spark, tmp_path):
     target = lang[0]
     got = idx.search_rows([(0, "def", 5)], filters={"lang": target})
     assert got and all(lang[r[2]] == target for r in got)
+
+
+def test_or_filter_equals_unfiltered_restricted(spark, facet_setup):
+    """r4 multi-value filters: {"lang": [v1, v2]} == unfiltered ranking
+    restricted to docs with lang IN (v1, v2); survivor scores identical;
+    both modes, both execution paths."""
+    from donkey_spark.plans.query import Index
+    plain, faceted, lang = facet_setup
+    n = len(lang)
+    vals = sorted({v for v in lang.values()})[:2]
+    assert len(vals) == 2
+    for local_bytes in (64 << 20, 0):
+        idx = Index(spark, faceted, local_bytes=local_bytes)
+        for mode in ("or", "and"):
+            full = idx.search_rows([(0, "def return", n)], mode=mode)
+            exp = [(r[2], round(r[3], 9)) for r in full
+                   if lang[r[2]] in vals][:10]
+            assert len(exp) > 2
+            got = idx.search_rows([(0, "def return", 10)], mode=mode,
+                                  filters={"lang": vals})
+            assert [(r[2], round(r[3], 9)) for r in got] == exp, \
+                (mode, local_bytes)
+            # a single-value LIST equals the scalar form
+            one = idx.search_rows([(0, "def return", 10)], mode=mode,
+                                  filters={"lang": [vals[0]]})
+            scalar = idx.search_rows([(0, "def return", 10)], mode=mode,
+                                     filters={"lang": vals[0]})
+            assert one == scalar, (mode, local_bytes)
+
+
+def test_or_filter_unknown_values_drop_out(spark, facet_setup):
+    """Values absent from the dictionary drop out of their OR group; a
+    group with NO present value returns empty."""
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    target = lang[0]
+    idx = Index(spark, faceted)
+    with_ghost = idx.search_rows([(0, "def return", 10)],
+                                 filters={"lang": [target, "zz_nope"]})
+    alone = idx.search_rows([(0, "def return", 10)],
+                            filters={"lang": target})
+    assert with_ghost == alone
+    assert idx.search_rows([(0, "def return", 10)],
+                           filters={"lang": ["zz_nope", "zz_nada"]}) == []
+    with pytest.raises(ValueError, match="empty filter"):
+        idx.search_rows([(0, "def return", 10)], filters={"lang": []})
