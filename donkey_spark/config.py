@@ -29,6 +29,10 @@ META_VERSION = 2
 BLOCK_SIZE = 128          # postings per compressed block = skip granularity
 N_BUCKETS = 32            # dictionary/segment hash buckets (partition pruning)
 DEFAULT_TARGET_RANGES = 256  # ~ranges per corpus at default range size
+#: streaming: fold committed per-epoch dictionary partials into one
+#: chunk=m<E> partial once more than this many are live (keeps per-term
+#: probes O(buckets) instead of O(epochs); streaming/ingest.py)
+DICT_MERGE_MIN_PARTIALS = 16
 
 
 def default_range_size(n_docs: int) -> int:

@@ -288,6 +288,24 @@ class Index:
             self._seg.count()          # materialize the warm index
 
     # -- planning helpers -------------------------------------------------
+    def _active_dict_chunks(self) -> list[str] | None:
+        """Dictionary chunk values a reader must sum, or None for "all"
+        (the common case: no merged partial exists). A chunk=m<E> partial
+        written by streaming.merge_dictionary_partials supersedes the
+        stream partials it folded — summing those too would double-count
+        df if the merge's source GC was interrupted. One FS listing,
+        memoized per Index (same staleness contract as the cached
+        DataFrame handles)."""
+        if not hasattr(self, "_dict_chunks"):
+            from ..streaming.ingest import (_is_m_chunk,
+                                            active_dictionary_chunks,
+                                            dictionary_chunks)
+            chunks = dictionary_chunks(self.spark, self.dir)
+            self._dict_chunks = (active_dictionary_chunks(chunks)
+                                 if any(_is_m_chunk(c) for c in chunks)
+                                 else None)
+        return self._dict_chunks
+
     def _lookup_terms(self, terms: list[str]) -> dict[str, int]:
         """term -> df via dictionary (bucket dirs + term stats pruning);
         memoized — repeated terms never re-probe parquet. On a local
@@ -300,20 +318,25 @@ class Index:
         if missing:
             buckets = sorted({term_bucket_py(t, self.n_buckets)
                               for t in missing})
+            active = self._active_dict_chunks()
             found: dict[str, int] = {}
             if self.local_bytes > 0:
                 import pyarrow.dataset as ds
+                filt = (ds.field("bucket").isin(buckets)
+                        & ds.field("term").isin(missing))
+                if active is not None:
+                    filt &= ds.field("chunk").isin(active)
                 tbl = self._pa_dataset("dictionary").to_table(
-                    columns=["term", "df"],
-                    filter=ds.field("bucket").isin(buckets)
-                    & ds.field("term").isin(missing))
+                    columns=["term", "df"], filter=filt)
                 for t, d in zip(tbl["term"].to_pylist(),
                                 tbl["df"].to_pylist()):
                     found[t] = found.get(t, 0) + int(d)
             else:
-                rows = (self._dict
-                        .where(F.col("bucket").isin(buckets)
-                               & F.col("term").isin(missing))
+                d = self._dict
+                if active is not None:
+                    d = d.where(F.col("chunk").isin(active))
+                rows = (d.where(F.col("bucket").isin(buckets)
+                                & F.col("term").isin(missing))
                         .groupBy("term").agg(F.sum("df").alias("df"))
                         .collect())
                 found = {r["term"]: int(r["df"]) for r in rows}

@@ -78,6 +78,120 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
     return base
 
 
+def _is_m_chunk(c: str) -> bool:
+    return c.startswith("m") and c[1:].isdigit()
+
+
+def _is_stream_chunk(c: str) -> bool:
+    return c.startswith("stream") and c[6:].isdigit()
+
+
+def dictionary_chunks(spark: SparkSession, index_dir: str) -> list[str]:
+    """The dictionary's chunk partition values — one FS listing, no job."""
+    from ..fsutil import fs_exists, hadoop_fs
+    d = f"{index_dir}/dictionary"
+    if not fs_exists(spark, d):
+        return []
+    fs, p = hadoop_fs(spark, d)
+    return [st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("chunk=")]
+
+
+def active_dictionary_chunks(chunks: list[str]) -> list[str]:
+    """Reader rule for merged dictionaries: a chunk=m<E> partial (written
+    by merge_dictionary_partials) SUPERSEDES every chunk=stream<e> partial
+    with e <= E and every older m-chunk. Readers must sum only the active
+    chunks; the superseded dirs are garbage awaiting GC. This rule — not
+    the GC — is what makes the merge crash-safe: the merged partial
+    commits by rename BEFORE its sources are deleted, and a crash in
+    between leaves both on disk without double-counting."""
+    m_eids = [int(c[1:]) for c in chunks if _is_m_chunk(c)]
+    top = max(m_eids, default=-1)
+    out = []
+    for c in chunks:
+        if _is_m_chunk(c):
+            if int(c[1:]) == top:
+                out.append(c)
+        elif _is_stream_chunk(c):
+            if int(c[6:]) > top:
+                out.append(c)
+        else:                       # batch / compacted chunks: always live
+            out.append(c)
+    return out
+
+
+def merge_dictionary_partials(spark: SparkSession, index_dir: str,
+                              before_epoch: int | None = None,
+                              min_partials: int = 2) -> int:
+    """Dictionary-only compaction: fold the committed stream partials
+    (and any previous merged partial) into ONE chunk=m<E> partial, so a
+    per-term probe over a long-running stream reads O(buckets) files
+    instead of O(epochs) — without touching segments (the full
+    compact_index remains the segment-level reclaimer).
+
+    Protocol: sum df/cf/n_blocks + max tf-part per (bucket, term) over
+    the source chunks, write to a staging dir, RENAME into
+    dictionary/chunk=m<E> (E = highest folded epoch; E > any previous
+    m-chunk by construction, so the target never pre-exists), then
+    delete the sources best-effort. Readers apply
+    ``active_dictionary_chunks`` so the commit point is the rename;
+    a crash before it changes nothing, a crash after it leaves
+    superseded dirs that are ignored and GC'd on the next call.
+
+    ``before_epoch``: fold only stream epochs < this id — REQUIRED when
+    called from inside a running stream (pass the current epoch id):
+    a foreachBatch retry re-delivers only the current epoch, so folding
+    strictly older (committed) epochs can never double-count a replay.
+    Returns the number of partials folded (0 = no-op)."""
+    from ..fsutil import hadoop_fs
+    chunks = dictionary_chunks(spark, index_dir)
+    if not chunks:
+        return 0
+    fs, _ = hadoop_fs(spark, f"{index_dir}/dictionary")
+    active = set(active_dictionary_chunks(chunks))
+    for c in chunks:                       # GC leftovers of a prior crash
+        if c not in active:
+            _, p = hadoop_fs(spark, f"{index_dir}/dictionary/chunk={c}")
+            fs.delete(p, True)
+    top = max((int(c[1:]) for c in chunks if _is_m_chunk(c)), default=-1)
+    cands = sorted(int(c[6:]) for c in chunks
+                   if _is_stream_chunk(c) and c in active
+                   and int(c[6:]) > top
+                   and (before_epoch is None or int(c[6:]) < before_epoch))
+    n_src = len(cands) + (1 if top >= 0 else 0)
+    if not cands or n_src < min_partials:
+        return 0
+    new_top = max(cands)
+    src_dirs = [f"{index_dir}/dictionary/chunk=stream{e}" for e in cands]
+    if top >= 0:
+        src_dirs.append(f"{index_dir}/dictionary/chunk=m{top}")
+    from ..config import N_BUCKETS
+    merged = (spark.read.option("basePath", f"{index_dir}/dictionary")
+              .parquet(*src_dirs)
+              .groupBy("bucket", "term")
+              .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+                   F.sum("n_blocks").cast("int").alias("n_blocks"),
+                   F.max("max_tfpart").alias("max_tfpart"))
+              .select("term", "df", "cf", "n_blocks", "max_tfpart",
+                      "bucket"))
+    staging = f"{index_dir}/dictionary_merge_staging"
+    (merged.repartitionByRange(max(1, N_BUCKETS // 4), "bucket", "term")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging))
+    sfs, spath = hadoop_fs(spark, staging)
+    _, tpath = hadoop_fs(spark,
+                         f"{index_dir}/dictionary/chunk=m{new_top}")
+    if not sfs.rename(spath, tpath):
+        raise IOError(f"dictionary merge commit failed: rename {staging} "
+                      f"-> chunk=m{new_top} returned false")
+    for d in src_dirs:                     # GC (readers already ignore)
+        _, p = hadoop_fs(spark, d)
+        fs.delete(p, True)
+    return n_src
+
+
 def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
                   codec: str, block_size: int,
                   memo: dict | None = None) -> None:
@@ -175,6 +289,18 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     (dictionary_from_segments(seg_chunk)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{index_dir}/dictionary/chunk={this_chunk}"))
+    # cap probe cost: once enough committed stream partials accumulate,
+    # fold them (dictionary-only, cheap — the dictionary is O(vocab), not
+    # O(postings)) so per-term probes stay O(buckets) on a long-running
+    # stream. before_epoch=this epoch keeps the fold replay-safe: a
+    # foreachBatch retry re-delivers only THIS epoch, never a folded one.
+    from ..config import DICT_MERGE_MIN_PARTIALS
+    n_stream_partials = sum(
+        1 for c in active_dictionary_chunks(
+            dictionary_chunks(spark, index_dir)) if _is_stream_chunk(c))
+    if n_stream_partials > DICT_MERGE_MIN_PARTIALS:
+        merge_dictionary_partials(spark, index_dir,
+                                  before_epoch=int(epoch_id))
     (spark.createDataFrame(
         [("stream", n_batch, batch_dl, epoch_postings)],
         "status string, n_docs long, sum_dl long, n_postings long")

@@ -197,3 +197,96 @@ def test_epoch_cost_is_o_epoch_not_o_index(spark, tmp_path):
     got = {r["term"]: r["df"] for r in d.collect()}
     want = {r["term"]: r["df"] for r in exp.collect()}
     assert got == want
+
+
+def test_dictionary_partial_merge_caps_probe_cost(spark, tmp_path,
+                                                  monkeypatch):
+    """r4: a long-running stream accumulates one dictionary partial per
+    epoch; the auto-triggered dictionary-only merge must cap the number
+    of live partials (probe cost O(buckets), not O(epochs)) while every
+    term's summed df stays exact and queries are unchanged on both
+    execution paths."""
+    import donkey_spark.config as cfg
+    monkeypatch.setattr(cfg, "DICT_MERGE_MIN_PARTIALS", 3)
+    from donkey_spark.operators.postings import dictionary_from_segments
+    from donkey_spark.plans.query import Index
+    from donkey_spark.sources.corpus import CORPUS_SCHEMA
+    from donkey_spark.streaming import ingest as ing
+    from pyspark.sql import functions as F
+    idx = str(tmp_path / "idx")
+    pdf = gen_corpus(200, seed=23)
+    memo: dict = {}
+    for e in range(10):
+        ing._append_epoch(
+            spark.createDataFrame(pdf.iloc[e * 20:(e + 1) * 20],
+                                  CORPUS_SCHEMA),
+            e, idx, "varint", 128, memo=memo)
+
+    chunks = ing.dictionary_chunks(spark, idx)
+    active = ing.active_dictionary_chunks(chunks)
+    n_stream = sum(1 for c in active if c.startswith("stream"))
+    assert any(c.startswith("m") for c in active), chunks
+    assert n_stream <= 3 + 1, chunks          # capped, not O(epochs)
+    # superseded source dirs were GC'd by the merge
+    assert sorted(chunks) == sorted(active)
+
+    # summed df over ACTIVE partials == truth recomputed from segments
+    seg_all = spark.read.option("basePath", f"{idx}/segments").parquet(
+        f"{idx}/segments")
+    want = {r["term"]: r["df"] for r in
+            dictionary_from_segments(seg_all).select("term", "df")
+            .collect()}
+    got = {r["term"]: r["df"] for r in
+           (spark.read.parquet(f"{idx}/dictionary")
+            .where(F.col("chunk").isin(active))
+            .groupBy("term").agg(F.sum("df").alias("df"))).collect()}
+    assert got == want
+
+    # probes agree across paths and return live results
+    res = {}
+    for local_bytes in (64 << 20, 0):
+        i = Index(spark, idx, local_bytes=local_bytes)
+        res[local_bytes] = [(r[2], round(r[3], 9)) for r in
+                            i.search_rows([(0, "def return", 10)])]
+    assert res[64 << 20] == res[0] and len(res[0]) == 10
+
+
+def test_dictionary_merge_crash_leftover_is_ignored_and_gcd(spark,
+                                                            tmp_path):
+    """Crash window between the merge's rename-commit and its source GC:
+    a leftover superseded partial must be IGNORED by readers (no df
+    double-count) and deleted by the next merge call."""
+    import shutil as sh
+    from donkey_spark.plans.query import Index
+    from donkey_spark.sources.corpus import CORPUS_SCHEMA
+    from donkey_spark.streaming import ingest as ing
+    idx = str(tmp_path / "idx")
+    pdf = gen_corpus(80, seed=29)
+    memo: dict = {}
+    for e in range(4):
+        ing._append_epoch(
+            spark.createDataFrame(pdf.iloc[e * 20:(e + 1) * 20],
+                                  CORPUS_SCHEMA),
+            e, idx, "varint", 128, memo=memo)
+    folded = ing.merge_dictionary_partials(spark, idx)
+    assert folded == 4
+    base_idx = Index(spark, idx)
+    base = [(r[2], round(r[3], 9)) for r in
+            base_idx.search_rows([(0, "def return", 10)])]
+    base_df = base_idx._lookup_terms(["def", "return"])
+
+    # simulate the crash leftover: a superseded stream partial reappears
+    m_chunk = next(c for c in ing.dictionary_chunks(spark, idx)
+                   if c.startswith("m"))
+    sh.copytree(f"{idx}/dictionary/chunk={m_chunk}",
+                f"{idx}/dictionary/chunk=stream0")
+    for local_bytes in (64 << 20, 0):
+        i = Index(spark, idx, local_bytes=local_bytes)
+        assert i._lookup_terms(["def", "return"]) == base_df, local_bytes
+        got = [(r[2], round(r[3], 9)) for r in
+               i.search_rows([(0, "def return", 10)])]
+        assert got == base, local_bytes
+    # next maintenance call GCs the leftover
+    ing.merge_dictionary_partials(spark, idx)
+    assert not any(c.startswith("stream")
+                   for c in ing.dictionary_chunks(spark, idx))
