@@ -75,8 +75,13 @@ def delete_docs(spark: SparkSession, index_dir: str,
     # commit protocol: full merged set to staging, then swap — a torn
     # staging write leaves the committed set untouched; a crash between
     # delete and rename is covered by the reader's staging fallback (and
-    # re-promoted above on the next call)
-    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    # re-promoted above on the next call). One file keeps small sets
+    # tidy; past ~5M keys the single write task would serialize the
+    # commit, so large sets fan out (the dir-rename protocol is
+    # file-count-agnostic).
+    nparts = max(1, int(n) // 5_000_000)
+    (merged.coalesce(1) if nparts == 1 else merged.repartition(nparts)) \
+        .write.mode("overwrite").parquet(staging)
     merged.unpersist()
     if fs_exists(spark, tomb_dir) and not fs.delete(tpath, True):
         raise IOError(f"could not clear {tomb_dir} for the swap")

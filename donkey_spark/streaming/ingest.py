@@ -343,14 +343,16 @@ def compact_index(spark: SparkSession, corpus: DataFrame,
     """The `reindex` analog: canonical batch rebuild (dense global ids,
     single global avgdl/df) over the full corpus. Tombstoned documents
     (plans/delete.py) are reclaimed here: their (repo, path, commit)
-    keys are MATERIALIZED to the driver first (bounded by the
-    inter-compaction deletion budget) so the rebuild never holds a lazy
-    plan over directories it is about to overwrite, then anti-joined out
-    of the corpus. The key set is cleared only after the build commits —
-    and because tombstones are keys, not ids, a crash leaving a stale
-    set behind is harmless: the keys no longer resolve to any document
-    in the rebuilt index."""
-    from ..fsutil import fs_exists
+    keys are SNAPSHOTTED to a side parquet first — the rebuild must not
+    hold a lazy plan over directories it overwrites, and the snapshot
+    gives that safety WITHOUT round-tripping the key set through the
+    driver (r4; the old path collect()ed it). The anti-join broadcasts
+    only while the snapshot is small (file-size gate); at the 10^8-key
+    budget bound it falls back to a shuffle join. The key set is cleared
+    only after the build commits — and because tombstones are keys, not
+    ids, a crash leaving a stale set behind is harmless: the keys no
+    longer resolve to any document in the rebuilt index."""
+    from ..fsutil import fs_exists, hadoop_fs
     from ..plans.build import build_index
     from ..plans.delete import clear_tombstones, tombstone_keys
     # a compaction keeps the index's facet schema unless the caller
@@ -361,13 +363,18 @@ def compact_index(spark: SparkSession, corpus: DataFrame,
         build_opts["facets"] = tuple(
             f for f in (m.get("facets") or "").split(",") if f)
     keys = tombstone_keys(spark, index_dir)
+    snap = f"{index_dir}/_tombstone_snapshot"
+    sfs, spath = hadoop_fs(spark, snap)
     if keys is not None:
-        rows = keys.collect()                      # eager, bounded
-        if rows:
-            dead = spark.createDataFrame(
-                rows, "repo string, path string, commit string")
-            corpus = corpus.join(F.broadcast(dead),
-                                 ["repo", "path", "commit"], "left_anti")
+        keys.write.mode("overwrite").parquet(snap)
+        dead = spark.read.parquet(snap).select("repo", "path", "commit")
+        # ~40 B/key on disk → the gate admits ~10^6-key sets to the
+        # executor-memory broadcast; beyond that SMJ is the right plan
+        if sfs.getContentSummary(spath).getLength() <= 64 << 20:
+            dead = F.broadcast(dead)
+        corpus = corpus.join(dead, ["repo", "path", "commit"], "left_anti")
     info = build_index(spark, corpus, index_dir, **build_opts)
     clear_tombstones(spark, index_dir)
+    if sfs.exists(spath):
+        sfs.delete(spath, True)
     return info

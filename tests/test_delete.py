@@ -344,3 +344,45 @@ def test_fresh_build_preserves_tombstones(spark, tmp_path):
     compact_index(spark, corpus, out, range_size=64)
     assert load_tombstones(spark, out).size == 0
     assert not os.path.isdir(f"{out}/tombstones")
+
+
+def test_delete_million_key_set_and_compact(spark, tmp_path):
+    """10^6-key tombstone set (r4): the staging commit fans out past the
+    single-file gate, readers resolve the bounded live subset, and
+    compact_index reclaims via its parquet snapshot (no driver
+    round-trip) and cleans the snapshot up after committing."""
+    import os
+    from pyspark.sql import functions as F
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import delete_docs, load_tombstones
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming import compact_index
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(gen_corpus(60, seed=31))
+    build_index(spark, corpus, out, range_size=64)
+    # 10^6 synthetic keys (resolve to no docs — harmless by design)
+    big = (spark.range(1_000_000)
+           .select(F.concat(F.lit("r"), (F.col("id") % 997))
+                   .alias("repo"),
+                   F.concat(F.lit("p/"), F.col("id")).alias("path"),
+                   F.sha2(F.col("id").cast("string"), 256).substr(1, 40)
+                   .alias("commit")))
+    assert delete_docs(spark, out, big) == 1_000_000
+    # real deletions resolve correctly amid the noise keys
+    assert delete_docs(spark, out, [3, 4]) == 1_000_002
+    ids = load_tombstones(spark, out)
+    assert sorted(ids.tolist()) == [3, 4]
+    got = {r["doc_id"] for r in
+           Index(spark, out).search("def return", k=60).collect()}
+    assert not {3, 4} & got
+
+    info = compact_index(spark, corpus, out, range_size=64)
+    assert info["n_docs"] == 58
+    assert load_tombstones(spark, out).size == 0
+    assert not os.path.isdir(f"{out}/_tombstone_snapshot")
+    assert not {3, 4} & {r["doc_id"] for r in
+                         spark.read.parquet(f"{out}/docs")
+                         .join(corpus.where(
+                             F.col("path").isin("doc/3", "doc/4")),
+                             ["repo", "path", "commit"], "left_semi")
+                         .collect()}
