@@ -43,25 +43,37 @@ def weak_scaling(pairs: list[tuple[int, str]], runs: int) -> None:
     """Fixed work per core: each (cores, fixture) level should take the
     SAME wall time under ideal scaling. Efficiency of level i vs the
     baseline level 0 = wall_0 / wall_i (per-core throughput ratio, since
-    files/core is constant by construction)."""
-    levels = []
-    for cores, data in pairs:
-        walls, info = [], None
-        for r in range(runs):
+    files/core is constant by construction).
+
+    Rounds are INTERLEAVED across levels (r4: the same-day discipline is
+    wired into the script, not left to the operator): round r runs every
+    level once before round r+1 starts, so slow host drift — allocator
+    state, page cache, thermal — lands on all levels equally instead of
+    flattering whichever level ran last."""
+    walls: dict[int, list[float]] = {c: [] for c, _ in pairs}
+    infos: dict[int, dict] = {}
+    for r in range(runs):
+        for cores, data in pairs:
             info = run([sys.executable, "bench/run_build.py",
                         "--data", data, "--cores", str(cores),
                         "--out", f"/tmp/weak_idx_{cores}"])
-            walls.append(info["wall_s"])
+            walls[cores].append(info["wall_s"])
+            infos[cores] = info
+    levels = []
+    for cores, data in pairs:
         levels.append({"cores": cores, "data": data,
-                       "n_docs": info["n_docs"],
-                       "files_per_core": info["n_docs"] // cores,
-                       "walls": [round(w, 1) for w in walls],
-                       "median_wall_s": round(statistics.median(walls), 1)})
+                       "n_docs": infos[cores]["n_docs"],
+                       "files_per_core": infos[cores]["n_docs"] // cores,
+                       "walls": [round(w, 1) for w in walls[cores]],
+                       "median_wall_s": round(
+                           statistics.median(walls[cores]), 1)})
     base = levels[0]
     for lv in levels:
         lv["weak_efficiency_vs_first"] = round(
             base["median_wall_s"] / lv["median_wall_s"], 3)
-    print(json.dumps({"protocol": "weak-scaling (fixed files per core)",
+    print(json.dumps({"protocol":
+                      "weak-scaling (fixed files per core, "
+                      "interleaved rounds)",
                       "runs": runs, "levels": levels}, indent=2))
 
 

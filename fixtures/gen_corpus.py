@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 
 SCALES = {"t1": 2_000, "t2": 20_000, "bench": 400_000,
-          "bench250k": 250_000,    # weak-scaling pair: 125k files/core
+          "bench250k": 250_000,    # weak-scaling curve: 125k files/core
+          "bench500k": 500_000,    # ... at local[2]/local[4]/local[8]
           "bench1m": 1_000_000}
 CHUNK = 2_000
 VOCAB_SIZE = 20_000
