@@ -32,11 +32,24 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cmd: list[str]) -> dict:
-    print("+", " ".join(cmd), file=sys.stderr)
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
-                         cwd=ROOT)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+def run(cmd: list[str], timeout_s: int = 1200) -> dict:
+    """One fresh-JVM bench subprocess. A hard timeout + single retry
+    guards the protocol against this host's rare loopback-TCP stalls
+    (JVM↔python-worker socket wedges with both sides idle — observed
+    r4); a wedged run would otherwise hang the whole curve. A retried
+    run is a fresh JVM like any other, so medians stay honest."""
+    for attempt in (1, 2):
+        print("+", " ".join(cmd),
+              "" if attempt == 1 else "(retry after stall)",
+              file=sys.stderr)
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True, cwd=ROOT, timeout=timeout_s)
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except subprocess.TimeoutExpired:
+            if attempt == 2:
+                raise
+    raise AssertionError("unreachable")
 
 
 def weak_scaling(pairs: list[tuple[int, str]], runs: int) -> None:
