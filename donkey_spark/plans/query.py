@@ -237,13 +237,22 @@ class Index:
     """Reader over a built index directory (plans/build.py layout)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 cache: bool = False, local_bytes: int = 64 << 20):
+                 cache: bool = False, local_bytes: int = 64 << 20,
+                 scan_partition_bytes: str = "128m"):
         """local_bytes: when the index lives on a local filesystem and the
         estimated pruned posting bytes for a query batch fall under this
         bound, score on the DRIVER via pyarrow (same kernels, zero Spark
         jobs) — the analog of donkey serving from its RAM-resident index.
         0 disables the fast path. The distributed path takes over
-        automatically for hot terms / big batches / remote storage."""
+        automatically for hot terms / big batches / remote storage.
+
+        scan_partition_bytes: file-split size for the distributed
+        scorer's segment scan, applied around that job only (the session
+        global stays at the build's setting — get_spark tunes it DOWN to
+        8m so the extractor UDF gets enough input tasks, which fragments
+        the query scan into hundreds of tiny tasks: measured +1s on the
+        1M-index 50-query warm batch; 64–256m all equally fix it,
+        BENCH/BASELINE.md §Query latency)."""
         from ..fsutil import fs_is_local, local_path
         self.spark = spark
         self.dir = index_dir
@@ -253,6 +262,7 @@ class Index:
         # makes the driver-side reads coherent
         self.local_bytes = (local_bytes
                             if fs_is_local(spark, index_dir) else 0)
+        self.scan_partition_bytes = scan_partition_bytes
         self._local_dir = local_path(index_dir)
         m = spark.read.parquet(f"{index_dir}/meta").collect()[0]
         from ..config import META_VERSION
@@ -467,8 +477,16 @@ class Index:
                           .join(F.broadcast(ksdf), "query_id")
                           .where(F.col("rank") <= F.col("k"))
                           .drop("rank", "k"))
-            cand = [(r["query_id"], r["doc_id"], r["score"])
-                    for r in scored.collect()]        # Spark job 1
+            # split sizing applies at job planning, so set it only around
+            # this collect and restore the session's (build-tuned) value
+            _MPB = "spark.sql.files.maxPartitionBytes"
+            prev_mpb = spark.conf.get(_MPB)
+            spark.conf.set(_MPB, self.scan_partition_bytes)
+            try:
+                cand = [(r["query_id"], r["doc_id"], r["score"])
+                        for r in scored.collect()]    # Spark job 1
+            finally:
+                spark.conf.set(_MPB, prev_mpb)
 
         ks = {qid: k for qid, _, k in qplan}
         by_q: dict[int, list] = {}
