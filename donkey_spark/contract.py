@@ -367,6 +367,25 @@ def q_bm25_topk_filtered_or(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_topk_filtered_not(spark, sf_dir):
+    """Negated field filter (r4): `lang NOT IN (de, fr)` — the mask is
+    the complement of the column's value-presence union (docs without
+    the column pass, hence the IS NULL arm in the twin); survivor
+    scores identical to the unfiltered query's."""
+    from .plans.build import build_index
+    from .plans.query import Index
+    out = tempfile.mkdtemp(prefix="donkey_facet_not_")
+    build_index(spark, documents_as_corpus(spark, sf_dir), out,
+                facets=("lang",))
+    res = Index(spark, out).search_batch(
+        BM25_QUERIES, filters={"lang": {"not": list(_FACET_OR_LANGS)}})
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
 def q_map_fns(spark, sf_dir):
     """op 15 — map functions: per-doc term→tf map via map_from_arrays,
     probed with element_at and sized with size (order-insensitive outputs,
@@ -786,6 +805,14 @@ _BM25_FILTERED_OR_ORACLE = _bm25_oracle_sql(
                                 'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS did,
              lang FROM documents)
     WHERE lang IN {_FACET_OR_LANGS!r})""")
+_BM25_FILTERED_NOT_ORACLE = _bm25_oracle_sql(
+    BM25_QUERIES,
+    keep_sql=f"""doc_id IN (
+    SELECT did FROM (
+      SELECT row_number() OVER (ORDER BY source,
+                                'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS did,
+             lang FROM documents)
+    WHERE lang IS NULL OR lang NOT IN {_FACET_OR_LANGS!r})""")
 
 
 _H60 = ("CAST(CAST('0x'||substr(sha256(t||'#{i}'),1,15) AS UBIGINT) "
@@ -1182,6 +1209,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "bm25_topk_filtered_or": _BM25_FILTERED_OR_ORACLE,
+    "bm25_topk_filtered_not": _BM25_FILTERED_NOT_ORACLE,
     "lsh_ann_topk": _ann_oracle_sql(),
     # tombstone visibility on the ANN path: same planes/buckets, the
     # deleted ids (vec_id % 5 == 0) dropped from candidates only
@@ -1302,6 +1330,7 @@ QUERIES = {
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_filtered_or": q_bm25_topk_filtered_or,
+    "bm25_topk_filtered_not": q_bm25_topk_filtered_not,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "dictionary_stats": q_dictionary_stats,
     "scan_queries": q_scan_queries,

@@ -67,9 +67,11 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
     ``tombstones`` (a sorted global doc-id ndarray, or a Spark Broadcast
     of one on the distributed path) is sliced per range by searchsorted
     and passed to the kernels as local dead indices. ``required_groups``
-    (facet filters, list of facet-term lists): a doc must carry AT LEAST
-    ONE term of EVERY group — OR within a column's values, AND across
-    columns (`lang IN (py, java) AND repo = r`)."""
+    (facet filters, list of (kind, facet-term list) tuples, ANDed
+    across columns): kind "any" — a doc must carry AT LEAST ONE term of
+    the group (OR within a column's values, `lang IN (py, java)`);
+    kind "not" — a doc must carry NONE (complement semantics: a doc
+    without the column passes)."""
     import numpy as np
 
     def score_group(salt: int, by_term: dict[str, list[dict]],
@@ -90,23 +92,28 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
             # cache when present, a salt-local one otherwise)
             from ..kernels.wand import _decode_parts
             req_cache = cache if cache is not None else {}
-            for group in required_groups:
+            for kind, group in required_groups:
                 g_here = [t for t in group if t in by_term]
                 if not g_here:
-                    # no value of this column's filter has postings in
-                    # this doc range — nothing here can match
-                    return [], [], []
-                gmask = np.zeros(base_mult, dtype=bool)
+                    if kind == "any":
+                        # no value of this column's filter has postings
+                        # in this doc range — nothing here can match
+                        return [], [], []
+                    continue    # nothing to exclude in this range
+                gmask = np.full(base_mult, kind == "not", dtype=bool)
                 for t in g_here:
                     rids, _ = _decode_parts(by_term[t], "varint", avgdl,
                                             req_cache)
-                    gmask[rids - base] = True     # OR within the column
+                    # "any": OR within the column; "not": complement of
+                    # the union (a doc WITHOUT the column passes)
+                    gmask[rids - base] = kind == "any"
                 allowed = gmask if allowed is None else (allowed & gmask)
-            if dead is not None and dead.size:
-                allowed[dead] = False
-                dead = None                 # folded into the mask
-            if not allowed.any():
-                return [], [], []
+            if allowed is not None:
+                if dead is not None and dead.size:
+                    allowed[dead] = False
+                    dead = None             # folded into the mask
+                if not allowed.any():
+                    return [], [], []
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in qplan:
             tbs = [TermBlocks(idf_map[t], by_term[t])
@@ -373,12 +380,15 @@ class Index:
         every query of the batch to docs carrying the facet values —
         a LIST is an OR within that column (`lang IN (py, java)`), and
         columns AND together (index must be built with facets=...; see
-        plans/build.py). Facet terms intersect as zero-score presence
-        postings — BM25 scores are identical to the unfiltered query's
-        scores for the surviving docs."""
+        plans/build.py). {"lang": {"not": ["py", ...]}} NEGATES: docs
+        carrying any listed value are excluded; docs WITHOUT the column
+        pass (complement semantics — the SQL twin is `lang IS NULL OR
+        lang NOT IN (...)`). Facet terms intersect as zero-score
+        presence postings — BM25 scores are identical to the unfiltered
+        query's scores for the surviving docs."""
         if mode not in ("or", "and"):
             raise ValueError(mode)
-        facet_groups: list[list[str]] = []
+        facet_groups: list[tuple[str, list[str]]] = []
         if filters:
             unknown = sorted(set(filters) - set(self.facets))
             if unknown:
@@ -387,22 +397,33 @@ class Index:
                     f"facets={self.facets or '()'} — rebuild with "
                     f"build_index(..., facets=(...))")
             for c, v in sorted(filters.items()):
+                kind = "any"
+                if isinstance(v, dict):
+                    if set(v) != {"not"}:
+                        raise ValueError(
+                            f"filter dict for {c!r} must be "
+                            f"{{'not': values}}, got {sorted(v)}")
+                    kind, v = "not", v["not"]
                 vals = [v] if isinstance(v, str) else sorted(set(v))
                 if not vals:
                     raise ValueError(f"empty filter value list for {c!r}")
-                facet_groups.append([f"\x01{c}={x}" for x in vals])
-        facet_terms = [t for g in facet_groups for t in g]
+                facet_groups.append((kind, [f"\x01{c}={x}" for x in vals]))
+        facet_terms = [t for _, g in facet_groups for t in g]
         spark = self.spark
         parsed = {qid: (sorted(set(tokenize_py(text))), k)
                   for qid, text, k in queries}
         all_terms = sorted({t for ts, _ in parsed.values() for t in ts}
                            | set(facet_terms))
         dfs = self._lookup_terms(all_terms)
-        if any(all(t not in dfs for t in g) for g in facet_groups):
+        if any(kind == "any" and all(t not in dfs for t in g)
+               for kind, g in facet_groups):
             return []    # no doc carries ANY requested value of a column
-        # values absent from the dictionary drop out of their OR group
-        facet_groups = [[t for t in g if t in dfs] for g in facet_groups]
-        facet_terms = [t for g in facet_groups for t in g]
+        # values absent from the dictionary drop out of their group; an
+        # emptied NOT group excludes nothing and drops entirely
+        facet_groups = [(kind, [t for t in g if t in dfs])
+                        for kind, g in facet_groups]
+        facet_groups = [(kind, g) for kind, g in facet_groups if g]
+        facet_terms = [t for _, g in facet_groups for t in g]
         live_terms = sorted(dfs)
         if not live_terms:
             return []

@@ -23,8 +23,10 @@ def main() -> None:
     ap.add_argument("--filter", action="append", default=[],
                     metavar="COL=VALUE[,VALUE...]",
                     help="facet filter (repeatable); a comma list is an OR "
-                         "within the column, separate --filter flags AND "
-                         "together; index must be built with --facets")
+                         "within the column, COL!=VALUE[,...] negates "
+                         "(docs with a listed value are excluded), and "
+                         "separate --filter flags AND together; index "
+                         "must be built with --facets")
     ap.add_argument("--out", default=None, help="write results parquet here")
     a = ap.parse_args()
     if not a.query and not a.queries:
@@ -40,8 +42,15 @@ def main() -> None:
     else:
         batch = [(int(r["query_id"]), r["query"], int(r["k"]))
                  for r in spark.read.parquet(a.queries).collect()]
-    filters = {c: (v.split(",") if "," in v else v)
-               for c, v in (f.split("=", 1) for f in a.filter)} or None
+    filters = {}
+    for f in a.filter:
+        if "!=" in f:
+            c, v = f.split("!=", 1)
+            filters[c] = {"not": v.split(",")}
+        else:
+            c, v = f.split("=", 1)
+            filters[c] = v.split(",") if "," in v else v
+    filters = filters or None
     res = idx.search_batch(batch, mode=a.mode, filters=filters)
     if a.out:
         res.write.mode("overwrite").parquet(a.out)

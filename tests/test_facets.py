@@ -202,3 +202,45 @@ def test_or_filter_unknown_values_drop_out(spark, facet_setup):
                            filters={"lang": ["zz_nope", "zz_nada"]}) == []
     with pytest.raises(ValueError, match="empty filter"):
         idx.search_rows([(0, "def return", 10)], filters={"lang": []})
+
+
+def test_not_filter_equals_unfiltered_complement(spark, facet_setup):
+    """r4 negation: {"lang": {"not": [v...]}} == unfiltered ranking minus
+    docs carrying a listed value; survivor scores identical; both modes,
+    both execution paths; scalar and list forms agree."""
+    from donkey_spark.plans.query import Index
+    plain, faceted, lang = facet_setup
+    n = len(lang)
+    vals = sorted({v for v in lang.values()})[:2]
+    for local_bytes in (64 << 20, 0):
+        idx = Index(spark, faceted, local_bytes=local_bytes)
+        for mode in ("or", "and"):
+            full = idx.search_rows([(0, "def return", n)], mode=mode)
+            exp = [(r[2], round(r[3], 9)) for r in full
+                   if lang[r[2]] not in vals][:10]
+            assert len(exp) > 2
+            got = idx.search_rows([(0, "def return", 10)], mode=mode,
+                                  filters={"lang": {"not": vals}})
+            assert [(r[2], round(r[3], 9)) for r in got] == exp, \
+                (mode, local_bytes)
+            one = idx.search_rows([(0, "def return", 10)], mode=mode,
+                                  filters={"lang": {"not": vals[0]}})
+            lst = idx.search_rows([(0, "def return", 10)], mode=mode,
+                                  filters={"lang": {"not": [vals[0]]}})
+            assert one == lst, (mode, local_bytes)
+
+
+def test_not_filter_unknown_value_is_noop(spark, facet_setup):
+    """NOT of a value no doc carries excludes nothing; malformed filter
+    dicts raise."""
+    from donkey_spark.plans.query import Index
+    _, faceted, _ = facet_setup
+    idx = Index(spark, faceted)
+    base = idx.search_rows([(0, "def return", 10)])
+    got = idx.search_rows([(0, "def return", 10)],
+                          filters={"lang": {"not": ["zz_nope"]}})
+    assert got == base
+    with pytest.raises(ValueError, match="must be"):
+        idx.search_rows([(0, "def", 5)], filters={"lang": {"nope": ["x"]}})
+    with pytest.raises(ValueError, match="empty filter"):
+        idx.search_rows([(0, "def", 5)], filters={"lang": {"not": []}})
