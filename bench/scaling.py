@@ -36,19 +36,32 @@ def run(cmd: list[str], timeout_s: int = 1200) -> dict:
     """One fresh-JVM bench subprocess. A hard timeout + single retry
     guards the protocol against this host's rare loopback-TCP stalls
     (JVM↔python-worker socket wedges with both sides idle — observed
-    r4); a wedged run would otherwise hang the whole curve. A retried
-    run is a fresh JVM like any other, so medians stay honest."""
+    r4); a wedged run would otherwise hang the whole curve. The child
+    gets its own process group and the timeout kills the WHOLE group:
+    subprocess.run's own timeout only kills the direct python child and
+    then blocks draining pipes the wedged Spark JVM grandchild keeps
+    open. A retried run is a fresh JVM like any other, so medians stay
+    honest."""
+    import signal
     for attempt in (1, 2):
         print("+", " ".join(cmd),
               "" if attempt == 1 else "(retry after stall)",
               file=sys.stderr)
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True,
+                                cwd=ROOT, start_new_session=True)
         try:
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 check=True, cwd=ROOT, timeout=timeout_s)
-            return json.loads(out.stdout.strip().splitlines()[-1])
+            out, err = proc.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.communicate()              # group is dead: pipes closed
             if attempt == 2:
                 raise
+            continue
+        if proc.returncode != 0:
+            raise subprocess.CalledProcessError(proc.returncode, cmd,
+                                                out, err)
+        return json.loads(out.strip().splitlines()[-1])
     raise AssertionError("unreachable")
 
 
@@ -63,23 +76,29 @@ def weak_scaling(pairs: list[tuple[int, str]], runs: int) -> None:
     level once before round r+1 starts, so slow host drift — allocator
     state, page cache, thermal — lands on all levels equally instead of
     flattering whichever level ran last."""
-    walls: dict[int, list[float]] = {c: [] for c, _ in pairs}
+    # keyed by LEVEL INDEX, not core count: two levels may share a core
+    # count (e.g. comparing fixtures at fixed parallelism) and must not
+    # silently merge
+    walls: dict[int, list[float]] = {i: [] for i in range(len(pairs))}
     infos: dict[int, dict] = {}
+    unique_cores = len({c for c, _ in pairs}) == len(pairs)
     for r in range(runs):
-        for cores, data in pairs:
+        for i, (cores, data) in enumerate(pairs):
+            out_dir = (f"/tmp/weak_idx_{cores}" if unique_cores
+                       else f"/tmp/weak_idx_{cores}_L{i}")
             info = run([sys.executable, "bench/run_build.py",
                         "--data", data, "--cores", str(cores),
-                        "--out", f"/tmp/weak_idx_{cores}"])
-            walls[cores].append(info["wall_s"])
-            infos[cores] = info
+                        "--out", out_dir])
+            walls[i].append(info["wall_s"])
+            infos[i] = info
     levels = []
-    for cores, data in pairs:
+    for i, (cores, data) in enumerate(pairs):
         levels.append({"cores": cores, "data": data,
-                       "n_docs": infos[cores]["n_docs"],
-                       "files_per_core": infos[cores]["n_docs"] // cores,
-                       "walls": [round(w, 1) for w in walls[cores]],
+                       "n_docs": infos[i]["n_docs"],
+                       "files_per_core": infos[i]["n_docs"] // cores,
+                       "walls": [round(w, 1) for w in walls[i]],
                        "median_wall_s": round(
-                           statistics.median(walls[cores]), 1)})
+                           statistics.median(walls[i]), 1)})
     base = levels[0]
     for lv in levels:
         lv["weak_efficiency_vs_first"] = round(

@@ -121,19 +121,29 @@ def _apply_exclusions(spark, cand: DataFrame, id_col: str, exclude,
     pipeline convention that per-document embeddings carry vec_id ==
     doc_id. Same bounded-broadcast regime as the scorer (the key set is
     driver-manageable between compactions by design)."""
+    def _drop_ids(df, ids):
+        if not len(ids):
+            return df
+        if len(ids) <= 1000:
+            # small sets: a literal In-filter keeps the plan join-free
+            return df.where(~F.col(id_col).isin([int(i) for i in ids]))
+        # large sets: a literal list would bloat the plan / stall py4j —
+        # ship via Arrow as a DataFrame and anti-join (Spark/AQE picks
+        # broadcast vs shuffle; the candidate side is tiny either way)
+        import pandas as pd
+        dead = spark.createDataFrame(
+            pd.DataFrame({id_col: [int(i) for i in ids]}))
+        return df.join(dead, id_col, "left_anti")
+
     if tombstones_from is not None:
         from ..plans.delete import load_tombstones
-        ids = load_tombstones(spark, tombstones_from)
-        if ids.size:
-            cand = cand.where(~F.col(id_col).isin([int(i) for i in ids]))
+        cand = _drop_ids(cand, load_tombstones(spark, tombstones_from))
     if exclude is not None:
         if isinstance(exclude, DataFrame):
             cand = cand.join(F.broadcast(exclude.select(id_col).distinct()),
                              id_col, "left_anti")
         else:
-            ids = [int(i) for i in exclude]
-            if ids:
-                cand = cand.where(~F.col(id_col).isin(ids))
+            cand = _drop_ids(cand, list(exclude))
     return cand
 
 

@@ -142,6 +142,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         # not write chunk=* dictionary partials beside a pre-chunked
         # (flat bucket=*) dictionary root
         _check_dictionary_layout(spark, out_dir)
+    else:
+        # tombstones survive fresh rebuilds (see the cleanup note below),
+        # which is only safe in the KEY format — a legacy id-only set
+        # must resolve through the OLD docs table before this build
+        # reassigns ids, or the stale ids would remap onto wrong docs
+        from .delete import migrate_legacy_tombstones
+        migrate_legacy_tombstones(spark, out_dir)
     phases: dict[str, float] = {}
     _last = [t0]
 

@@ -114,6 +114,50 @@ def tombstone_keys(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return _read_tombstone_keys(spark, index_dir)
 
 
+def migrate_legacy_tombstones(spark: SparkSession, index_dir: str) -> None:
+    """Rewrite a legacy (pre-r3, doc_id-only) tombstone set in the key
+    format, resolving ids through the CURRENT docs table.
+
+    MUST run before a fresh rebuild reassigns doc ids: ids are
+    index-generation-specific, so an id-format set surviving into a
+    rebuilt index would resolve against the NEW docs table and silently
+    hide arbitrary wrong documents. (Key-format sets are what make
+    tombstones rebuild-safe in the first place; this is the one-time
+    on-ramp for old indexes — build_index calls it on every fresh
+    build, where it is a no-op unless an id-format set exists.)"""
+    from ..fsutil import fs_exists, hadoop_fs
+    tomb_dir, staging = _dirs(index_dir)
+    src = (tomb_dir if fs_exists(spark, tomb_dir)
+           else staging if fs_exists(spark, staging) else None)
+    if src is None:
+        return
+    t = spark.read.parquet(src)
+    if set(_KEY_COLS) <= set(t.columns):
+        return                              # already key-format
+    if not fs_exists(spark, f"{index_dir}/docs"):
+        raise ValueError(
+            f"{src} holds a legacy doc_id-format tombstone set but "
+            f"{index_dir}/docs is missing, so the ids cannot be resolved "
+            f"to keys; clear the set manually before rebuilding")
+    # bounded (the legacy format predates the large-set support) —
+    # collect so the rewrite never holds a lazy plan over the dirs it
+    # replaces
+    rows = (spark.read.parquet(f"{index_dir}/docs")
+            .join(t.select("doc_id"), "doc_id")
+            .select(*_KEY_COLS).distinct().collect())
+    keys = spark.createDataFrame(
+        rows or [], "repo string, path string, commit string")
+    fs, tpath = hadoop_fs(spark, tomb_dir)
+    _, spath = hadoop_fs(spark, staging)
+    keys.coalesce(1).write.mode("overwrite").parquet(staging)
+    if fs_exists(spark, tomb_dir) and not fs.delete(tpath, True):
+        raise IOError(f"could not clear {tomb_dir} for the migration swap")
+    if not fs.rename(spath, tpath):
+        raise IOError(f"tombstone migration swap failed: {staging} -> "
+                      f"{tomb_dir}; the key-format set is intact in "
+                      f"{staging} (reader falls back to it)")
+
+
 def clear_tombstones(spark: SparkSession, index_dir: str) -> None:
     from ..fsutil import fs_exists, hadoop_fs
     for d in _dirs(index_dir):

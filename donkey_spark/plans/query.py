@@ -254,12 +254,13 @@ class Index:
         automatically for hot terms / big batches / remote storage.
 
         scan_partition_bytes: file-split size for the distributed
-        scorer's segment scan, applied around that job only (the session
-        global stays at the build's setting — get_spark tunes it DOWN to
-        8m so the extractor UDF gets enough input tasks, which fragments
-        the query scan into hundreds of tiny tasks: measured +1s on the
-        1M-index 50-query warm batch; 64–256m all equally fix it,
-        BENCH/BASELINE.md §Query latency)."""
+        scorer's segment scan, set on an isolated child session (shared
+        SparkContext, own SQL conf) so the caller's session — which
+        get_spark tunes DOWN to 8m so the build's extractor UDF gets
+        enough input tasks — is never mutated or raced. At 8m the query
+        scan fragments into hundreds of tiny tasks: measured +1s on the
+        1M-index 50-query warm batch; 64–256m all equally fix it
+        (BENCH/BASELINE.md §Query latency)."""
         from ..fsutil import fs_is_local, local_path
         self.spark = spark
         self.dir = index_dir
@@ -285,7 +286,25 @@ class Index:
         md = m.asDict()
         self.facets = tuple(f for f in (md.get("facets") or "").split(",")
                             if f)
-        self._seg = spark.read.option(
+        # the distributed scorer's scan runs on an ISOLATED child session
+        # (shared SparkContext, own SQL conf) so its split sizing never
+        # mutates — or races with — the caller's session conf (the build
+        # tunes maxPartitionBytes DOWN; a set/restore around the collect
+        # would leak across concurrently-serving threads)
+        try:
+            qspark = spark.newSession()
+            for k in ("spark.sql.shuffle.partitions",
+                      "spark.sql.adaptive.enabled",
+                      "spark.sql.adaptive.coalescePartitions.enabled",
+                      "spark.sql.execution.arrow.maxRecordsPerBatch",
+                      "spark.sql.session.timeZone"):
+                qspark.conf.set(k, spark.conf.get(k))
+            qspark.conf.set("spark.sql.files.maxPartitionBytes",
+                            scan_partition_bytes)
+        except Exception:      # e.g. a connect session: fall back, scan
+            qspark = spark     # splits then follow the session setting
+        self._qspark = qspark
+        self._seg = qspark.read.option(
             "basePath", f"{index_dir}/segments").parquet(
             f"{index_dir}/segments")
         self._dict = spark.read.parquet(f"{index_dir}/dictionary")
@@ -492,22 +511,17 @@ class Index:
                 from pyspark.sql import Window
                 w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                            F.asc("doc_id"))
-                ksdf = spark.createDataFrame(list(ks_.items()),
-                                             "query_id int, k int")
+                # same session as the scan: DataFrames from different
+                # sessions cannot join
+                ksdf = self._qspark.createDataFrame(list(ks_.items()),
+                                                    "query_id int, k int")
                 scored = (scored.withColumn("rank", F.row_number().over(w))
                           .join(F.broadcast(ksdf), "query_id")
                           .where(F.col("rank") <= F.col("k"))
                           .drop("rank", "k"))
-            # split sizing applies at job planning, so set it only around
-            # this collect and restore the session's (build-tuned) value
-            _MPB = "spark.sql.files.maxPartitionBytes"
-            prev_mpb = spark.conf.get(_MPB)
-            spark.conf.set(_MPB, self.scan_partition_bytes)
-            try:
-                cand = [(r["query_id"], r["doc_id"], r["score"])
-                        for r in scored.collect()]    # Spark job 1
-            finally:
-                spark.conf.set(_MPB, prev_mpb)
+            cand = [(r["query_id"], r["doc_id"], r["score"])
+                    for r in scored.collect()]        # Spark job 1
+            #   (split sizing comes from self._qspark's isolated conf)
 
         ks = {qid: k for qid, _, k in qplan}
         by_q: dict[int, list] = {}

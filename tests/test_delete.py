@@ -386,3 +386,35 @@ def test_delete_million_key_set_and_compact(spark, tmp_path):
                              F.col("path").isin("doc/3", "doc/4")),
                              ["repo", "path", "commit"], "left_semi")
                          .collect()}
+
+
+def test_legacy_id_tombstones_migrate_before_fresh_rebuild(spark, tmp_path):
+    """A pre-r3 id-only tombstone set must be resolved to KEYS through
+    the OLD docs table before a fresh rebuild reassigns doc ids —
+    otherwise the stale ids would remap onto arbitrary wrong documents
+    in the rebuilt index (r4 review finding)."""
+    import pandas as pd
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import load_tombstones
+    out = str(tmp_path / "idx")
+    pdf1 = gen_corpus(60, seed=3)
+    build_index(spark, spark.createDataFrame(pdf1), out, range_size=64)
+    old = {r["doc_id"]: (r["repo"], r["path"], r["commit"]) for r in
+           spark.read.parquet(f"{out}/docs").collect()}
+    victims = {old[4], old[9]}
+    (spark.createDataFrame([(4,), (9,)], "doc_id long")
+     .coalesce(1).write.parquet(f"{out}/tombstones"))
+
+    # rebuild over an EXTENDED corpus — dense id assignment shifts
+    pdf2 = pd.concat([pdf1, gen_corpus(30, seed=77)], ignore_index=True)
+    build_index(spark, spark.createDataFrame(pdf2), out, range_size=64)
+
+    t = spark.read.parquet(f"{out}/tombstones")
+    assert {"repo", "path", "commit"} <= set(t.columns)   # migrated
+    assert {(r["repo"], r["path"], r["commit"])
+            for r in t.collect()} == victims
+    # the hidden docs are the ORIGINAL documents, at their NEW ids
+    new = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in
+           spark.read.parquet(f"{out}/docs").collect()}
+    assert sorted(load_tombstones(spark, out).tolist()) == \
+        sorted(new[k] for k in victims)
