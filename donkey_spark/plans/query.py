@@ -548,6 +548,29 @@ class Index:
             self.search_rows(queries, mode, filters=filters),
             _RESULT_SCHEMA)
 
+    def search_rows_mixed(self, specs: list[tuple]) -> list[tuple]:
+        """Serving-loop surface for a batch with PER-QUERY modes/filters:
+        ``specs`` = [(query_id, text, k, mode, filters)] (mode/filters
+        may be None → "or" / unfiltered). Queries sharing (mode, filter)
+        run as one sub-batch through search_rows — the per-salt filter
+        masks and the prefill decode cache amortize within each group,
+        and the Index-level dictionary memo amortizes across groups —
+        then results merge back sorted by (query_id, rank). query_ids
+        must be unique across the whole batch."""
+        import json
+        from collections import defaultdict
+        groups: dict[tuple, list] = defaultdict(list)
+        for qid, text, k, mode, filt in specs:
+            sig = (mode or "or",
+                   json.dumps(filt, sort_keys=True, default=list)
+                   if filt else "")
+            groups[sig].append((qid, text, k, filt))
+        out: list[tuple] = []
+        for (mode, _), qs in groups.items():
+            out.extend(self.search_rows([(q, t, k) for q, t, k, _ in qs],
+                                        mode=mode, filters=qs[0][3]))
+        return sorted(out)
+
     def _pa_dataset(self, sub: str):
         """Memoized pyarrow dataset handles (file discovery is per-Index,
         like the Spark DataFrame handles)."""

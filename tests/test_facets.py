@@ -244,3 +244,27 @@ def test_not_filter_unknown_value_is_noop(spark, facet_setup):
         idx.search_rows([(0, "def", 5)], filters={"lang": {"nope": ["x"]}})
     with pytest.raises(ValueError, match="empty filter"):
         idx.search_rows([(0, "def", 5)], filters={"lang": {"not": []}})
+
+
+def test_mixed_batch_per_query_filters(spark, facet_setup):
+    """search_rows_mixed: one batch mixing unfiltered, equality, OR, NOT
+    and AND-mode queries returns exactly each query's individual result."""
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    vals = sorted({v for v in lang.values()})[:2]
+    idx = Index(spark, faceted)
+    specs = [
+        (0, "def return", 5, None, None),
+        (1, "def return", 5, "or", {"lang": vals[0]}),
+        (2, "def return", 5, "or", {"lang": vals}),
+        (3, "def return", 5, "or", {"lang": {"not": vals}}),
+        (4, "def return", 5, "and", None),
+        (5, "class import", 5, "or", {"lang": vals[0]}),  # batches with 1
+    ]
+    got = idx.search_rows_mixed(specs)
+    exp = []
+    for qid, text, k, mode, filt in specs:
+        exp.extend(idx.search_rows([(qid, text, k)], mode=mode or "or",
+                                   filters=filt))
+    assert got == sorted(exp)
+    assert {r[0] for r in got} == set(range(6))
