@@ -1,0 +1,81 @@
+"""CLI smoke tests — the spark-submit entry points run end to end as
+plain subprocesses (build → query with every filter form → delete →
+query again). Guards the scripts against bitrot: they are the deploy
+surface the north rule ships via --py-files."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from fixtures.gen_corpus import gen_corpus
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, **env):
+    e = dict(os.environ, PYTHONPATH=ROOT,
+             SPARK_GRAFT_CPUS="4", **env)
+    # scripts use a bare SparkSession.builder (spark-submit supplies the
+    # master on a cluster); supply it here the same way spark-submit would
+    e.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    e["PYSPARK_SUBMIT_ARGS"] = "--master local[4] pyspark-shell"
+    out = subprocess.run([sys.executable] + args, capture_output=True,
+                         text=True, cwd=ROOT, timeout=600, env=e)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    return out.stdout
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    pdf = gen_corpus(120, seed=19)
+    pdf.to_parquet(base / "corpus.parquet", index=False)
+    return base
+
+
+def test_cli_build_query_delete_roundtrip(cli_corpus):
+    base = cli_corpus
+    idx = str(base / "idx")
+    out = _run(["scripts/build_index.py", "--corpus",
+                str(base / "corpus.parquet"), "--out", idx,
+                "--facets", "lang", "--chunks", "2"])
+    info = json.loads(out.strip().splitlines()[-1])
+    # chunk boundaries are range-size multiples, so a corpus smaller
+    # than one range collapses to a single chunk
+    assert info["n_docs"] == 120 and info["n_chunks"] >= 1
+
+    res = str(base / "res")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "5", "--out", res])
+    df = pd.read_parquet(res)
+    assert len(df) == 5 and (df["score"] > 0).all()
+    top_ids = df.sort_values("rank")["doc_id"].tolist()
+
+    # every filter form parses and runs
+    for filt in (["--filter", "lang=en"],
+                 ["--filter", "lang=en,de"],
+                 ["--filter", "lang!=en"],
+                 ["--filter", "lang!=en,de", "--mode", "and"]):
+        _run(["scripts/query.py", "--index", idx, "--query", "def return",
+              "-k", "3", "--out", res] + filt)
+        assert set(pd.read_parquet(res).columns) >= {"doc_id", "score"}
+
+    out = _run(["scripts/delete_docs.py", "--index", idx,
+                "--ids", f"{top_ids[0]},{top_ids[1]}"])
+    assert "tombstones: 2" in out
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "5", "--out", res])
+    left = pd.read_parquet(res)["doc_id"].tolist()
+    assert not {top_ids[0], top_ids[1]} & set(left)
+
+    # resume is a no-op when all chunks committed
+    out = _run(["scripts/build_index.py", "--corpus",
+                str(base / "corpus.parquet"), "--out", idx, "--resume",
+                "--facets", "lang", "--chunks", "2"])
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["chunks_built"] == 0
+    assert info["chunks_skipped"] == info["n_chunks"]
