@@ -28,7 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2, all
+    """One entry per implemented ◇ operator from SURVEY.md §2 (50 since
+    r4 — adds the OR/NOT filtered-search and ANN-deletion pairs), all
     oracle-backed."""
     from donkey_spark.contract import QUERIES
     return dict(QUERIES)
