@@ -53,7 +53,10 @@ def run(cmd: list[str], timeout_s: int = 1200) -> dict:
         try:
             out, err = proc.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired:
-            os.killpg(proc.pid, signal.SIGKILL)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass                        # group exited at the deadline
             proc.communicate()              # group is dead: pipes closed
             if attempt == 2:
                 raise

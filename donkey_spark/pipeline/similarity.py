@@ -189,7 +189,8 @@ def ann_bucket_rows(vectors: DataFrame, id_col: str = "vec_id",
 
 def build_ann_index(vectors: DataFrame, out_dir: str,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_tables: int = 8, n_planes: int = 6) -> None:
+                    n_tables: int = 8, n_planes: int = 6,
+                    dim: int | None = None) -> None:
     """Materialize the bucket table, partitioned by bucket, so a probe
     reads exactly n_tables partition dirs out of n_tables·2^n_planes.
 
@@ -197,14 +198,16 @@ def build_ann_index(vectors: DataFrame, out_dir: str,
     probe needs NO join back to the vector table — the pruned scan feeds
     the rescorer directly. For storage-tight deployments store ids only
     and semi-join the vector table on the (bounded) candidate set instead."""
-    rows = ann_bucket_rows(vectors, id_col, vec_col, n_tables, n_planes)
+    rows = ann_bucket_rows(vectors, id_col, vec_col, n_tables, n_planes,
+                           dim=dim)
     (rows.repartition(F.col("bucket"))
          .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
 
 
 def append_ann_vectors(vectors: DataFrame, out_dir: str,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       n_tables: int = 8, n_planes: int = 6) -> None:
+                       n_tables: int = 8, n_planes: int = 6,
+                       dim: int | None = None) -> None:
     """Incremental vector ingest: hash a NEW batch of vectors into the
     existing bucket table (plain partitioned append — the planes are
     deterministic, so old and new rows share the same bucket space).
@@ -216,7 +219,10 @@ def append_ann_vectors(vectors: DataFrame, out_dir: str,
     arbitrarily — to UPDATE a vector, tombstone/exclude the old id (it
     vanishes from results immediately) and compact later
     (``compact_ann_index``), exactly like document deletion."""
-    rows = ann_bucket_rows(vectors, id_col, vec_col, n_tables, n_planes)
+    # pass dim on hot append loops: inferring it costs a .first() job
+    # per batch, and the dimension is constant for an index anyway
+    rows = ann_bucket_rows(vectors, id_col, vec_col, n_tables, n_planes,
+                           dim=dim)
     (rows.repartition(F.col("bucket"))
          .write.mode("append").partitionBy("bucket").parquet(out_dir))
 
@@ -225,7 +231,7 @@ def compact_ann_index(spark, vectors: DataFrame, out_dir: str,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_tables: int = 8, n_planes: int = 6,
                       tombstones_from: str | None = None,
-                      exclude=None) -> None:
+                      exclude=None, dim: int | None = None) -> None:
     """The ANN `reindex` analog: full rebuild of the bucket table from
     the current vector set, minus tombstoned/excluded ids — reclaims
     the space of deleted vectors and collapses duplicate-id appends.
@@ -233,7 +239,8 @@ def compact_ann_index(spark, vectors: DataFrame, out_dir: str,
     vector source), since the rebuild overwrites the bucket table."""
     vectors = _apply_exclusions(spark, vectors, id_col, exclude,
                                 tombstones_from)
-    build_ann_index(vectors, out_dir, id_col, vec_col, n_tables, n_planes)
+    build_ann_index(vectors, out_dir, id_col, vec_col, n_tables, n_planes,
+                    dim=dim)
 
 
 def ann_topk(spark, index_dir: str, probe: list[float], k: int = 10,

@@ -127,10 +127,17 @@ def migrate_legacy_tombstones(spark: SparkSession, index_dir: str) -> None:
     build, where it is a no-op unless an id-format set exists.)"""
     from ..fsutil import fs_exists, hadoop_fs
     tomb_dir, staging = _dirs(index_dir)
-    src = (tomb_dir if fs_exists(spark, tomb_dir)
-           else staging if fs_exists(spark, staging) else None)
-    if src is None:
+    fs, tpath0 = hadoop_fs(spark, tomb_dir)
+    _, spath0 = hadoop_fs(spark, staging)
+    # promote a staging-only committed set FIRST (same invariant as
+    # delete_docs): the rewrite below overwrites staging, and a crash
+    # mid-overwrite must never destroy the only copy of the set
+    if not fs_exists(spark, tomb_dir) and fs_exists(spark, staging):
+        if not fs.rename(spath0, tpath0):
+            raise IOError(f"could not promote {staging} to {tomb_dir}")
+    if not fs_exists(spark, tomb_dir):
         return
+    src = tomb_dir
     t = spark.read.parquet(src)
     if set(_KEY_COLS) <= set(t.columns):
         return                              # already key-format

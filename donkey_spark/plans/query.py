@@ -519,9 +519,23 @@ class Index:
                           .join(F.broadcast(ksdf), "query_id")
                           .where(F.col("rank") <= F.col("k"))
                           .drop("rank", "k"))
-            cand = [(r["query_id"], r["doc_id"], r["score"])
-                    for r in scored.collect()]        # Spark job 1
-            #   (split sizing comes from self._qspark's isolated conf)
+            if self._qspark is not spark:
+                # split sizing comes from the isolated session's conf
+                cand = [(r["query_id"], r["doc_id"], r["score"])
+                        for r in scored.collect()]    # Spark job 1
+            else:
+                # newSession() unavailable (fallback): apply the split
+                # sizing via set/restore — single-serving-thread
+                # semantics on such sessions, but the scan must not run
+                # fragmented at the build-tuned 8m
+                _MPB = "spark.sql.files.maxPartitionBytes"
+                prev_mpb = spark.conf.get(_MPB)
+                spark.conf.set(_MPB, self.scan_partition_bytes)
+                try:
+                    cand = [(r["query_id"], r["doc_id"], r["score"])
+                            for r in scored.collect()]
+                finally:
+                    spark.conf.set(_MPB, prev_mpb)
 
         ks = {qid: k for qid, _, k in qplan}
         by_q: dict[int, list] = {}

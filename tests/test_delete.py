@@ -418,3 +418,23 @@ def test_legacy_id_tombstones_migrate_before_fresh_rebuild(spark, tmp_path):
            spark.read.parquet(f"{out}/docs").collect()}
     assert sorted(load_tombstones(spark, out).tolist()) == \
         sorted(new[k] for k in victims)
+
+
+def test_legacy_staging_only_set_promoted_before_migration(spark, tmp_path):
+    """A legacy id-format set living ONLY in tombstones_staging (torn
+    pre-migration swap) must be promoted before the migration rewrites
+    staging — the rewrite may never overwrite the set's only copy."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import load_tombstones
+    out = str(tmp_path / "idx")
+    pdf = gen_corpus(50, seed=13)
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64)
+    old = {r["doc_id"]: (r["repo"], r["path"], r["commit"]) for r in
+           spark.read.parquet(f"{out}/docs").collect()}
+    (spark.createDataFrame([(7,)], "doc_id long")
+     .coalesce(1).write.parquet(f"{out}/tombstones_staging"))
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64)
+    t = spark.read.parquet(f"{out}/tombstones")
+    assert {(r["repo"], r["path"], r["commit"])
+            for r in t.collect()} == {old[7]}
+    assert load_tombstones(spark, out).tolist() == [7]

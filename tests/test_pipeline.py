@@ -290,7 +290,7 @@ def test_ann_incremental_append_and_compact(spark, tmp_path):
            ann_topk(spark, full, probe, k=10, n_tables=4,
                     n_planes=4).collect()]
     assert got == ref
-    assert any(v >= 300 for v, _ in got) or True   # appended rows present
+    # appended rows really landed in the bucket table
     n_appended = (spark.read.parquet(inc)
                   .where(F.col("vec_id") >= 300).count())
     assert n_appended > 0
