@@ -268,3 +268,21 @@ def test_mixed_batch_per_query_filters(spark, facet_setup):
                                    filters=filt))
     assert got == sorted(exp)
     assert {r[0] for r in got} == set(range(6))
+
+
+def test_distributed_fallback_split_sizing(spark, facet_setup):
+    """When the isolated query session is unavailable (Index._qspark is
+    the caller's session), the scorer applies its split size via
+    set/restore: results identical, session conf restored."""
+    from donkey_spark.plans.query import Index
+    _, faceted, _ = facet_setup
+    base = Index(spark, faceted, local_bytes=0).search_rows(
+        [(0, "def return", 10)])
+    idx = Index(spark, faceted, local_bytes=0)
+    idx._qspark = spark                      # force the fallback branch
+    idx._seg = spark.read.option(
+        "basePath", f"{faceted}/segments").parquet(f"{faceted}/segments")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    got = idx.search_rows([(0, "def return", 10)])
+    assert got == base
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prev
