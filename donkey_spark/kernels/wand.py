@@ -87,6 +87,8 @@ def _span_maxima(acc: np.ndarray, lo: np.ndarray,
     out of reduceat's index domain — dropping it leaves the final
     segment running to the array end, which is the same span."""
     m = lo.size
+    if m == 0:          # reduceat would raise on flat[-1] of an empty set;
+        return np.empty(0, dtype=acc.dtype)  # shared helper, guard here
     o = np.argsort(lo, kind="stable")
     flat = np.empty(2 * m, dtype=np.int64)
     flat[0::2] = lo[o]

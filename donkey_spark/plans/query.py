@@ -240,6 +240,42 @@ def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
     return score_arrow
 
 
+#: (applicationId, scan_partition_bytes, mirrored conf values) -> child
+#: session. Keying on the mirrored values means a caller whose runtime
+#: conf differs (e.g. another timeZone) gets its OWN child rather than
+#: silently inheriting a previous caller's settings.
+_QSPARK_CACHE: dict[tuple, SparkSession] = {}
+
+_QSPARK_MIRROR = ("spark.sql.shuffle.partitions",
+                  "spark.sql.adaptive.enabled",
+                  "spark.sql.adaptive.coalescePartitions.enabled",
+                  "spark.sql.execution.arrow.maxRecordsPerBatch",
+                  "spark.sql.session.timeZone")
+
+
+def _query_session(spark: SparkSession,
+                   scan_partition_bytes: str) -> SparkSession:
+    """One shared child session per (application, split size, mirrored
+    caller confs) — isolated SQL conf for the query scan without leaking
+    a session per Index instance."""
+    try:
+        mirrored = tuple(spark.conf.get(k) for k in _QSPARK_MIRROR)
+        key = (spark.sparkContext.applicationId, scan_partition_bytes,
+               mirrored)
+        cached = _QSPARK_CACHE.get(key)
+        if cached is not None:
+            return cached
+        qspark = spark.newSession()
+        for k, v in zip(_QSPARK_MIRROR, mirrored):
+            qspark.conf.set(k, v)
+        qspark.conf.set("spark.sql.files.maxPartitionBytes",
+                        scan_partition_bytes)
+        _QSPARK_CACHE[key] = qspark
+        return qspark
+    except Exception:          # e.g. a connect session: fall back, scan
+        return spark           # splits then follow the session setting
+
+
 class Index:
     """Reader over a built index directory (plans/build.py layout)."""
 
@@ -290,21 +326,12 @@ class Index:
         # (shared SparkContext, own SQL conf) so its split sizing never
         # mutates — or races with — the caller's session conf (the build
         # tunes maxPartitionBytes DOWN; a set/restore around the collect
-        # would leak across concurrently-serving threads)
-        try:
-            qspark = spark.newSession()
-            for k in ("spark.sql.shuffle.partitions",
-                      "spark.sql.adaptive.enabled",
-                      "spark.sql.adaptive.coalescePartitions.enabled",
-                      "spark.sql.execution.arrow.maxRecordsPerBatch",
-                      "spark.sql.session.timeZone"):
-                qspark.conf.set(k, spark.conf.get(k))
-            qspark.conf.set("spark.sql.files.maxPartitionBytes",
-                            scan_partition_bytes)
-        except Exception:      # e.g. a connect session: fall back, scan
-            qspark = spark     # splits then follow the session setting
-        self._qspark = qspark
-        self._seg = qspark.read.option(
+        # would leak across concurrently-serving threads). Child sessions
+        # are SHARED per (application, split size, mirrored-conf values):
+        # embedders constructing many Index objects would otherwise leak
+        # one never-released session each (r4 ADVICE).
+        self._qspark = _query_session(spark, scan_partition_bytes)
+        self._seg = self._qspark.read.option(
             "basePath", f"{index_dir}/segments").parquet(
             f"{index_dir}/segments")
         self._dict = spark.read.parquet(f"{index_dir}/dictionary")
@@ -573,6 +600,13 @@ class Index:
         must be unique across the whole batch."""
         import json
         from collections import defaultdict
+        qids = [s[0] for s in specs]
+        if len(set(qids)) != len(qids):
+            dup = sorted({q for q in qids if qids.count(q) > 1})
+            raise ValueError(
+                f"search_rows_mixed: duplicate query_ids {dup} — results "
+                f"from different sub-batches would interleave under the "
+                f"same id; give every spec a unique query_id")
         groups: dict[tuple, list] = defaultdict(list)
         for qid, text, k, mode, filt in specs:
             sig = (mode or "or",

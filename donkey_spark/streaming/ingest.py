@@ -140,19 +140,41 @@ def merge_dictionary_partials(spark: SparkSession, index_dir: str,
     a crash before it changes nothing, a crash after it leaves
     superseded dirs that are ignored and GC'd on the next call.
 
-    ``before_epoch``: fold only stream epochs < this id — REQUIRED when
-    called from inside a running stream (pass the current epoch id):
-    a foreachBatch retry re-delivers only the current epoch, so folding
+    ``before_epoch``: fold only stream epochs < this id — pass the
+    current epoch id when calling from inside a running stream: a
+    foreachBatch retry re-delivers only the current epoch, so folding
     strictly older (committed) epochs can never double-count a replay.
+    When omitted it is DERIVED from the manifest_stream journal (fold
+    only journaled epochs): an epoch whose dictionary partial exists but
+    whose manifest row hasn't committed yet is mid-write — folding it
+    would freeze a partial rewrite into m<E> and permanently understate
+    df/cf. Callers can no longer hit that window by forgetting the
+    argument.
+
+    Superseded source dirs are NOT deleted in the same call that
+    supersedes them: a live Index created before this merge may still
+    hold memoized dataset handles over them, and the reader rule already
+    ignores them. They are reclaimed at the START of the NEXT merge call
+    — a one-merge grace period. (A reader created before TWO merges ago
+    must be re-created; Index objects are cheap and serving loops
+    re-plan per batch anyway.)
+
     Returns the number of partials folded (0 = no-op)."""
-    from ..fsutil import hadoop_fs
+    from ..fsutil import fs_exists, hadoop_fs
     chunks = dictionary_chunks(spark, index_dir)
     if not chunks:
         return 0
+    if before_epoch is None and any(_is_stream_chunk(c) for c in chunks):
+        journaled = -1
+        if fs_exists(spark, f"{index_dir}/manifest_stream"):
+            journaled = int(
+                spark.read.parquet(f"{index_dir}/manifest_stream")
+                .agg(F.coalesce(F.max("epoch"), F.lit(-1))).collect()[0][0])
+        before_epoch = journaled + 1
     fs, _ = hadoop_fs(spark, f"{index_dir}/dictionary")
     active = set(active_dictionary_chunks(chunks))
-    for c in chunks:                       # GC leftovers of a prior crash
-        if c not in active:
+    for c in chunks:        # deferred GC: dirs superseded by a PRIOR call
+        if c not in active:  # (grace period) or left by a prior crash
             _, p = hadoop_fs(spark, f"{index_dir}/dictionary/chunk={c}")
             fs.delete(p, True)
     top = max((int(c[1:]) for c in chunks if _is_m_chunk(c)), default=-1)
@@ -186,9 +208,9 @@ def merge_dictionary_partials(spark: SparkSession, index_dir: str,
     if not sfs.rename(spath, tpath):
         raise IOError(f"dictionary merge commit failed: rename {staging} "
                       f"-> chunk=m{new_top} returned false")
-    for d in src_dirs:                     # GC (readers already ignore)
-        _, p = hadoop_fs(spark, d)
-        fs.delete(p, True)
+    # src_dirs are now superseded — readers ignore them (reader rule) and
+    # the NEXT merge call's GC loop reclaims them, so a live Index holding
+    # memoized handles over them keeps working through this merge
     return n_src
 
 

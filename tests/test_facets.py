@@ -270,6 +270,34 @@ def test_mixed_batch_per_query_filters(spark, facet_setup):
     assert {r[0] for r in got} == set(range(6))
 
 
+def test_mixed_batch_rejects_duplicate_query_ids(spark, facet_setup):
+    """r5 (ADVICE): duplicate query_ids across sub-batches would silently
+    interleave rankings under one id — reject them up front."""
+    import pytest
+    from donkey_spark.plans.query import Index
+    _, faceted, _ = facet_setup
+    idx = Index(spark, faceted)
+    with pytest.raises(ValueError, match="duplicate query_ids \\[7\\]"):
+        idx.search_rows_mixed([(7, "def", 5, None, None),
+                               (7, "return", 5, "and", None)])
+
+
+def test_index_child_sessions_are_shared(spark, facet_setup):
+    """r5 (ADVICE): Index instances with the same caller conf + split
+    size share ONE child session (no session leak per instance); a
+    different split size gets its own."""
+    from donkey_spark.plans.query import Index
+    _, faceted, _ = facet_setup
+    a = Index(spark, faceted)
+    b = Index(spark, faceted)
+    assert a._qspark is b._qspark
+    assert a._qspark is not spark
+    c = Index(spark, faceted, scan_partition_bytes="64m")
+    assert c._qspark is not a._qspark
+    assert c._qspark.conf.get("spark.sql.files.maxPartitionBytes") == "64m"
+    assert a._qspark.conf.get("spark.sql.files.maxPartitionBytes") == "128m"
+
+
 def test_distributed_fallback_split_sizing(spark, facet_setup):
     """When the isolated query session is unavailable (Index._qspark is
     the caller's session), the scorer applies its split size via

@@ -329,3 +329,17 @@ def test_and_kernel_theta_single_term_blockmax():
     np.testing.assert_array_equal(ids, exp_ids)
     np.testing.assert_allclose(sc, exp_sc, atol=1e-9)
     assert stats.get("blocks_skipped_theta", 0) > 0
+
+
+def test_span_maxima_empty_and_basic():
+    """r5 (ADVICE): _span_maxima on zero spans returns an empty array
+    (reduceat would IndexError); non-empty spans match per-slice max."""
+    from donkey_spark.kernels.wand import _span_maxima
+    acc = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0])
+    out = _span_maxima(acc, np.empty(0, dtype=np.int64),
+                       np.empty(0, dtype=np.int64))
+    assert out.size == 0 and out.dtype == acc.dtype
+    lo = np.array([4, 0], dtype=np.int64)
+    hi = np.array([7, 3], dtype=np.int64)
+    np.testing.assert_array_equal(_span_maxima(acc, lo, hi),
+                                  np.array([9.0, 4.0]))

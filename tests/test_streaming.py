@@ -227,8 +227,13 @@ def test_dictionary_partial_merge_caps_probe_cost(spark, tmp_path,
     n_stream = sum(1 for c in active if c.startswith("stream"))
     assert any(c.startswith("m") for c in active), chunks
     assert n_stream <= 3 + 1, chunks          # capped, not O(epochs)
-    # superseded source dirs were GC'd by the merge
-    assert sorted(chunks) == sorted(active)
+    # superseded source dirs survive the merge that superseded them (a
+    # one-merge grace period so live readers' memoized handles stay
+    # valid); the NEXT maintenance call reclaims them (min_partials=99
+    # makes it GC-only — no new fold, or ITS sources would linger)
+    ing.merge_dictionary_partials(spark, idx, min_partials=99)
+    chunks = ing.dictionary_chunks(spark, idx)
+    assert sorted(chunks) == sorted(ing.active_dictionary_chunks(chunks))
 
     # summed df over ACTIVE partials == truth recomputed from segments
     seg_all = spark.read.option("basePath", f"{idx}/segments").parquet(
@@ -251,12 +256,14 @@ def test_dictionary_partial_merge_caps_probe_cost(spark, tmp_path,
     assert res[64 << 20] == res[0] and len(res[0]) == 10
 
 
-def test_dictionary_merge_crash_leftover_is_ignored_and_gcd(spark,
+def test_dictionary_merge_grace_leftover_is_ignored_and_gcd(spark,
                                                             tmp_path):
-    """Crash window between the merge's rename-commit and its source GC:
-    a leftover superseded partial must be IGNORED by readers (no df
-    double-count) and deleted by the next merge call."""
-    import shutil as sh
+    """A merge leaves its superseded source partials on disk (one-merge
+    grace period for live readers' memoized handles — also exactly the
+    state a crash between rename-commit and GC leaves). Readers must
+    IGNORE them (no df double-count), a reader created BEFORE the merge
+    must keep probing correctly through it, and the next maintenance
+    call must reclaim them."""
     from donkey_spark.plans.query import Index
     from donkey_spark.sources.corpus import CORPUS_SCHEMA
     from donkey_spark.streaming import ingest as ing
@@ -268,25 +275,58 @@ def test_dictionary_merge_crash_leftover_is_ignored_and_gcd(spark,
             spark.createDataFrame(pdf.iloc[e * 20:(e + 1) * 20],
                                   CORPUS_SCHEMA),
             e, idx, "varint", 128, memo=memo)
+    pre_idx = Index(spark, idx)        # created BEFORE the merge
+    base = [(r[2], round(r[3], 9)) for r in
+            pre_idx.search_rows([(0, "def return", 10)])]
+    base_df = pre_idx._lookup_terms(["def", "return"])
+
     folded = ing.merge_dictionary_partials(spark, idx)
     assert folded == 4
-    base_idx = Index(spark, idx)
-    base = [(r[2], round(r[3], 9)) for r in
-            base_idx.search_rows([(0, "def return", 10)])]
-    base_df = base_idx._lookup_terms(["def", "return"])
-
-    # simulate the crash leftover: a superseded stream partial reappears
-    m_chunk = next(c for c in ing.dictionary_chunks(spark, idx)
-                   if c.startswith("m"))
-    sh.copytree(f"{idx}/dictionary/chunk={m_chunk}",
-                f"{idx}/dictionary/chunk=stream0")
+    # superseded sources linger (grace period)...
+    chunks = ing.dictionary_chunks(spark, idx)
+    assert any(c.startswith("stream") for c in chunks), chunks
+    # ...the pre-merge reader's handles still resolve — an UNCACHED term
+    # probe (not in its memo) plus a fresh search must not FileNotFound
+    pre_idx._lookup_terms(["the"])
+    assert [(r[2], round(r[3], 9)) for r in
+            pre_idx.search_rows([(1, "def return", 10)])] == base
+    # ...and fresh readers on both paths ignore them (no double-count)
     for local_bytes in (64 << 20, 0):
         i = Index(spark, idx, local_bytes=local_bytes)
         assert i._lookup_terms(["def", "return"]) == base_df, local_bytes
         got = [(r[2], round(r[3], 9)) for r in
                i.search_rows([(0, "def return", 10)])]
         assert got == base, local_bytes
-    # next maintenance call GCs the leftover
-    ing.merge_dictionary_partials(spark, idx)
+    # next maintenance call GCs the leftovers
+    ing.merge_dictionary_partials(spark, idx, min_partials=99)
     assert not any(c.startswith("stream")
                    for c in ing.dictionary_chunks(spark, idx))
+
+
+def test_dictionary_merge_derives_before_epoch_from_journal(spark,
+                                                            tmp_path):
+    """r5 (ADVICE): merge_dictionary_partials called WITHOUT before_epoch
+    while an epoch is mid-write (dictionary partial on disk, manifest row
+    not yet journaled) must not fold that epoch — folding a partial
+    rewrite would freeze understated df into the m-chunk."""
+    from donkey_spark.sources.corpus import CORPUS_SCHEMA
+    from donkey_spark.streaming import ingest as ing
+    idx = str(tmp_path / "idx")
+    pdf = gen_corpus(60, seed=31)
+    memo: dict = {}
+    for e in range(3):
+        ing._append_epoch(
+            spark.createDataFrame(pdf.iloc[e * 20:(e + 1) * 20],
+                                  CORPUS_SCHEMA),
+            e, idx, "varint", 128, memo=memo)
+    # simulate epoch 3 mid-write: its dictionary partial exists but its
+    # manifest_stream row does not (that is the write order in
+    # _append_epoch: dictionary before manifest)
+    import shutil as sh
+    sh.copytree(f"{idx}/dictionary/chunk=stream2",
+                f"{idx}/dictionary/chunk=stream3")
+    folded = ing.merge_dictionary_partials(spark, idx)
+    assert folded == 3                  # epochs 0..2 only
+    chunks = ing.dictionary_chunks(spark, idx)
+    active = ing.active_dictionary_chunks(chunks)
+    assert "stream3" in active, chunks  # mid-write epoch left alone
