@@ -586,13 +586,18 @@ _ANN_CACHE: dict[str, str] = {}
 def q_lsh_ann_topk(spark, sf_dir):
     """Random-hyperplane LSH ANN via the MATERIALIZED bucket table
     (partition-pruned probe — the 10^9-vector path), checked value-exact
-    against a DuckDB twin that recomputes the sha-seeded planes."""
+    against a DuckDB twin that recomputes the sha-seeded planes. Since
+    r5 the build runs the mapInArrow matmul kernel (kernels/annproj.py)
+    with label denormalized (meta_cols), so this pair certifies the
+    PRODUCTION bucket assignment — not the expression oracle — against
+    DuckDB."""
     from .pipeline.similarity import ann_topk, build_ann_index
     if sf_dir not in _ANN_CACHE:
         out = os.path.join(tempfile.gettempdir(),
                            "donkey_ann_" + sf_dir.strip("/").replace("/", "_"))
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        build_ann_index(emb, out, n_tables=ANN_TABLES, n_planes=ANN_PLANES)
+        build_ann_index(emb, out, n_tables=ANN_TABLES, n_planes=ANN_PLANES,
+                        meta_cols=("label",))
         _ANN_CACHE[sf_dir] = out
     return ann_topk(spark, _ANN_CACHE[sf_dir], _probe_vec(spark, sf_dir),
                     k=10, n_tables=ANN_TABLES, n_planes=ANN_PLANES)
@@ -611,6 +616,20 @@ def q_lsh_ann_topk_deleted(spark, sf_dir):
     return ann_topk(spark, _ANN_CACHE[sf_dir], _probe_vec(spark, sf_dir),
                     k=10, n_tables=ANN_TABLES, n_planes=ANN_PLANES,
                     exclude=dead)
+
+
+def q_lsh_ann_topk_filtered(spark, sf_dir):
+    """ANN probe with a METADATA filter (r5): nearest neighbors among
+    label ∈ {1,2,3} vectors only — the compound query a training-data
+    pipeline runs first. The label column is denormalized into the
+    bucket rows (build_ann_index meta_cols), so the predicate pushes
+    into the partition-pruned scan: no join, no extra shuffle. The
+    DuckDB twin applies the same predicate to the candidate set."""
+    from .pipeline.similarity import ann_topk
+    q_lsh_ann_topk(spark, sf_dir)          # ensure the cached bucket table
+    return ann_topk(spark, _ANN_CACHE[sf_dir], _probe_vec(spark, sf_dir),
+                    k=10, n_tables=ANN_TABLES, n_planes=ANN_PLANES,
+                    filters={"label": [1, 2, 3]})
 
 
 def q_media_features(spark, sf_dir):
@@ -840,7 +859,8 @@ _DOT = ("list_sum(list_transform(range(1, len({a})+1), "
 
 def _ann_oracle_sql(dim: int = ANN_DIM, n_tables: int = ANN_TABLES,
                     n_planes: int = ANN_PLANES, k: int = 10,
-                    keep_pred: str | None = None) -> str:
+                    keep_pred: str | None = None,
+                    meta_pred: str | None = None) -> str:
     """DuckDB twin of the materialized-LSH probe: recompute every
     sha-seeded hyperplane as a literal, derive each vector's per-table
     bucket, take vectors sharing ANY table bucket with vec_id=0, exact
@@ -874,7 +894,11 @@ WITH planes(tbl, pidx, vals) AS (VALUES
 ), cand AS (
   SELECT DISTINCT b.vec_id FROM buck b
   JOIN buck p ON p.vec_id = 0 AND p.tbl = b.tbl AND p.bucket = b.bucket
-  {"WHERE " + keep_pred.replace('vec_id', 'b.vec_id') if keep_pred else ""}
+  {"JOIN embeddings em ON em.vec_id = b.vec_id" if meta_pred else ""}
+  {"WHERE " + " AND ".join(
+      ([keep_pred.replace('vec_id', 'b.vec_id')] if keep_pred else [])
+      + ([meta_pred] if meta_pred else []))
+   if keep_pred or meta_pred else ""}
 ), pv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, cosine FROM (
   SELECT e.vec_id, ROUND({cos}, 6) AS cosine
@@ -1214,6 +1238,8 @@ SELECT 2::INTEGER AS n_epochs,
     # tombstone visibility on the ANN path: same planes/buckets, the
     # deleted ids (vec_id % 5 == 0) dropped from candidates only
     "lsh_ann_topk_deleted": _ann_oracle_sql(keep_pred="vec_id % 5 != 0"),
+    "lsh_ann_topk_filtered": _ann_oracle_sql(
+        meta_pred="em.label IN (1, 2, 3)"),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
     # sha256(term) (big-endian), acc_j = Σ tf·(2·bit_j − 1), sign bits
     # packed into a signed int64 (bit 63 via two's-complement offset)
@@ -1351,5 +1377,6 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
     "lsh_ann_topk_deleted": q_lsh_ann_topk_deleted,
+    "lsh_ann_topk_filtered": q_lsh_ann_topk_filtered,
     "media_features": q_media_features,
 }

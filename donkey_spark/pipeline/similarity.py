@@ -67,7 +67,13 @@ def _planes(dim: int, n_planes: int, seed: str = "donkey") -> np.ndarray:
 
 def lsh_bucket_expr(vec_col: Column, planes: np.ndarray,
                     table: int) -> Column:
-    """Bucket id for one hash table: sign bits of plane projections."""
+    """Bucket id for one hash table: sign bits of plane projections.
+
+    SMALL-DIM ORACLE ONLY (r5): every plane element is a plan literal and
+    every sign bit an interpreted HOF fold — at 768-d × 8 tables × 6
+    planes that is ~37k multiply-adds per row. The production build path
+    is ``kernels.annproj`` (one numpy matmul per Arrow batch, same
+    deterministic planes, bit-identical buckets — tested)."""
     bits = [F.when(_dot(F.transform(vec_col, lambda x: x.cast("double")),
                         F.array(*[F.lit(float(v)) for v in p])) >= 0, 1)
             .otherwise(0) for p in planes]
@@ -106,6 +112,57 @@ def probe_buckets(probe: list[float], n_tables: int, n_planes: int,
             flipped[j] ^= 1
             out.append(_bucket_id(t, n_planes, flipped))
     return out
+
+
+def _filter_pred(col: str, spec) -> Column:
+    """Metadata-filter predicate, same spec grammar as the BM25 facet
+    filters (plans/query.py): a scalar or list → membership; ``{'not':
+    [...]}`` → complement INCLUDING null-valued rows (matching the BM25
+    NOT twin's ``IS NULL OR NOT IN``)."""
+    if isinstance(spec, dict):
+        if set(spec) != {"not"} or not spec["not"]:
+            raise ValueError(
+                f"filter for {col!r} must be a value, a list, or "
+                f"{{'not': [non-empty values]}}; got {spec!r}")
+        vals = spec["not"] if isinstance(spec["not"], (list, tuple)) \
+            else [spec["not"]]
+        return F.col(col).isNull() | ~F.col(col).isin(list(vals))
+    vals = spec if isinstance(spec, (list, tuple)) else [spec]
+    if not len(vals):
+        raise ValueError(f"empty filter value list for {col!r}")
+    return F.col(col).isin(list(vals))
+
+
+def _apply_filters(cand: DataFrame, filters: dict | None,
+                   metadata: DataFrame | None, id_col: str) -> DataFrame:
+    """Restrict ANN candidates by metadata values — the compound query a
+    training-data pipeline runs first ("nearest neighbors among lang=py
+    docs"). Columns present ON the candidate rows filter directly (the
+    predicate pushes into the pruned parquet scan — build the index with
+    ``meta_cols`` to get this); the rest resolve through ``metadata``
+    (any DataFrame carrying id_col + the filter columns) via a broadcast
+    semi-join on the filtered slice — bounded, because the filter slice
+    is broadcast only after its own predicate pushes into ITS scan, and
+    the candidate side is already tiny post-pruning."""
+    if not filters:
+        return cand
+    meta_needed = {c: s for c, s in filters.items()
+                   if c not in cand.columns}
+    for c, spec in filters.items():
+        if c not in meta_needed:
+            cand = cand.where(_filter_pred(c, spec))
+    if meta_needed:
+        if metadata is None:
+            raise ValueError(
+                f"filters on {sorted(meta_needed)} need these columns "
+                f"denormalized into the index (build_ann_index meta_cols=...)"
+                f" or a `metadata` DataFrame carrying {id_col} + them")
+        keep = metadata
+        for c, spec in meta_needed.items():
+            keep = keep.where(_filter_pred(c, spec))
+        cand = cand.join(F.broadcast(keep.select(id_col).distinct()),
+                         id_col, "left_semi")
+    return cand
 
 
 def _apply_exclusions(spark, cand: DataFrame, id_col: str, exclude,
@@ -150,21 +207,39 @@ def _apply_exclusions(spark, cand: DataFrame, id_col: str, exclude,
 def lsh_ann_topk(vectors: DataFrame, probe: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_tables: int = 8, n_planes: int = 6,
-                 exclude=None, tombstones_from: str | None = None
-                 ) -> DataFrame:
+                 exclude=None, tombstones_from: str | None = None,
+                 filters: dict | None = None,
+                 method: str = "arrow") -> DataFrame:
     """Approximate top-k over the RAW vector table: union of the probe's
     buckets across hash tables, exact cosine rescoring of candidates only.
-    One full codegen scan — fine ad hoc; the indexed path below
+    One full scan — fine ad hoc; the indexed path below
     (build_ann_index/ann_topk) replaces the scan with partition pruning.
+
+    ``method="arrow"`` (default) hashes each Arrow batch with ONE numpy
+    matmul (kernels/annproj.py — dimension-robust); ``"expr"`` keeps the
+    r4 Catalyst-literal path as the small-dim oracle. Candidate sets are
+    identical (tested bit-identical at dim 64).
+
+    ``filters``: metadata predicates evaluated directly on the vector
+    table's columns BEFORE hashing — the filter pushes into the scan.
     ``exclude``/``tombstones_from``: see _apply_exclusions."""
     dim = len(probe)
     pbs = probe_buckets(probe, n_tables, n_planes)
-    match = None
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed=f"t{t}")
-        cond = lsh_bucket_expr(F.col(vec_col), planes, t) == pbs[t]
-        match = cond if match is None else (match | cond)
-    cand = _apply_exclusions(vectors.sparkSession, vectors.where(match),
+    vectors = _apply_filters(vectors, filters, None, id_col)
+    if method == "expr":
+        match = None
+        for t in range(n_tables):
+            planes = _planes(dim, n_planes, seed=f"t{t}")
+            cond = lsh_bucket_expr(F.col(vec_col), planes, t) == pbs[t]
+            match = cond if match is None else (match | cond)
+        cand = vectors.where(match)
+    else:
+        from ..kernels.annproj import bucket_rows_arrow
+        cand = (bucket_rows_arrow(vectors, vec_col, n_tables, n_planes,
+                                  dim=dim)
+                .where(F.col("bucket").isin(pbs))
+                .dropDuplicates([id_col]))     # multi-table hits, once
+    cand = _apply_exclusions(vectors.sparkSession, cand,
                              id_col, exclude, tombstones_from)
     return cosine_topk(cand, probe, k, id_col, vec_col)
 
@@ -173,33 +248,52 @@ def lsh_ann_topk(vectors: DataFrame, probe: list[float], k: int = 10,
 
 def ann_bucket_rows(vectors: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", n_tables: int = 8,
-                    n_planes: int = 6, dim: int | None = None) -> DataFrame:
-    """(bucket, vec_id, embedding): one row per (vector, hash table), the
-    bucket id carrying the table offset so ids are globally unique. All
-    codegen — the n_tables×n_planes projections run in one projection."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-    buckets = F.array(*[
-        lsh_bucket_expr(F.col(vec_col), _planes(dim, n_planes, seed=f"t{t}"),
-                        t)
-        for t in range(n_tables)])
-    return (vectors.select(id_col, vec_col, F.explode(buckets)
-                           .alias("bucket")))
+                    n_planes: int = 6, dim: int | None = None,
+                    meta_cols: tuple = (),
+                    method: str = "arrow") -> DataFrame:
+    """(vec_id, embedding[, meta...], bucket): one row per (vector, hash
+    table), the bucket id carrying the table offset so ids are globally
+    unique across tables.
+
+    ``method="arrow"`` (default, r5): ONE numpy matmul per Arrow batch
+    over the stacked deterministic planes (kernels/annproj.py) — cost
+    O(n·dim·T·P) in BLAS, plan size O(1), and `dim` is read off the
+    first batch (no `.first()` driver job). ``method="expr"`` keeps the
+    r4 Catalyst-literal projection as the small-dim oracle; both emit
+    bit-identical buckets (tested at dim 64).
+
+    ``meta_cols``: extra metadata columns denormalized into the bucket
+    rows so probe-time filters push straight into the pruned scan."""
+    keep = [id_col, vec_col, *meta_cols]
+    if method == "expr":
+        if dim is None:
+            dim = len(vectors.select(vec_col).first()[0])
+        buckets = F.array(*[
+            lsh_bucket_expr(F.col(vec_col),
+                            _planes(dim, n_planes, seed=f"t{t}"), t)
+            for t in range(n_tables)])
+        return (vectors.select(*keep, F.explode(buckets).alias("bucket")))
+    from ..kernels.annproj import bucket_rows_arrow
+    return bucket_rows_arrow(vectors.select(*keep), vec_col,
+                             n_tables, n_planes, dim=dim)
 
 
 def build_ann_index(vectors: DataFrame, out_dir: str,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_tables: int = 8, n_planes: int = 6,
-                    dim: int | None = None) -> None:
+                    dim: int | None = None, meta_cols: tuple = (),
+                    method: str = "arrow") -> None:
     """Materialize the bucket table, partitioned by bucket, so a probe
     reads exactly n_tables partition dirs out of n_tables·2^n_planes.
 
     Vectors are denormalized into the bucket rows (n_tables× storage) so a
     probe needs NO join back to the vector table — the pruned scan feeds
-    the rescorer directly. For storage-tight deployments store ids only
-    and semi-join the vector table on the (bounded) candidate set instead."""
+    the rescorer directly. ``meta_cols`` additionally denormalizes
+    metadata (lang, source, license...) so filtered probes stay
+    join-free too. For storage-tight deployments store ids only and
+    semi-join the vector table on the (bounded) candidate set instead."""
     rows = ann_bucket_rows(vectors, id_col, vec_col, n_tables, n_planes,
-                           dim=dim)
+                           dim=dim, meta_cols=meta_cols, method=method)
     (rows.repartition(F.col("bucket"))
          .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
 
@@ -207,22 +301,22 @@ def build_ann_index(vectors: DataFrame, out_dir: str,
 def append_ann_vectors(vectors: DataFrame, out_dir: str,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        n_tables: int = 8, n_planes: int = 6,
-                       dim: int | None = None) -> None:
+                       dim: int | None = None, meta_cols: tuple = (),
+                       method: str = "arrow") -> None:
     """Incremental vector ingest: hash a NEW batch of vectors into the
     existing bucket table (plain partitioned append — the planes are
     deterministic, so old and new rows share the same bucket space).
     The ANN twin of streaming BM25 ingest: probes see appended vectors
-    immediately, no rebuild.
+    immediately, no rebuild. Pass the same ``meta_cols`` the index was
+    built with, or filtered probes will miss the appended rows' columns.
 
     Semantics note: re-inserting an id that already exists leaves BOTH
     rows in the table and the probe's dropDuplicates picks one
     arbitrarily — to UPDATE a vector, tombstone/exclude the old id (it
     vanishes from results immediately) and compact later
     (``compact_ann_index``), exactly like document deletion."""
-    # pass dim on hot append loops: inferring it costs a .first() job
-    # per batch, and the dimension is constant for an index anyway
     rows = ann_bucket_rows(vectors, id_col, vec_col, n_tables, n_planes,
-                           dim=dim)
+                           dim=dim, meta_cols=meta_cols, method=method)
     (rows.repartition(F.col("bucket"))
          .write.mode("append").partitionBy("bucket").parquet(out_dir))
 
@@ -231,7 +325,8 @@ def compact_ann_index(spark, vectors: DataFrame, out_dir: str,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_tables: int = 8, n_planes: int = 6,
                       tombstones_from: str | None = None,
-                      exclude=None, dim: int | None = None) -> None:
+                      exclude=None, dim: int | None = None,
+                      meta_cols: tuple = (), method: str = "arrow") -> None:
     """The ANN `reindex` analog: full rebuild of the bucket table from
     the current vector set, minus tombstoned/excluded ids — reclaims
     the space of deleted vectors and collapses duplicate-id appends.
@@ -240,25 +335,34 @@ def compact_ann_index(spark, vectors: DataFrame, out_dir: str,
     vectors = _apply_exclusions(spark, vectors, id_col, exclude,
                                 tombstones_from)
     build_ann_index(vectors, out_dir, id_col, vec_col, n_tables, n_planes,
-                    dim=dim)
+                    dim=dim, meta_cols=meta_cols, method=method)
 
 
 def ann_topk(spark, index_dir: str, probe: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_tables: int = 8, n_planes: int = 6,
              multiprobe: int = 0, exclude=None,
-             tombstones_from: str | None = None) -> DataFrame:
+             tombstones_from: str | None = None,
+             filters: dict | None = None,
+             metadata: DataFrame | None = None) -> DataFrame:
     """Probe the materialized bucket table: partition-pruned scan of the
     probe's n_tables·(1+multiprobe) buckets → dedupe → exact cosine
     top-k. Identical results to lsh_ann_topk on the same knobs at
     multiprobe=0; recall@10 per knob is measured in BENCH/BASELINE.md
-    (bench/ann_recall.py). ``exclude``/``tombstones_from`` drop
-    deleted vectors before rescoring (see _apply_exclusions) — the
-    bucket table itself stays frozen until the next build_ann_index,
-    exactly like posting blocks between compactions."""
+    (bench/ann_recall.py).
+
+    ``filters``: metadata predicates (see _apply_filters) — "nearest
+    neighbors among lang=py docs". Columns the index denormalized
+    (build_ann_index meta_cols) filter inside the pruned scan; others
+    resolve via a broadcast semi-join against ``metadata``.
+    ``exclude``/``tombstones_from`` drop deleted vectors before
+    rescoring (see _apply_exclusions) — the bucket table itself stays
+    frozen until the next build_ann_index, exactly like posting blocks
+    between compactions."""
     pbs = probe_buckets(probe, n_tables, n_planes, multiprobe)
     cand = (spark.read.parquet(index_dir)
             .where(F.col("bucket").isin(pbs))        # dir pruning
             .dropDuplicates([id_col]))
+    cand = _apply_filters(cand, filters, metadata, id_col)
     cand = _apply_exclusions(spark, cand, id_col, exclude, tombstones_from)
     return cosine_topk(cand, probe, k, id_col, vec_col)

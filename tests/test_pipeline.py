@@ -307,3 +307,126 @@ def test_ann_incremental_append_and_compact(spark, tmp_path):
     assert after[:len(expect)] == expect
     assert (spark.read.parquet(inc)
             .where(F.col("vec_id").isin(dead)).count()) == 0  # reclaimed
+
+
+def test_ann_bucket_kernel_bit_identical_to_expression_oracle(spark):
+    """r5: the mapInArrow matmul kernel (the production ANN build path,
+    kernels/annproj.py) must assign bit-identical (vec_id, bucket) rows
+    to the r4 Catalyst-expression oracle, across hash-table shapes."""
+    from donkey_spark.pipeline.similarity import ann_bucket_rows
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for nt, npl in ((4, 4), (2, 8)):
+        a = sorted((r["vec_id"], r["bucket"]) for r in
+                   ann_bucket_rows(emb, n_tables=nt, n_planes=npl,
+                                   method="arrow").collect())
+        e = sorted((r["vec_id"], r["bucket"]) for r in
+                   ann_bucket_rows(emb, n_tables=nt, n_planes=npl,
+                                   method="expr").collect())
+        assert a == e, (nt, npl)
+
+
+def test_ann_bucket_kernel_high_dim_and_input_guards(spark):
+    """The kernel at a realistic embedding dim (768): buckets must match
+    a driver-side numpy recomputation exactly (the expression oracle is
+    unusable at this dim — that is the point of the kernel), and
+    malformed embedding columns must raise, not mis-hash."""
+    import pandas as pd
+    from donkey_spark.kernels.annproj import bucket_ids, plane_matrix
+    from donkey_spark.pipeline.similarity import ann_bucket_rows
+    rng = np.random.default_rng(7)
+    n, dim, nt, npl = 500, 768, 8, 6
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v for v in vecs]}))
+    got = sorted((r["vec_id"], r["bucket"]) for r in
+                 ann_bucket_rows(df, n_tables=nt, n_planes=npl).collect())
+    pmat = plane_matrix(dim, nt, npl)
+    bk = bucket_ids(vecs, pmat, nt, npl)
+    want = sorted((int(i), int(b))
+                  for i in range(n) for b in bk[i])
+    assert got == want
+    # guards: ragged rows and nulls are data bugs, not shapes to absorb
+    # (coalesce(1): in-batch detection; ragged only ACROSS partitions
+    # needs an explicit dim= — documented kernel contract)
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>").coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        ann_bucket_rows(bad, n_tables=2, n_planes=2).collect()
+    with pytest.raises(Exception, match="!= declared"):
+        ann_bucket_rows(bad.repartition(2), n_tables=2, n_planes=2,
+                        dim=2).collect()
+    nullv = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)],
+        "vec_id long, embedding array<float>").coalesce(1)
+    with pytest.raises(Exception, match="null"):
+        ann_bucket_rows(nullv, n_tables=2, n_planes=2).collect()
+
+
+def test_ann_metadata_filters(spark, tmp_path):
+    """r5: compound ANN queries — "nearest neighbors among label∈{...}
+    vectors". Denormalized (meta_cols) and metadata-join paths must
+    agree with the raw-scan filtered reference, the NOT form must
+    exclude, filters must compose with tombstones, and a filter column
+    available on neither side must raise."""
+    from donkey_spark.pipeline.similarity import (ann_topk, build_ann_index,
+                                                  lsh_ann_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .collect()[0]["embedding"]]
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+
+    denorm = str(tmp_path / "ann_meta")
+    build_ann_index(emb, denorm, n_tables=4, n_planes=4,
+                    meta_cols=("label",))
+    plain = str(tmp_path / "ann_plain")
+    build_ann_index(emb, plain, n_tables=4, n_planes=4)
+
+    want = [(r["vec_id"], r["cosine"]) for r in
+            lsh_ann_topk(emb, probe, k=5, n_tables=4, n_planes=4,
+                         filters={"label": [1, 2]}).collect()]
+    assert want and all(labels[v] in (1, 2) for v, _ in want)
+    got_d = [(r["vec_id"], r["cosine"]) for r in
+             ann_topk(spark, denorm, probe, k=5, n_tables=4, n_planes=4,
+                      filters={"label": [1, 2]}).collect()]
+    got_m = [(r["vec_id"], r["cosine"]) for r in
+             ann_topk(spark, plain, probe, k=5, n_tables=4, n_planes=4,
+                      filters={"label": [1, 2]}, metadata=emb).collect()]
+    assert got_d == want and got_m == want
+
+    neg = [r["vec_id"] for r in
+           ann_topk(spark, denorm, probe, k=5, n_tables=4, n_planes=4,
+                    filters={"label": {"not": [1, 2]}}).collect()]
+    assert neg and all(labels[v] not in (1, 2) for v in neg)
+
+    # composition: filter + exclusion — the excluded survivor vanishes,
+    # the rest keep their exact cosines/ranks
+    top = got_d[0][0]
+    comp = [(r["vec_id"], r["cosine"]) for r in
+            ann_topk(spark, denorm, probe, k=4, n_tables=4, n_planes=4,
+                     filters={"label": [1, 2]}, exclude=[top]).collect()]
+    assert comp == [x for x in want if x[0] != top][:4]
+
+    with pytest.raises(ValueError, match="denormalized|metadata"):
+        ann_topk(spark, plain, probe, k=5, n_tables=4, n_planes=4,
+                 filters={"label": [1, 2]}).collect()
+    with pytest.raises(ValueError, match="must be"):
+        ann_topk(spark, denorm, probe, k=5, n_tables=4, n_planes=4,
+                 filters={"label": {"bogus": [1]}}).collect()
+
+
+def test_lsh_ann_topk_arrow_matches_expr_path(spark):
+    """Raw-scan LSH: the arrow hashing path returns exactly the
+    expression path's results (same candidate set, same rescoring)."""
+    from donkey_spark.pipeline.similarity import lsh_ann_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .collect()[0]["embedding"]]
+    a = [(r["vec_id"], r["cosine"]) for r in
+         lsh_ann_topk(emb, probe, k=10, n_tables=8, n_planes=4,
+                      method="arrow").collect()]
+    e = [(r["vec_id"], r["cosine"]) for r in
+         lsh_ann_topk(emb, probe, k=10, n_tables=8, n_planes=4,
+                      method="expr").collect()]
+    assert a == e and len(a) == 10
