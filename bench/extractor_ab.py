@@ -85,17 +85,21 @@ def main() -> None:
     # ---- per-pass byte-traffic budget of the arrow kernel ---------------
     # Reads+writes per full-buffer pass over N content bytes (the ASCII
     # bulk path), so a bandwidth-bound gap is attributable mechanically.
+    # r5 fusions: lower deferred to token bytes only (the full-buffer
+    # lower gather is gone), prev/nxt shifted masks replaced by one
+    # adjacent-compare sweep, and the byte-level keep-mask erase (delta +
+    # cumsum + and over the full buffer) replaced by a token-level Arrow
+    # filter. K = total token-run bytes (~0.7 N on code corpora).
     N = int(total_mb * 1e6)
+    K = int(0.7 * N)
     passes = [
-        ("LUT lower (gather u8->u8)", 2 * N),
         ("LUT token mask (gather u8->bool)", 2 * N),
-        ("prev shift copy (bool)", 2 * N),
-        ("nxt shift copy (bool)", 2 * N),
-        ("starts flatnonzero (bool read)", N),
-        ("ends flatnonzero (bool read)", N),
-        ("keep-mask cumsum+and (i32 w + bool rw)", 4 * N + 2 * N),
-        ("boolean compress packed (r u8+bool, w u8)", 3 * N),
-        ("dictionary_encode scan (r u8)", N),
+        ("adjacent-compare toggles (bool r2 w1)", 3 * N),
+        ("toggle flatnonzero (bool read)", N),
+        ("boolean compress runs (r u8+bool, w K)", 2 * N + K),
+        ("LUT lower on token bytes (gather K)", 2 * K),
+        ("arrow filter invalid runs (r+w ~K)", 2 * K),
+        ("dictionary_encode scan (r K)", K),
     ]
     tot = sum(b for _, b in passes)
     print(json.dumps({
@@ -103,8 +107,10 @@ def main() -> None:
         "total_traffic_gb": round(tot / 1e9, 2),
         "content_gb": round(N / 1e9, 3),
         "traffic_multiple_of_input": round(tot / N, 1),
-        "note": ("tobytes() copies removed r4: offsets+packed now wrap "
-                 "zero-copy via pa.py_buffer"),
+        "note": ("r5: non-escaping work arrays come from a grow-only "
+                 "per-process scratch pool (kernels/exttok._SCRATCH) — "
+                 "fresh-allocation page-fault churn was the dominant "
+                 "rep-to-rep variance, not compute"),
     }))
 
 

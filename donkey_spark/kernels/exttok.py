@@ -38,11 +38,39 @@ from ..config import MAX_TOKENS_PER_DOC
 
 _LOWER = np.arange(256, dtype=np.uint8)
 _LOWER[ord("A"):ord("Z") + 1] += 32
+# token-byte class on the RAW (pre-lower) buffer: A-Z lower to a-z, both
+# token bytes, so run boundaries are identical — lowering can then be
+# DEFERRED to the kept bytes only (r5 pass fusion: the full-buffer lower
+# gather was ~2N of pure traffic for bytes mostly thrown away)
 _TOKBYTE = np.zeros(256, dtype=bool)
-for _ch in b"abcdefghijklmnopqrstuvwxyz0123456789_":
+for _ch in b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_":
     _TOKBYTE[_ch] = True
 
 _EMPTY_I32 = np.zeros(1, dtype=np.int32)
+
+
+class _Scratch:
+    """Grow-only per-process buffer pool for the kernel's NON-ESCAPING
+    work arrays. Fresh ~100s-of-MB allocations per batch cost this host
+    far more in page faults / THP churn than the compute (measured: the
+    same batch swings 3.1s → 16.7s rep to rep); a long-lived Spark python
+    worker reuses the same pages instead. Only buffers that provably do
+    not outlive the call may come from here — anything wrapped zero-copy
+    into a RETURNED Arrow array (loff, tfs, dl) must stay fresh."""
+
+    def __init__(self):
+        self._bufs: dict = {}
+
+    def get(self, name: str, size: int, dtype) -> np.ndarray:
+        key = (name, np.dtype(dtype))
+        b = self._bufs.get(key)
+        if b is None or b.size < size:
+            b = np.empty(int(size * 1.25) + 16, dtype=dtype)
+            self._bufs[key] = b
+        return b[:size]
+
+
+_SCRATCH = _Scratch()
 
 
 def _ascii_doc_features(content: pa.Array, cap: int):
@@ -60,22 +88,39 @@ def _ascii_doc_features(content: pa.Array, cap: int):
     # a sliced array's data buffer may extend beyond this batch; scan only
     # [off[0], off[-1]) and rebase offsets
     base_off = int(off[0])
-    low = _LOWER[data[base_off:int(off[-1])]]
+    buf = data[base_off:int(off[-1])]        # view, no copy
     off = off - base_off
-    al = _TOKBYTE[low]
-    N = low.size
-    prev = np.empty(N, dtype=bool)
-    prev[0] = False
-    prev[1:] = al[:-1]
-    ds = off[:-1]
-    prev[ds[ds < N]] = False                 # run break at document starts
-    nxt = np.empty(N, dtype=bool)
-    nxt[-1] = False
-    nxt[:-1] = al[1:]
-    de = off[1:] - 1
-    nxt[de[de >= 0]] = False                 # run break at document ends
-    starts = np.flatnonzero(al & ~prev)
-    ends = np.flatnonzero(al & ~nxt) + 1
+    N = buf.size
+    al = _SCRATCH.get("al", N, bool)
+    np.take(_TOKBYTE, buf, out=al)
+    # token runs from ONE adjacent-compare sweep (r5: replaces the two
+    # full-size shifted prev/nxt masks, ~4N of traffic): toggle positions
+    # of the al mask alternate run starts/ends
+    cmp = _SCRATCH.get("cmp", max(N - 1, 1), bool)[:N - 1]
+    np.not_equal(al[1:], al[:-1], out=cmp)
+    bnd = np.flatnonzero(cmp) + 1
+    if al[0]:
+        starts = np.concatenate((np.zeros(1, dtype=np.int64), bnd[1::2]))
+        ends = bnd[0::2]
+    else:
+        starts = bnd[0::2]
+        ends = bnd[1::2]
+    if starts.size > ends.size:              # final run extends to N
+        ends = np.concatenate((ends, np.array([N], dtype=np.int64)))
+    # force run breaks at document boundaries: an internal doc start
+    # falling strictly inside a run splits it there (both the end of the
+    # previous doc's run and the start of the next doc's) — O(docs)
+    # work instead of two more full-buffer scatter masks
+    ds_in = off[1:-1]
+    if ds_in.size and starts.size:
+        j = np.searchsorted(starts, ds_in, side="right") - 1
+        inside = (j >= 0) & (ds_in > starts[np.maximum(j, 0)]) \
+            & (ds_in < ends[np.maximum(j, 0)])
+        if inside.any():
+            splits = np.unique(ds_in[inside])
+            starts = np.insert(starts, np.searchsorted(starts, splits),
+                               splits)
+            ends = np.insert(ends, np.searchsorted(ends, splits), splits)
     lens = ends - starts
     doc = np.searchsorted(off, starts, side="right") - 1
     valid = (lens >= 2) & (lens <= 64)
@@ -89,37 +134,44 @@ def _ascii_doc_features(content: pa.Array, cap: int):
         rank = cs - seg0[doc]                # 1-based valid-rank within doc
         valid &= rank <= cap
         dl = np.bincount(doc[valid], minlength=n)
-    # erase dropped runs from the byte-keep mask (delta + cumsum — no
-    # per-run Python, no token-sized gather indices)
-    dropped = ~valid
-    keep_bytes = al
-    if dropped.any():
-        d = np.zeros(N + 1, dtype=np.int32)
-        np.add.at(d, starts[dropped], 1)
-        np.add.at(d, ends[dropped], -1)
-        keep_bytes = al & (np.cumsum(d[:N], dtype=np.int32) == 0)
-    packed = low[keep_bytes]
-    kl = lens[valid]
-    kd = doc[valid]
-    toff = np.empty(kl.size + 1, dtype=np.int32)
+    # pack EVERY token run (boolean compress of the buffer + deferred
+    # lower on the ~token-sized result), then drop invalid runs at the
+    # TOKEN level with one Arrow C++ filter — r5 fusion: the r4 byte-keep
+    # erase (int32 delta + cumsum + and over the full buffer, ~6-8N of
+    # traffic) is replaced by a pass over token bytes only
+    toff = _SCRATCH.get("toff", lens.size + 1, np.int32)
     toff[0] = 0
-    np.cumsum(kl, out=toff[1:])
+    np.cumsum(lens, out=toff[1:])
+    K = int(toff[-1])
+    raw = _SCRATCH.get("rawtok", K, np.uint8)
+    np.compress(al, buf, out=raw)
+    packed = _SCRATCH.get("packed", K, np.uint8)
+    np.take(_LOWER, raw, out=packed)
     # py_buffer over the ndarrays is ZERO-copy (buffer protocol; Arrow
     # holds a reference to the numpy base) — .tobytes() here would add
-    # two gratuitous full-buffer passes to a bandwidth-bound kernel
+    # two gratuitous full-buffer passes to a bandwidth-bound kernel.
+    # tok_arr aliases scratch but is CONSUMED in-call (filter /
+    # dictionary_encode copy into fresh buffers), so reuse is safe —
+    # tests/test_exttok.py asserts cross-batch non-aliasing.
     tok_arr = pa.Array.from_buffers(
-        pa.utf8(), kl.size,
+        pa.utf8(), lens.size,
         [None, pa.py_buffer(toff), pa.py_buffer(packed)])
+    if not valid.all():
+        tok_arr = tok_arr.filter(pa.array(valid))
     enc = pc.dictionary_encode(tok_arr)
-    codes = enc.indices.to_numpy().astype(np.int64)
+    codes = enc.indices.to_numpy()
     uniq = enc.dictionary
-    key = (kd.astype(np.int64) << 32) | codes
+    tot = len(tok_arr)
+    kd = _SCRATCH.get("kd", tot, np.int64)
+    np.compress(valid, doc, out=kd)
+    key = _SCRATCH.get("key", tot, np.int64)
+    np.left_shift(kd, 32, out=key)
+    np.bitwise_or(key, codes, out=key)
     key.sort()
-    tot = key.size
     if tot:
-        new = np.empty(tot, dtype=bool)
+        new = _SCRATCH.get("new", tot, bool)
         new[0] = True
-        new[1:] = key[1:] != key[:-1]
+        np.not_equal(key[1:], key[:-1], out=new[1:])
         rs = np.flatnonzero(new)
         tfs = np.diff(np.append(rs, tot)).astype(np.int32)
         kk = key[rs]

@@ -150,3 +150,23 @@ def test_exttok_splice_preserves_surrounding_rows():
     _check_batch(docs)
     docs2 = ["aa bb", "é x9", "cc dd"]
     _check_batch(docs2)
+
+
+def test_scratch_pool_no_cross_batch_aliasing():
+    """r5: the kernel's scratch-buffer reuse must never leak into RETURNED
+    arrays — results from batch 1 must be bit-identical after batch 2
+    overwrites the pool (zero-copy py_buffer wraps would alias)."""
+    from donkey_spark.kernels.exttok import extract_doc_features
+    import pyarrow as pa
+    b1 = pa.array(["def foo(): return alpha_beta + 1",
+                   "class Bar: pass", "x y zz a_longer_token"] * 50)
+    b2 = pa.array(["completely different content here qq",
+                   "other words entirely seven eight"] * 80)
+    t1, f1, d1 = extract_doc_features(b1)
+    snap_t = t1.to_pylist()
+    snap_f = f1.to_pylist()
+    snap_d = d1.tolist()
+    extract_doc_features(b2)            # overwrites every scratch buffer
+    assert t1.to_pylist() == snap_t
+    assert f1.to_pylist() == snap_f
+    assert d1.tolist() == snap_d
