@@ -33,6 +33,12 @@ DEFAULT_TARGET_RANGES = 256  # ~ranges per corpus at default range size
 #: chunk=m<E> partial once more than this many are live (keeps per-term
 #: probes O(buckets) instead of O(epochs); streaming/ingest.py)
 DICT_MERGE_MIN_PARTIALS = 16
+#: streaming: micro-batches up to this many rows assign doc ids with a
+#: single-partition window (one tiny sort — fine at steady-state batch
+#: sizes); above it — the catch-up/bootstrap epoch over a backlog — the
+#: scalable two-phase range assignment (operators/doc_ids.py) takes over
+#: so the whole backlog never sorts on one partition (r4 VERDICT)
+STREAM_ID_GATE_ROWS = 50_000
 
 
 def default_range_size(n_docs: int) -> int:

@@ -254,19 +254,38 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         sum_dl += float(prev["s"])
         postings_before += int(prev["p"])
 
-    batch = batch_df.dropDuplicates(["repo", "path", "commit"])
-    # dense ids within the (small) micro-batch, offset by the running count;
-    # a single-partition window is fine at micro-batch size — compact_index
-    # restores the scalable two-phase assignment over the whole corpus
-    rows = (batch.select("repo", "path", "commit", "lang",
-                         F.sha2(F.col("content"), 256).alias("sha256"),
-                         doc_features_udf(F.col("content")).alias("f"))
-            .withColumn("doc_id",
-                        F.row_number().over(
-                            Window.orderBy("repo", "path", "commit"))
-                        + F.lit(n_before - 1))
-            .persist())
-    n_batch = rows.count()
+    # dense ids within the micro-batch (key order, offset by the running
+    # count). Two assignment paths with IDENTICAL results (digest-tested):
+    # steady-state batches use a single-partition window (one tiny sort);
+    # a catch-up/bootstrap epoch over a backlog (> STREAM_ID_GATE_ROWS)
+    # switches to the batch build's two-phase range assignment so the
+    # whole backlog never funnels through one partition. The gate count
+    # is a narrow job over the micro-batch source (cheap vs the epoch).
+    from ..config import STREAM_ID_GATE_ROWS
+    feats = ("repo", "path", "commit", "lang",
+             F.sha2(F.col("content"), 256).alias("sha256"),
+             doc_features_udf(F.col("content")).alias("f"))
+    if batch_df.count() > STREAM_ID_GATE_ROWS:
+        from ..operators.doc_ids import assign_doc_ids
+        # dedupe=True fuses distinct(repo,path,commit) + count + rank
+        # into the ONE range shuffle (operators/doc_ids.py); the
+        # two-phase pass persists its ranged partitions for the
+        # duration of the epoch (per-run cost bounded: catch-up fires
+        # once per stream bootstrap, steady state never hits the gate)
+        ids, n_batch, _ = assign_doc_ids(
+            batch_df.select(*feats), dedupe=True)
+        rows = (ids.withColumn("doc_id", F.col("doc_id") + F.lit(n_before))
+                .persist())
+        rows.count()
+    else:
+        batch = batch_df.dropDuplicates(["repo", "path", "commit"])
+        rows = (batch.select(*feats)
+                .withColumn("doc_id",
+                            F.row_number().over(
+                                Window.orderBy("repo", "path", "commit"))
+                            + F.lit(n_before - 1))
+                .persist())
+        n_batch = rows.count()
     if n_batch == 0:
         rows.unpersist()
         return

@@ -330,3 +330,49 @@ def test_dictionary_merge_derives_before_epoch_from_journal(spark,
     chunks = ing.dictionary_chunks(spark, idx)
     active = ing.active_dictionary_chunks(chunks)
     assert "stream3" in active, chunks  # mid-write epoch left alone
+
+
+def test_catchup_epoch_uses_two_phase_assignment(spark, tmp_path,
+                                                 monkeypatch):
+    """r5: a bootstrap/catch-up epoch over a backlog must not sort the
+    whole batch on one partition. Above STREAM_ID_GATE_ROWS the epoch
+    switches to the batch build's two-phase range assignment — evidenced
+    by a multi-file docs chunk — and the resulting index must be
+    IDENTICAL to the window path's (ids, postings, search results)."""
+    import glob
+
+    import donkey_spark.config as cfg
+    from donkey_spark.plans.query import Index
+    from donkey_spark.sources.corpus import CORPUS_SCHEMA
+    from donkey_spark.streaming import ingest as ing
+    pdf = gen_corpus(400, seed=37)
+
+    def build(idx, gate):
+        monkeypatch.setattr(cfg, "STREAM_ID_GATE_ROWS", gate)
+        ing._append_epoch(spark.createDataFrame(pdf, CORPUS_SCHEMA),
+                          0, idx, "varint", 128, memo={})
+
+    gated = str(tmp_path / "gated")
+    windowed = str(tmp_path / "windowed")
+    build(gated, 10)            # force the two-phase path
+    build(windowed, 10 ** 9)    # force the single-partition window path
+
+    # multi-partition execution evidence: the gated chunk fans out
+    assert len(glob.glob(f"{gated}/docs/chunk=stream0/part-*.parquet")) > 1
+    assert len(glob.glob(
+        f"{windowed}/docs/chunk=stream0/part-*.parquet")) == 1
+
+    cols = ["doc_id", "repo", "path", "commit", "lang", "dl", "sha256"]
+    da = sorted(tuple(r) for r in
+                spark.read.parquet(f"{gated}/docs").select(cols).collect())
+    db = sorted(tuple(r) for r in
+                spark.read.parquet(f"{windowed}/docs").select(cols)
+                .collect())
+    assert da == db
+    ma = spark.read.parquet(f"{gated}/meta").collect()[0]
+    mb = spark.read.parquet(f"{windowed}/meta").collect()[0]
+    assert (ma["n_docs"], ma["avgdl"], ma["n_postings"]) == \
+        (mb["n_docs"], mb["avgdl"], mb["n_postings"])
+    ra = Index(spark, gated).search_rows([(0, "def return", 10)])
+    rb = Index(spark, windowed).search_rows([(0, "def return", 10)])
+    assert ra == rb and len(ra) == 10
