@@ -438,3 +438,66 @@ def test_legacy_staging_only_set_promoted_before_migration(spark, tmp_path):
     assert {(r["repo"], r["path"], r["commit"])
             for r in t.collect()} == {old[7]}
     assert load_tombstones(spark, out).tolist() == [7]
+
+
+def test_ten_million_key_smj_fallback_end_to_end(spark, tmp_path,
+                                                 monkeypatch):
+    """r5: a 10^7-key tombstone set crosses BOTH large-set regimes
+    end-to-end: the staging commit fans out to multiple files
+    (plans/delete.py nparts gate) and compact's reclamation snapshot
+    exceeds the 64 MB broadcast gate, so the anti-join must run WITHOUT
+    a forced broadcast — Spark picks the shuffle (SMJ) plan — while
+    survivor docs keep their exact pre-delete scores and ranks."""
+    import time
+
+    from pyspark.sql import functions as F
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import delete_docs, load_tombstones
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming import compact_index
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(gen_corpus(60, seed=31))
+    build_index(spark, corpus, out, range_size=64)
+    base = [(r[2], round(r[3], 9)) for r in
+            Index(spark, out).search_rows([(0, "def return", 60)])]
+
+    big = (spark.range(10_000_000)
+           .select(F.concat(F.lit("r"), (F.col("id") % 997)).alias("repo"),
+                   F.concat(F.lit("p/"), F.col("id")).alias("path"),
+                   F.sha2(F.col("id").cast("string"), 256).substr(1, 16)
+                   .alias("commit")))
+    t0 = time.perf_counter()
+    assert delete_docs(spark, out, big) == 10_000_000
+    assert delete_docs(spark, out, [3, 4]) == 10_000_002
+    t_delete = time.perf_counter() - t0
+    # multi-file staging commit (nparts = n // 5M = 2)
+    import glob
+    assert len(glob.glob(f"{out}/tombstones/part-*.parquet")) >= 2
+    assert sorted(load_tombstones(spark, out).tolist()) == [3, 4]
+
+    # survivors keep EXACT pre-delete scores/ranks (stats frozen)
+    after = [(r[2], round(r[3], 9)) for r in
+             Index(spark, out).search_rows([(0, "def return", 60)])]
+    assert after == [x for x in base if x[0] not in (3, 4)]
+
+    # at this key volume Spark itself must choose a shuffle join for the
+    # reclamation anti-join (the 64 MB gate refuses to force broadcast)
+    dead = spark.read.parquet(f"{out}/tombstones")
+    plan = (corpus.join(dead, ["repo", "path", "commit"], "left_anti")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" in plan and "Broadcast" not in plan, plan
+
+    calls = []
+    orig_broadcast = F.broadcast
+    monkeypatch.setattr(
+        "pyspark.sql.functions.broadcast",
+        lambda df: (calls.append(1), orig_broadcast(df))[1])
+    t0 = time.perf_counter()
+    info = compact_index(spark, corpus, out, range_size=64)
+    t_compact = time.perf_counter() - t0
+    assert calls == [], "compact forced a broadcast past the 64 MB gate"
+    assert info["n_docs"] == 58
+    assert load_tombstones(spark, out).size == 0
+    print(f"\n10M-key e2e: delete {t_delete:.1f}s, "
+          f"compact(SMJ) {t_compact:.1f}s")
