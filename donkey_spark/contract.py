@@ -64,6 +64,18 @@ BM25_AND_QUERIES: list[tuple[int, str, int]] = [
     (4, "spark zz_oov_token", 10),
 ]
 
+#: exact-phrase query set (r5, format v3 positions) — phrases chosen to
+#: have real adjacent occurrences in the documents fixture at every sf;
+#: query 3 reverses a common phrase (sparser matches), query 4's OOV
+#: conjunct must yield zero rows on both engines
+BM25_PHRASE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "sort merge", 10),
+    (1, "hash join", 10),
+    (2, "table scan", 10),
+    (3, "merge sort", 10),
+    (4, "spark zz_oov_token", 5),
+]
+
 _INDEX_CACHE: dict[str, str] = {}
 
 
@@ -87,7 +99,10 @@ def contract_index_dir(spark: SparkSession, sf_dir: str) -> str:
         from .plans.build import build_index
         out = os.path.join(tempfile.gettempdir(),
                            "donkey_idx_" + sf_dir.strip("/").replace("/", "_"))
-        build_index(spark, documents_as_corpus(spark, sf_dir), out)
+        # positions=True (format v3): the shared index also serves the
+        # phrase pair; every other pair is position-oblivious
+        build_index(spark, documents_as_corpus(spark, sf_dir), out,
+                    positions=True)
         _INDEX_CACHE[sf_dir] = out
     return _INDEX_CACHE[sf_dir]
 
@@ -476,6 +491,24 @@ def q_bm25_topk_and(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_phrase_topk(spark, sf_dir):
+    """r5 §2.14 — exact-phrase top-k over the positional index (format
+    v3): conjunctive BM25 candidates position-verified against the
+    positions side table, re-ranked 1..k. The DuckDB twin recomputes
+    the phrase containment as a delimited-substring test over the
+    space-joined §T token stream (tokens contain no spaces, so
+    `' w1 w2 ' ⊆ ' '||join(toks)||' '` ⟺ consecutive occurrence) and
+    the same AND-mode BM25 ranking."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = []
+    for qid, text, k in BM25_PHRASE_QUERIES:
+        rows.extend((r[0], r[1], r[2], round(r[3], 6))
+                    for r in idx.search_phrase(text, k=k, query_id=qid))
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ◇ ops (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -739,7 +772,8 @@ def q_segment_stats(spark, sf_dir):
 def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
                      conjunctive: bool = False,
                      deleted_pred: str | None = None,
-                     keep_sql: str | None = None) -> str:
+                     keep_sql: str | None = None,
+                     phrase: bool = False) -> str:
     """From-first-principles DuckDB BM25 over the documents view for the
     given query set; conjunctive=True keeps only docs matched by EVERY
     query term (HAVING count = per-query term count); deleted_pred (a
@@ -747,11 +781,20 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
     RANKING time only — df/avgdl stay computed over the full corpus,
     mirroring the engine's frozen-stats deletion semantics; keep_sql is
     the positive twin (facet filters): only docs satisfying it may rank,
-    scores unchanged — mirroring zero-idf presence intersection."""
+    scores unchanged — mirroring zero-idf presence intersection.
+
+    phrase=True (implies conjunctive): each query text is an exact
+    phrase — only docs whose §T token stream contains the sequence
+    consecutively may rank (re-ranked after the filter, like the
+    engine's position verification). Containment is a delimited
+    substring test over the space-joined token stream: §T tokens
+    contain no spaces, so `' w1 w2 ' ⊆ ' '||join(toks,' ')||' '` holds
+    iff the tokens occur consecutively."""
     assert not (deleted_pred and keep_sql)
     if deleted_pred:
         keep_sql = f"NOT ({deleted_pred})"
     from .functions.tokenize import tokenize_py
+    conjunctive = conjunctive or phrase
     vals = ",\n  ".join(
         f"({qid}, '{t}', {k})"
         for qid, text, k in queries for t in sorted(set(tokenize_py(text))))
@@ -759,6 +802,20 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
               "GROUP BY 1)" if conjunctive else "")
     qn_join = " JOIN qn ON qn.query_id = q.query_id" if conjunctive else ""
     having = "\n  HAVING count(*) = max(qn.nt)" if conjunctive else ""
+    phrase_cte, phrase_join, phrase_where = "", "", ""
+    if phrase:
+        pats = ",\n  ".join(
+            f"({qid}, ' {' '.join(tokenize_py(text))} ')"
+            for qid, text, k in queries)
+        phrase_cte = f""", pats(query_id, pat) AS (VALUES
+  {pats}
+), tokstr AS (
+  SELECT d, ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ' AS s
+  FROM ordered
+)"""
+        phrase_join = (" JOIN pats ON pats.query_id = scored.query_id"
+                       " JOIN tokstr ON tokstr.d = scored.doc_id")
+        phrase_where = "\n  WHERE contains(tokstr.s, pats.pat)"
     return f"""
 WITH ordered AS (
   SELECT row_number() OVER (ORDER BY source, 'doc/'||CAST(doc_id AS VARCHAR))
@@ -777,7 +834,7 @@ WITH ordered AS (
   SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1
 ), qset(query_id, term, k) AS (VALUES
   {vals}
-){qn_cte}, scored AS (
+){qn_cte}{phrase_cte}, scored AS (
   SELECT q.query_id, q.k, dt.d AS doc_id,
          sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
               * dt.tf * 2.2
@@ -788,12 +845,14 @@ WITH ordered AS (
   JOIN dl2 ON dl2.d = dt.d{qn_join}, stats s
   GROUP BY 1, 2, 3{having}
 ), ranked AS (
-  SELECT query_id, doc_id, ROUND(score, 6) AS score,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY ROUND(score, 6) DESC, doc_id ASC)
-         AS rank, k
-  FROM scored{f'''
-  WHERE ({keep_sql})''' if keep_sql else ''}
+  SELECT scored.query_id, scored.doc_id,
+         ROUND(scored.score, 6) AS score,
+         row_number() OVER (PARTITION BY scored.query_id
+                            ORDER BY ROUND(scored.score, 6) DESC,
+                                     scored.doc_id ASC)
+         AS rank, scored.k
+  FROM scored{phrase_join}{phrase_where}{f'''
+  WHERE ({keep_sql})''' if keep_sql and not phrase else ''}
 )
 SELECT query_id, rank::INT AS rank, doc_id, score
 FROM ranked WHERE rank <= k
@@ -802,6 +861,7 @@ FROM ranked WHERE rank <= k
 
 _BM25_ORACLE = _bm25_oracle_sql(BM25_QUERIES)
 _BM25_AND_ORACLE = _bm25_oracle_sql(BM25_AND_QUERIES, conjunctive=True)
+_BM25_PHRASE_ORACLE = _bm25_oracle_sql(BM25_PHRASE_QUERIES, phrase=True)
 _BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
                                         deleted_pred="doc_id % 7 = 0")
 #: facet value the filtered-search pair pins (present at every sf)
@@ -1230,6 +1290,7 @@ SELECT 2::INTEGER AS n_epochs,
         GROUP BY n_name""",
     "bm25_topk": _BM25_ORACLE,
     "bm25_topk_and": _BM25_AND_ORACLE,
+    "bm25_phrase_topk": _BM25_PHRASE_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "bm25_topk_filtered_or": _BM25_FILTERED_OR_ORACLE,
@@ -1354,6 +1415,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_and": q_bm25_topk_and,
+    "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_filtered_or": q_bm25_topk_filtered_or,
     "bm25_topk_filtered_not": q_bm25_topk_filtered_not,

@@ -125,8 +125,14 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                 block_size: int = BLOCK_SIZE, n_chunks: int = 1,
                 resume: bool = False, ref_hashes: DataFrame | None = None,
                 job_id: str = "job-0", extractor: str = "python",
-                facets: tuple[str, ...] = ()) -> dict:
+                facets: tuple[str, ...] = (),
+                positions: bool = False) -> dict:
     """Build the full inverted index; returns build info/metrics dict.
+
+    ``positions=True`` additionally writes the positions side table
+    (plans/positions.py) enabling ``Index.search_phrase`` — one extra
+    content pass, meta version 3 (pre-r5 readers refuse it cleanly;
+    plain indexes keep version 2).
 
     ``facets``: metadata columns (e.g. ("lang",)) indexed as synthetic
     presence terms "\\x01<col>=<value>" with tf=1 — the scale-correct
@@ -219,7 +225,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         # harmless by design (they resolve to no/matching docs); only
         # compact_index's post-commit clear_tombstones erases them.
         for sub in ("manifest", "manifest_stream", "segments", "docs",
-                    "dictionary"):
+                    "dictionary", "positions"):
             fs, jpath = hadoop_fs(spark, f"{out_dir}/{sub}")
             if fs.exists(jpath):
                 fs.delete(jpath, True)
@@ -324,12 +330,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{out_dir}/dictionary/chunk=batch"))
+    if positions:
+        # one extra content pass (the extract projection dropped content
+        # immediately, by design); opt-in, so the base build's cost and
+        # byte-identity are untouched
+        from .positions import write_positions
+        write_positions(spark, base.select("doc_id", "content"), out_dir)
+        _mark("positions_write")
     # total postings from the manifest journal — no second segment scan
     n_postings = int(spark.read.parquet(manifest_dir)
                      .where(F.col("status") == "done")
                      .agg(F.coalesce(F.sum("n_postings"), F.lit(0)))
                      .collect()[0][0])
-    meta = [(META_VERSION, n_docs, float(avgdl), int(n_postings), int(rsize),
+    from .positions import meta_version
+    meta = [(meta_version(positions), n_docs, float(avgdl),
+             int(n_postings), int(rsize),
              int(block_size), codec, int(N_BUCKETS), int(n_chunks_eff),
              ",".join(facets))]
     _write_small(

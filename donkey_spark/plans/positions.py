@@ -1,0 +1,157 @@
+"""Positional postings — phrase/proximity support (format version 3).
+
+The bag-of-words index (like donkey's) cannot answer `"exact phrase"`
+queries; r4's VERDICT flagged this as the one capability gap beyond
+spec and pointed at META_VERSION as the safe way to rev the format.
+Design (Lucene's two-tier shape, re-expressed for parquet):
+
+* ``build_index(..., positions=True)`` writes an ADDITIONAL
+  ``positions/bucket=<b>/`` table — (doc_id, term, positions:list<int>),
+  bucketed by the SAME crc32 term hash as the dictionary/segments so a
+  phrase probe prunes to its terms' bucket dirs. Within each written
+  file rows are term-sorted, so parquet row-group min/max stats prune
+  further. No shuffle is added: the extract partitioning is kept
+  (hot-term rows stay spread across files; readers filter, never group).
+* Posting blocks, dictionary, scoring are UNCHANGED — positions are a
+  side table consulted only by phrase queries, so every existing query
+  path and its oracles are untouched.
+* A positional index writes meta version 3 (non-positional builds keep
+  writing 2): an r4 reader refuses it cleanly instead of silently
+  answering phrase-less; this reader accepts 1..3.
+* Phrase top-k = conjunctive (AND) BM25 candidates, best-first, with
+  position verification on the BOUNDED candidate set: positions are
+  fetched for |candidates| x |phrase terms| rows only, then an
+  adjacency sweep (numpy isin chain) keeps docs where the full token
+  sequence occurs. Ranking = AND-mode BM25 over the phrase's distinct
+  terms (re-ranked 1..k after verification). Candidates widen
+  geometrically until k verified hits or the AND set is exhausted.
+
+Scale: the verify step is O(candidates), independent of corpus size;
+the positions table scan is partition-pruned by bucket and pushed down
+on (term, doc_id). Streaming ingest REFUSES positional indexes (the
+epoch path does not extend positions yet — a fail-fast seam, like the
+media codecs, rather than silently phrase-blind streamed docs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import MAX_TOKENS_PER_DOC, META_VERSION
+
+#: meta version written by positional builds; readers accept <= this
+POSITIONS_VERSION = 3
+
+
+def write_positions(spark: SparkSession, docs_content: DataFrame,
+                    out_dir: str, cap: int = MAX_TOKENS_PER_DOC) -> None:
+    """Write the positions side table from (doc_id, content) rows.
+
+    The extractor mirrors §T exactly (NFC → lower → token regex → cap) so
+    position i is the i-th RETAINED token — the same sequence the DuckDB
+    twin reconstructs. Per-doc Python here follows the measured
+    extractor decision (BENCH/BASELINE.md §Extractor: the per-doc C
+    regex path wins on this host); the kernel seam is one function."""
+    import pandas as pd
+
+    def extract(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+        from ..functions.tokenize import _RE_LEN
+        findall, norm = _RE_LEN.findall, unicodedata.normalize
+        for pdf in pdfs:
+            out_d: list[int] = []
+            out_t: list[str] = []
+            out_p: list[list[int]] = []
+            for did, text in zip(pdf["doc_id"], pdf["content"]):
+                toks = (findall(norm("NFC", text).lower())[:cap]
+                        if text else [])
+                seen: dict[str, list[int]] = {}
+                for i, t in enumerate(toks):   # _RE_LEN yields only valid
+                    seen.setdefault(t, []).append(i)   # tokens: i is the
+                #                     index in the retained token stream
+                for t, ps in seen.items():
+                    out_d.append(did)
+                    out_t.append(t)
+                    out_p.append(ps)
+            yield pd.DataFrame({"doc_id": out_d, "term": out_t,
+                                "positions": out_p})
+
+    from ..operators.postings import term_bucket_col
+    pos = docs_content.mapInPandas(
+        extract, "doc_id long, term string, positions array<int>")
+    (pos.withColumn("bucket", term_bucket_col(F.col("term")))
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{out_dir}/positions"))
+
+
+def _phrase_match_ids(pos_map: dict, ids: list[int],
+                      seq: list[str]) -> set[int]:
+    """Docs (from ids) whose token stream contains seq consecutively.
+    pos_map: (doc_id, term) -> sorted int ndarray of positions."""
+    out = set()
+    for did in ids:
+        cand = pos_map.get((did, seq[0]))
+        if cand is None:
+            continue
+        ok = np.asarray(cand, dtype=np.int64)
+        for i, t in enumerate(seq[1:], start=1):
+            nxt = pos_map.get((did, t))
+            if nxt is None:
+                ok = ok[:0]
+                break
+            ok = ok[np.isin(ok + i, np.asarray(nxt, dtype=np.int64))]
+            if not ok.size:
+                break
+        if ok.size:
+            out.add(did)
+    return out
+
+
+def verify_phrase(index, ids: list[int], seq: list[str]) -> set[int]:
+    """Fetch positions for the BOUNDED (ids × seq-terms) slice and return
+    the ids containing the phrase. Driver-local pyarrow scan when the
+    index is on a local filesystem (like the scorer's fast path), Spark
+    pushdown-collect otherwise."""
+    if not ids:
+        return set()
+    from ..operators.postings import term_bucket_py
+    terms = sorted(set(seq))
+    buckets = sorted({term_bucket_py(t) for t in terms})
+    if index.local_bytes:
+        import pyarrow.dataset as ds
+        dset = index._pa_dataset("positions")
+        tbl = dset.to_table(
+            columns=["doc_id", "term", "positions"],
+            filter=ds.field("bucket").isin(buckets)
+            & ds.field("term").isin(terms)
+            & ds.field("doc_id").isin(ids))
+        pos_map = {(d, t): p for d, t, p in
+                   zip(tbl["doc_id"].to_pylist(), tbl["term"].to_pylist(),
+                       tbl["positions"].to_pylist())}
+    else:
+        pos = (index.spark.read.parquet(f"{index.dir}/positions")
+               .where(F.col("bucket").isin(buckets)
+                      & F.col("term").isin(terms)))
+        if len(ids) <= 10_000:
+            pos = pos.where(F.col("doc_id").isin([int(i) for i in ids]))
+        else:
+            # a widened candidate set as a literal list would bloat the
+            # plan / stall py4j — ship it as a broadcast semi-join
+            cdf = index.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id long")
+            pos = pos.join(F.broadcast(cdf), "doc_id", "left_semi")
+        rows = pos.select("doc_id", "term", "positions").collect()
+        pos_map = {(r["doc_id"], r["term"]): r["positions"] for r in rows}
+    return _phrase_match_ids(pos_map, ids, seq)
+
+
+def meta_version(positions: bool) -> int:
+    """Version stamped into meta: 3 only when the positions table exists,
+    so pre-r5 readers refuse positional indexes instead of silently
+    dropping phrase semantics; plain indexes stay readable everywhere."""
+    return POSITIONS_VERSION if positions else META_VERSION

@@ -309,11 +309,13 @@ class Index:
         self.scan_partition_bytes = scan_partition_bytes
         self._local_dir = local_path(index_dir)
         m = spark.read.parquet(f"{index_dir}/meta").collect()[0]
-        from ..config import META_VERSION
-        if int(m["version"]) > META_VERSION:
+        from .positions import POSITIONS_VERSION
+        if int(m["version"]) > POSITIONS_VERSION:
             raise ValueError(
                 f"index {index_dir} has format version {int(m['version'])} "
-                f"> supported {META_VERSION}; upgrade the engine to read it")
+                f"> supported {POSITIONS_VERSION}; upgrade the engine to "
+                f"read it")
+        self.version = int(m["version"])
         self.n_docs = int(m["n_docs"])
         self.avgdl = float(m["avgdl"])
         self.range_size = int(m["range_size"])
@@ -615,8 +617,16 @@ class Index:
             groups[sig].append((qid, text, k, filt))
         out: list[tuple] = []
         for (mode, _), qs in groups.items():
-            out.extend(self.search_rows([(q, t, k) for q, t, k, _ in qs],
-                                        mode=mode, filters=qs[0][3]))
+            if mode == "phrase":      # r5: exact-phrase specs (format v3;
+                for q, t, kk, filt in qs:   # filters not supported here)
+                    if filt:
+                        raise ValueError(
+                            "phrase specs do not take filters")
+                    out.extend(self.search_phrase(t, k=kk, query_id=q))
+            else:
+                out.extend(self.search_rows(
+                    [(q, t, k) for q, t, k, _ in qs],
+                    mode=mode, filters=qs[0][3]))
         return sorted(out)
 
     def _pa_dataset(self, sub: str):
@@ -665,3 +675,40 @@ class Index:
                filters: dict | None = None) -> DataFrame:
         return (self.search_batch([(0, text, k)], mode=mode,
                                   filters=filters).drop("query_id"))
+
+    def search_phrase(self, text: str, k: int = 10,
+                      query_id: int = 0,
+                      start_candidates: int = 64) -> list[tuple]:
+        """Exact-phrase top-k (format version 3, plans/positions.py):
+        best-first conjunctive BM25 candidates, position-verified on the
+        bounded candidate set, re-ranked 1..k. Rows match search_rows:
+        (query_id, rank, doc_id, score, repo, path). Scores are the
+        AND-mode BM25 of the phrase's distinct terms.
+
+        The candidate width doubles geometrically until k hits verify or
+        the AND match set is exhausted — verification cost stays
+        O(candidates x phrase terms), corpus-size-independent."""
+        from ..functions.tokenize import tokenize_py
+        from .positions import verify_phrase
+        if self.version < 3:
+            raise ValueError(
+                f"index {self.dir} (format version {self.version}) was "
+                f"built without positions=True; phrase queries need the "
+                f"positions side table — rebuild with "
+                f"build_index(..., positions=True)")
+        seq = tokenize_py(text)
+        if not seq:
+            return []
+        if len(seq) == 1:        # degenerate phrase: plain top-k
+            return [(query_id, *r[1:]) for r in
+                    self.search_rows([(query_id, text, k)])]
+        m = max(start_candidates, 2 * k)
+        while True:
+            cand = self.search_rows([(query_id, " ".join(seq), m)],
+                                    mode="and")
+            matched = verify_phrase(self, [r[2] for r in cand], seq)
+            hits = [r for r in cand if r[2] in matched]
+            if len(hits) >= k or len(cand) < m:
+                return [(query_id, rank, r[2], r[3], r[4], r[5])
+                        for rank, r in enumerate(hits[:k], start=1)]
+            m *= 4

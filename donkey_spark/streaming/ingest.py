@@ -70,6 +70,16 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
                         .collect()[0][0])
     if fs_exists(spark, f"{index_dir}/meta"):
         m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
+        from ..plans.positions import POSITIONS_VERSION
+        if int(m.get("version", 0)) >= POSITIONS_VERSION:
+            # fail fast: epochs do not extend the positions side table
+            # yet, and silently phrase-blind streamed docs would be a
+            # wrong answer — same honest-seam policy as the media codecs
+            raise ValueError(
+                f"{index_dir} is a positional index (format version "
+                f"{m['version']}); streaming ingest does not extend the "
+                f"positions table — compact/rebuild without "
+                f"positions=True to stream into it")
         base["rsize"] = int(m["range_size"])
         # epochs over a facet-enabled batch index keep indexing the same
         # facets, so filtered queries stay correct across the stream
@@ -399,10 +409,16 @@ def compact_index(spark: SparkSession, corpus: DataFrame,
     # a compaction keeps the index's facet schema unless the caller
     # explicitly overrides it — otherwise the first reindex would
     # silently stop indexing filter postings
-    if "facets" not in build_opts and fs_exists(spark, f"{index_dir}/meta"):
+    if fs_exists(spark, f"{index_dir}/meta"):
         m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
-        build_opts["facets"] = tuple(
-            f for f in (m.get("facets") or "").split(",") if f)
+        if "facets" not in build_opts:
+            build_opts["facets"] = tuple(
+                f for f in (m.get("facets") or "").split(",") if f)
+        if "positions" not in build_opts:
+            # a compaction keeps phrase support too (format version 3)
+            from ..plans.positions import POSITIONS_VERSION
+            build_opts["positions"] = (
+                int(m.get("version", 0)) >= POSITIONS_VERSION)
     keys = tombstone_keys(spark, index_dir)
     snap = f"{index_dir}/_tombstone_snapshot"
     sfs, spath = hadoop_fs(spark, snap)

@@ -35,6 +35,9 @@ def main() -> None:
                          "query.py --filter col=value")
     ap.add_argument("--extractor", default="python",
                     choices=["python", "arrow"])
+    ap.add_argument("--positions", action="store_true",
+                    help="also write the positions side table (format "
+                         "version 3) — enables query.py --phrase")
     a = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,7 +51,8 @@ def main() -> None:
                        n_chunks=a.chunks, resume=a.resume,
                        ref_hashes=ref, job_id=a.job_id,
                        extractor=a.extractor,
-                       facets=tuple(f for f in a.facets.split(",") if f))
+                       facets=tuple(f for f in a.facets.split(",") if f),
+                       positions=a.positions)
     json.dump(info, sys.stdout, default=str)
     print()
 

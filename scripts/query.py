@@ -20,6 +20,10 @@ def main() -> None:
                     help="parquet with (query_id, query, k)")
     ap.add_argument("--mode", default="or", choices=["or", "and"],
                     help="'and' = docs must contain EVERY query term")
+    ap.add_argument("--phrase", action="store_true",
+                    help="treat --query as an exact phrase (index must be "
+                         "built with --positions); ranks the docs whose "
+                         "token stream contains the sequence consecutively")
     ap.add_argument("--filter", action="append", default=[],
                     metavar="COL=VALUE[,VALUE...]",
                     help="facet filter (repeatable); a comma list is an OR "
@@ -51,7 +55,14 @@ def main() -> None:
             c, v = f.split("=", 1)
             filters[c] = v.split(",") if "," in v else v
     filters = filters or None
-    res = idx.search_batch(batch, mode=a.mode, filters=filters)
+    if a.phrase:
+        if a.queries or filters:
+            ap.error("--phrase takes a single --query and no --filter")
+        from donkey_spark.plans.query import _RESULT_SCHEMA
+        res = spark.createDataFrame(
+            idx.search_phrase(a.query, k=a.k), _RESULT_SCHEMA)
+    else:
+        res = idx.search_batch(batch, mode=a.mode, filters=filters)
     if a.out:
         res.write.mode("overwrite").parquet(a.out)
     else:

@@ -79,3 +79,21 @@ def test_cli_build_query_delete_roundtrip(cli_corpus):
     info = json.loads(out.strip().splitlines()[-1])
     assert info["chunks_built"] == 0
     assert info["chunks_skipped"] == info["n_chunks"]
+
+
+def test_cli_positional_build_and_phrase_query(cli_corpus):
+    """r5: --positions build (format v3) + --phrase query end to end."""
+    base = cli_corpus
+    idx = str(base / "posidx")
+    out = _run(["scripts/build_index.py", "--corpus",
+                str(base / "corpus.parquet"), "--out", idx, "--positions"])
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["n_docs"] == 120 and "positions_write" in info["phases"]
+
+    res = str(base / "pres")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "5", "--phrase", "--out", res])
+    df = pd.read_parquet(res)
+    assert len(df) >= 1 and (df["score"] > 0).all()
+    assert df.sort_values("rank")["rank"].tolist() == \
+        list(range(1, len(df) + 1))

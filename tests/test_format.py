@@ -38,13 +38,16 @@ def _flatten_dictionary(out: str) -> None:
 
 def test_meta_version_written_and_future_rejected(spark, fmt_index):
     from donkey_spark.config import META_VERSION
+    from donkey_spark.plans.positions import POSITIONS_VERSION
     from donkey_spark.plans.query import Index
     out, _ = fmt_index
     m = spark.read.parquet(f"{out}/meta").collect()[0]
+    # non-positional builds keep writing the base version (r5: version 3
+    # is reserved for indexes carrying the positions side table)
     assert int(m["version"]) == META_VERSION
     # a future format version must fail fast, not misread silently
     rows = [tuple(m)]
-    rows[0] = (META_VERSION + 1,) + tuple(m)[1:]
+    rows[0] = (POSITIONS_VERSION + 1,) + tuple(m)[1:]
     (spark.createDataFrame(rows, spark.read.parquet(f"{out}/meta").schema)
      .coalesce(1).write.mode("overwrite").parquet(f"{out}/meta"))
     with pytest.raises(ValueError, match="format version"):

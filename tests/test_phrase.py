@@ -1,0 +1,155 @@
+"""Positional postings + phrase queries (r5, format version 3).
+
+Oracle: a transparent Python recomputation — tokenize with the frozen §T
+tokenizer, test consecutive containment, rank by the ENGINE-verified
+AND-mode BM25 (itself driver-certified hash-exact against DuckDB), so
+the phrase layer is checked in isolation on top of a trusted ranker.
+"""
+
+import pytest
+
+from fixtures.gen_corpus import gen_corpus
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    from donkey_spark.plans.build import build_index
+    out = str(tmp_path_factory.mktemp("posidx") / "idx")
+    pdf = gen_corpus(200, seed=41)
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64,
+                positions=True)
+    return out, pdf
+
+
+def _phrase_oracle(idx, pdf, text, k):
+    """Expected rows: AND-mode candidates (trusted ranker) filtered by
+    python-verified consecutive containment, re-ranked 1..k."""
+    from donkey_spark.functions.tokenize import tokenize_py
+    seq = tokenize_py(text)
+    content = {(r.repo, r.path): r.content
+               for r in pdf.itertuples(index=False)}
+
+    def contains(doc_text):
+        toks = tokenize_py(doc_text)
+        n = len(seq)
+        return any(toks[i:i + n] == seq
+                   for i in range(len(toks) - n + 1))
+
+    cand = idx.search_rows([(0, " ".join(seq), 10 ** 6)], mode="and")
+    hits = [r for r in cand if contains(content[(r[4], r[5])])]
+    return [(0, rank, r[2], round(r[3], 9), r[4], r[5])
+            for rank, r in enumerate(hits[:k], start=1)]
+
+
+def test_phrase_matches_python_oracle(spark, pos_index):
+    from donkey_spark.plans.query import Index
+    out, pdf = pos_index
+    idx = Index(spark, out)
+    assert idx.version == 3
+    for text in ("def return", "return def", "for in range",
+                 "class def"):
+        got = [(q, r, d, round(s, 9), rp, p) for q, r, d, s, rp, p in
+               idx.search_phrase(text, k=10)]
+        want = _phrase_oracle(idx, pdf, text, 10)
+        assert got == want, text
+    # at least one of those phrases must really match somewhere, and at
+    # least one must have FEWER phrase hits than AND hits (the
+    # verification layer actually rejects candidates)
+    n_and = len(idx.search_rows([(0, "def return", 10 ** 6)], mode="and"))
+    n_ph = len(idx.search_phrase("def return", k=10 ** 6))
+    assert n_ph > 0 and n_ph < n_and
+
+
+def test_phrase_widening_loop_and_duplicate_terms(spark, pos_index):
+    """start_candidates=2 forces the geometric widening path; a
+    duplicate-term phrase ('in in'?) exercises same-term adjacency."""
+    from donkey_spark.plans.query import Index
+    out, pdf = pos_index
+    idx = Index(spark, out)
+    wide = idx.search_phrase("def return", k=10)
+    narrow = idx.search_phrase("def return", k=10, start_candidates=2)
+    assert narrow == wide
+    # duplicate-term phrase: verified against the python oracle
+    got = [(q, r, d, round(s, 9), rp, p) for q, r, d, s, rp, p in
+           idx.search_phrase("in in", k=5)]
+    assert got == _phrase_oracle(idx, pdf, "in in", 5)
+
+
+def test_phrase_edges(spark, pos_index):
+    from donkey_spark.plans.query import Index
+    out, _ = pos_index
+    idx = Index(spark, out)
+    assert idx.search_phrase("zz_nope_a zz_nope_b", k=5) == []
+    assert idx.search_phrase("", k=5) == []
+    # single-token phrase degenerates to plain top-k
+    assert idx.search_phrase("def", k=5) == \
+        idx.search_rows([(0, "def", 5)])
+    # distributed verification path agrees with the driver-local one
+    d = Index(spark, out, local_bytes=0)
+    assert d.search_phrase("def return", k=10) == \
+        idx.search_phrase("def return", k=10)
+
+
+def test_phrase_in_mixed_batch(spark, pos_index):
+    """search_rows_mixed accepts mode='phrase' specs alongside or/and."""
+    from donkey_spark.plans.query import Index
+    out, _ = pos_index
+    idx = Index(spark, out)
+    specs = [(0, "def return", 5, None, None),
+             (1, "def return", 5, "phrase", None),
+             (2, "def return", 5, "and", None)]
+    got = idx.search_rows_mixed(specs)
+    exp = sorted(
+        idx.search_rows([(0, "def return", 5)])
+        + idx.search_phrase("def return", k=5, query_id=1)
+        + idx.search_rows([(2, "def return", 5)], mode="and"))
+    assert got == exp
+    with pytest.raises(ValueError, match="filters"):
+        idx.search_rows_mixed(
+            [(0, "def return", 5, "phrase", {"lang": "en"})])
+
+
+def test_phrase_requires_positional_index(spark, tmp_path):
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    out = str(tmp_path / "plain")
+    build_index(spark, spark.createDataFrame(gen_corpus(40, seed=5)), out,
+                range_size=64)
+    idx = Index(spark, out)
+    assert idx.version == 2          # plain indexes keep the old version
+    with pytest.raises(ValueError, match="positions=True"):
+        idx.search_phrase("def return", k=5)
+
+
+def test_streaming_refuses_positional_index(spark, tmp_path):
+    """Epochs do not extend the positions table — appending would leave
+    streamed docs silently phrase-blind, so ingest fails fast."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.sources.corpus import CORPUS_SCHEMA
+    from donkey_spark.streaming.ingest import _append_epoch
+    out = str(tmp_path / "posidx")
+    pdf = gen_corpus(50, seed=6)
+    build_index(spark, spark.createDataFrame(pdf.iloc[:40]), out,
+                range_size=64, positions=True)
+    with pytest.raises(ValueError, match="positional index"):
+        _append_epoch(spark.createDataFrame(pdf.iloc[40:], CORPUS_SCHEMA),
+                      0, out, "varint", 128, memo={})
+
+
+def test_compact_preserves_positions(spark, pos_index, tmp_path):
+    """A compaction of a positional index keeps phrase support (like it
+    keeps facets): version stays 3 and phrase results track the
+    rebuilt corpus."""
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming import compact_index
+    out, pdf = pos_index
+    dst = str(tmp_path / "compacted")
+    import shutil
+    shutil.copytree(out, dst)
+    corpus = spark.createDataFrame(pdf)
+    compact_index(spark, corpus, dst, range_size=64)
+    idx = Index(spark, dst)
+    assert idx.version == 3
+    got = [(q, r, d, round(s, 9), rp, p) for q, r, d, s, rp, p in
+           idx.search_phrase("def return", k=10)]
+    assert got == _phrase_oracle(idx, pdf, "def return", 10)
