@@ -69,17 +69,42 @@ def main() -> None:
         extract_doc_features(arr)
         t_ar.append(time.perf_counter() - t0)
 
+    # SOLO protocol (r5): each path runs its reps consecutively — the
+    # production shape (a Spark worker runs ONE extractor for its whole
+    # life). Interleaving, designed to cancel host drift, turned out to
+    # actively poison the arrow path: every python rep churns the heap
+    # with millions of short-lived objects, and the next arrow rep pays
+    # the page faults. Report both; solo is the deployment-relevant one.
+    s_py = []
+    for _ in range(a.reps):
+        t0 = time.perf_counter()
+        _python_path(contents, MAX_TOKENS_PER_DOC)
+        s_py.append(time.perf_counter() - t0)
+    s_ar = []
+    for _ in range(a.reps):
+        t0 = time.perf_counter()
+        extract_doc_features(arr)
+        s_ar.append(time.perf_counter() - t0)
+
     med_py = float(np.median(t_py))
     med_ar = float(np.median(t_ar))
+    smed_py = float(np.median(s_py))
+    smed_ar = float(np.median(s_ar))
     print(json.dumps({
         "docs": a.docs, "mb": round(total_mb, 1), "reps": a.reps,
         "python_median_s": round(med_py, 3),
         "arrow_median_s": round(med_ar, 3),
         "python_all": [round(t, 3) for t in t_py],
         "arrow_all": [round(t, 3) for t in t_ar],
+        "solo_python_median_s": round(smed_py, 3),
+        "solo_arrow_median_s": round(smed_ar, 3),
+        "solo_python_all": [round(t, 3) for t in s_py],
+        "solo_arrow_all": [round(t, 3) for t in s_ar],
         "python_mb_s": round(total_mb / med_py, 1),
         "arrow_mb_s": round(total_mb / med_ar, 1),
-        "winner": "python" if med_py <= med_ar else "arrow",
+        "solo_arrow_mb_s": round(total_mb / smed_ar, 1),
+        "winner_interleaved": "python" if med_py <= med_ar else "arrow",
+        "winner_solo": "python" if smed_py <= smed_ar else "arrow",
     }))
 
     # ---- per-pass byte-traffic budget of the arrow kernel ---------------
