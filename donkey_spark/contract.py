@@ -503,8 +503,13 @@ def q_bm25_phrase_topk(spark, sf_dir):
     idx = Index(spark, contract_index_dir(spark, sf_dir))
     rows = []
     for qid, text, k in BM25_PHRASE_QUERIES:
-        rows.extend((r[0], r[1], r[2], round(r[3], 6))
-                    for r in idx.search_phrase(text, k=k, query_id=qid))
+        hits = idx.search_phrase(text, k=k, query_id=qid)
+        # rank on the ROUNDED score like the other BM25 pairs (the
+        # oracle's row_number orders by ROUND(score, 6)) so a sub-1e-6
+        # tie cannot flip rank between engine and twin
+        hits.sort(key=lambda r: (-round(r[3], 6), r[2]))
+        rows.extend((qid, rank, r[2], round(r[3], 6))
+                    for rank, r in enumerate(hits, start=1))
     return spark.createDataFrame(
         rows, "query_id int, rank int, doc_id long, score double")
 

@@ -89,30 +89,47 @@ def write_positions(spark: SparkSession, docs_content: DataFrame,
         .parquet(f"{out_dir}/positions"))
 
 
-def _phrase_match_ids(pos_map: dict, ids: list[int],
-                      seq: list[str]) -> set[int]:
-    """Docs (from ids) whose token stream contains seq consecutively.
-    pos_map: (doc_id, term) -> sorted int ndarray of positions."""
+def _phrase_match_ids(pos_map: dict, ids: list[int], seq: list[str],
+                      slop: int = 0) -> set[int]:
+    """Docs (from ids) whose token stream contains seq within ``slop``.
+
+    slop=0 = exact consecutive phrase. slop>0 = ordered proximity
+    (Lucene-near-ish, documented semantics): positions p_0 < p_1 < ... <
+    p_{n-1}, one per phrase slot IN ORDER, with total stretch
+    (p_{n-1} - p_0) - (n-1) <= slop. Verified with a greedy minimal-
+    span chain: for every candidate start, each later slot takes its
+    EARLIEST position after the previous slot (searchsorted) — greedy
+    minimizes the final span per start, so it finds a window iff one
+    exists. pos_map: (doc_id, term) -> sorted int positions."""
+    n = len(seq)
     out = set()
     for did in ids:
-        cand = pos_map.get((did, seq[0]))
-        if cand is None:
+        first = pos_map.get((did, seq[0]))
+        if first is None:
             continue
-        ok = np.asarray(cand, dtype=np.int64)
-        for i, t in enumerate(seq[1:], start=1):
+        start = np.asarray(first, dtype=np.int64)
+        end = start.copy()
+        ok = True
+        for t in seq[1:]:
             nxt = pos_map.get((did, t))
             if nxt is None:
-                ok = ok[:0]
+                ok = False
                 break
-            ok = ok[np.isin(ok + i, np.asarray(nxt, dtype=np.int64))]
-            if not ok.size:
+            nxt = np.asarray(nxt, dtype=np.int64)
+            idx = np.searchsorted(nxt, end + 1)
+            keep = idx < nxt.size
+            if not keep.any():
+                ok = False
                 break
-        if ok.size:
+            start = start[keep]
+            end = nxt[idx[keep]]
+        if ok and (end - start - (n - 1) <= slop).any():
             out.add(did)
     return out
 
 
-def verify_phrase(index, ids: list[int], seq: list[str]) -> set[int]:
+def verify_phrase(index, ids: list[int], seq: list[str],
+                  slop: int = 0) -> set[int]:
     """Fetch positions for the BOUNDED (ids × seq-terms) slice and return
     the ids containing the phrase. Driver-local pyarrow scan when the
     index is on a local filesystem (like the scorer's fast path), Spark
@@ -147,7 +164,7 @@ def verify_phrase(index, ids: list[int], seq: list[str]) -> set[int]:
             pos = pos.join(F.broadcast(cdf), "doc_id", "left_semi")
         rows = pos.select("doc_id", "term", "positions").collect()
         pos_map = {(r["doc_id"], r["term"]): r["positions"] for r in rows}
-    return _phrase_match_ids(pos_map, ids, seq)
+    return _phrase_match_ids(pos_map, ids, seq, slop=slop)
 
 
 def meta_version(positions: bool) -> int:

@@ -677,13 +677,18 @@ class Index:
                                   filters=filters).drop("query_id"))
 
     def search_phrase(self, text: str, k: int = 10,
-                      query_id: int = 0,
+                      query_id: int = 0, slop: int = 0,
                       start_candidates: int = 64) -> list[tuple]:
         """Exact-phrase top-k (format version 3, plans/positions.py):
         best-first conjunctive BM25 candidates, position-verified on the
         bounded candidate set, re-ranked 1..k. Rows match search_rows:
         (query_id, rank, doc_id, score, repo, path). Scores are the
         AND-mode BM25 of the phrase's distinct terms.
+
+        ``slop`` relaxes adjacency to ordered proximity: the phrase
+        terms must appear IN ORDER with total stretch <= slop extra
+        tokens (slop=0 = exact phrase; see positions._phrase_match_ids
+        for the precise window semantics).
 
         The candidate width doubles geometrically until k hits verify or
         the AND match set is exhausted — verification cost stays
@@ -706,7 +711,8 @@ class Index:
         while True:
             cand = self.search_rows([(query_id, " ".join(seq), m)],
                                     mode="and")
-            matched = verify_phrase(self, [r[2] for r in cand], seq)
+            matched = verify_phrase(self, [r[2] for r in cand], seq,
+                                    slop=slop)
             hits = [r for r in cand if r[2] in matched]
             if len(hits) >= k or len(cand) < m:
                 return [(query_id, rank, r[2], r[3], r[4], r[5])

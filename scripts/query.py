@@ -24,6 +24,9 @@ def main() -> None:
                     help="treat --query as an exact phrase (index must be "
                          "built with --positions); ranks the docs whose "
                          "token stream contains the sequence consecutively")
+    ap.add_argument("--slop", type=int, default=0,
+                    help="with --phrase: allow the terms IN ORDER within "
+                         "this many extra tokens (0 = exact adjacency)")
     ap.add_argument("--filter", action="append", default=[],
                     metavar="COL=VALUE[,VALUE...]",
                     help="facet filter (repeatable); a comma list is an OR "
@@ -60,7 +63,7 @@ def main() -> None:
             ap.error("--phrase takes a single --query and no --filter")
         from donkey_spark.plans.query import _RESULT_SCHEMA
         res = spark.createDataFrame(
-            idx.search_phrase(a.query, k=a.k), _RESULT_SCHEMA)
+            idx.search_phrase(a.query, k=a.k, slop=a.slop), _RESULT_SCHEMA)
     else:
         res = idx.search_batch(batch, mode=a.mode, filters=filters)
     if a.out:

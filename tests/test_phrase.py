@@ -90,6 +90,52 @@ def test_phrase_edges(spark, pos_index):
         idx.search_phrase("def return", k=10)
 
 
+def _slop_oracle_contains(toks, seq, slop):
+    """Independent proximity oracle: per-token forward scan inside each
+    bounded window (no searchsorted — a different algorithm from the
+    engine's greedy chain)."""
+    n = len(seq)
+    w = n - 1 + slop
+    for i, t in enumerate(toks):
+        if t != seq[0]:
+            continue
+        j, need = i, 1
+        while need < n and j < min(i + w, len(toks) - 1):
+            j += 1
+            if toks[j] == seq[need]:
+                need += 1
+        if need == n:
+            return True
+    return False
+
+
+def test_phrase_slop_proximity(spark, pos_index):
+    """slop>0 = ordered within-window proximity: results match an
+    independent per-token oracle, are a superset of slop=0, and grow
+    monotonically with slop."""
+    from donkey_spark.functions.tokenize import tokenize_py
+    from donkey_spark.plans.query import Index
+    out, pdf = pos_index
+    idx = Index(spark, out)
+    content = {(r.repo, r.path): r.content
+               for r in pdf.itertuples(index=False)}
+    text = "def for"
+    seq = tokenize_py(text)
+    ids = {}
+    for slop in (0, 2, 5):
+        rows = idx.search_phrase(text, k=10 ** 6, slop=slop)
+        ids[slop] = {r[2] for r in rows}
+        # every hit verified by the independent oracle; every AND
+        # candidate the oracle accepts is in the result
+        cand = idx.search_rows([(0, text, 10 ** 6)], mode="and")
+        want = {r[2] for r in cand
+                if _slop_oracle_contains(
+                    tokenize_py(content[(r[4], r[5])]), seq, slop)}
+        assert ids[slop] == want, slop
+    assert ids[0] <= ids[2] <= ids[5]
+    assert ids[0] != ids[5]          # slop actually relaxes something
+
+
 def test_phrase_in_mixed_batch(spark, pos_index):
     """search_rows_mixed accepts mode='phrase' specs alongside or/and."""
     from donkey_spark.plans.query import Index
