@@ -65,6 +65,12 @@ def _list_to_matrix(arr: pa.Array, dim: int | None) -> np.ndarray:
     if arr.null_count:
         raise ValueError("embedding column contains nulls")
     flat = arr.flatten()          # honors offsets/slicing; values in order
+    if flat.null_count:
+        # a null ELEMENT inside a list is invisible to arr.null_count
+        # but would flow through the matmul as NaN and silently hash
+        # every affected vector to the all-zero-bits bucket (r5 review)
+        raise ValueError("embedding column contains null elements "
+                         "inside vectors")
     offs = np.diff(np.asarray(arr.offsets))
     if offs.size == 0:
         return np.empty((0, dim or 0), dtype=np.float64)

@@ -5,18 +5,24 @@ reference semantics are `tokenize_py` + `Counter` (functions/tokenize.py,
 FIXTURES.md §T: NFC -> lower -> [a-z0-9_]{2,64} runs -> cap). This kernel
 computes the identical result with zero per-token Python on the hot path:
 
-* the batch's UTF-8 data buffer is scanned as ONE numpy uint8 array:
-  a 256-byte LUT lowers it, a second LUT marks token bytes, and token
-  runs fall out of two shifted boolean masks (run starts/ends), with
-  forced breaks at document boundaries;
-* dropped runs (len < 2, len > 64, beyond the per-doc cap) are erased
-  from a byte-keep mask via a delta+cumsum sweep — the kept tokens are
-  then ONE boolean compress of the buffer (no giant gather-index arrays);
+* the batch's UTF-8 data buffer is scanned as ONE numpy uint8 array: a
+  256-byte LUT marks token bytes (A–Z included — they lower to token
+  bytes, so boundaries are case-blind), token runs fall out of ONE
+  adjacent-compare toggle sweep, and document boundaries split runs via
+  O(docs) vectorized inserts (r5 — previously two full shifted masks);
+* every run is packed with ONE boolean compress, lowering is applied to
+  those token bytes ONLY (r5 — the full-buffer lower gather is gone),
+  and invalid runs (len < 2, len > 64, beyond the per-doc cap) are
+  dropped at the TOKEN level by a single Arrow C++ `filter` (r5 — the
+  byte-level delta+cumsum keep-mask erase is gone). Net traffic ~12×
+  input bytes, was ~20×;
 * the packed bytes + offsets become a pyarrow StringArray zero-copy;
   `pc.dictionary_encode` (C++ hash) replaces per-doc Counter, and tf
   falls out of a run-length pass over ONE sorted (doc << 32 | code) key;
 * per-doc term/tf lists are assembled as Arrow ListArrays from offsets —
-  no per-doc Python objects anywhere.
+  no per-doc Python objects anywhere; non-escaping work arrays come
+  from a grow-only per-thread scratch pool (page-fault churn, not
+  compute, dominated rep variance on the measurement host).
 
 Byte-level run scanning is EXACT for ASCII documents (NFC is the identity
 and `str.lower` == byte-lower there). Documents containing any non-ASCII
@@ -50,23 +56,31 @@ _EMPTY_I32 = np.zeros(1, dtype=np.int32)
 
 
 class _Scratch:
-    """Grow-only per-process buffer pool for the kernel's NON-ESCAPING
+    """Grow-only PER-THREAD buffer pool for the kernel's NON-ESCAPING
     work arrays. Fresh ~100s-of-MB allocations per batch cost this host
     far more in page faults / THP churn than the compute (measured: the
     same batch swings 3.1s → 16.7s rep to rep); a long-lived Spark python
-    worker reuses the same pages instead. Only buffers that provably do
-    not outlive the call may come from here — anything wrapped zero-copy
-    into a RETURNED Arrow array (loff, tfs, dl) must stay fresh."""
+    worker reuses the same pages instead. Buffers are thread-local so
+    concurrent extract calls in one process (driver-side harnesses)
+    cannot alias each other's views (r5 review); Spark python workers
+    are single-threaded, so they still see exactly one pool. Only
+    buffers that provably do not outlive the call may come from here —
+    anything wrapped zero-copy into a RETURNED Arrow array (loff, tfs,
+    dl) must stay fresh."""
 
     def __init__(self):
-        self._bufs: dict = {}
+        import threading
+        self._tls = threading.local()
 
     def get(self, name: str, size: int, dtype) -> np.ndarray:
+        bufs = getattr(self._tls, "bufs", None)
+        if bufs is None:
+            bufs = self._tls.bufs = {}
         key = (name, np.dtype(dtype))
-        b = self._bufs.get(key)
+        b = bufs.get(key)
         if b is None or b.size < size:
             b = np.empty(int(size * 1.25) + 16, dtype=dtype)
-            self._bufs[key] = b
+            bufs[key] = b
         return b[:size]
 
 

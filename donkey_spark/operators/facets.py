@@ -31,3 +31,25 @@ def append_facet_terms(terms: Column, tfs: Column,
         terms = F.when(has, F.concat(terms, F.array(tag))).otherwise(terms)
         tfs = F.when(has, F.concat(tfs, F.array(F.lit(1)))).otherwise(tfs)
     return terms, tfs
+
+
+def normalize_filter_spec(col: str, spec) -> tuple[str, list]:
+    """The ONE filter-spec grammar, shared by BM25 facet filters
+    (plans/query.py) and ANN metadata filters (pipeline/similarity.py)
+    so the two surfaces can never drift (r5 review): returns
+    (kind, values) where kind is 'any' (membership — a scalar or list,
+    OR within the column) or 'not' (`{'not': values}` — complement
+    INCLUDING null-valued rows). Raises on unknown dict keys and empty
+    value lists."""
+    kind = "any"
+    if isinstance(spec, dict):
+        if set(spec) != {"not"}:
+            raise ValueError(
+                f"filter dict for {col!r} must be {{'not': values}}, "
+                f"got {sorted(spec)}")
+        kind, spec = "not", spec["not"]
+    vals = (sorted(set(spec)) if isinstance(spec, (list, tuple, set))
+            else [spec])
+    if not vals:
+        raise ValueError(f"empty filter value list for {col!r}")
+    return kind, vals

@@ -7,6 +7,12 @@
   with deterministic sha-seeded planes; candidates = vectors sharing the
   probe's bucket in any table, exact-rescored. At 10^9+ vectors the bucket
   join replaces the full scan; recall is tested vs brute force.
+
+r5: bucket assignment runs in the ``kernels/annproj`` mapInArrow matmul
+kernel at any dim (``method="arrow"``, default; the Catalyst-expression
+path survives as the small-dim oracle), and probes accept metadata
+``filters`` (equality/OR/NOT — see ``_apply_filters``) composing with
+tombstone exclusion.
 """
 
 from __future__ import annotations
@@ -115,21 +121,16 @@ def probe_buckets(probe: list[float], n_tables: int, n_planes: int,
 
 
 def _filter_pred(col: str, spec) -> Column:
-    """Metadata-filter predicate, same spec grammar as the BM25 facet
-    filters (plans/query.py): a scalar or list → membership; ``{'not':
-    [...]}`` → complement INCLUDING null-valued rows (matching the BM25
-    NOT twin's ``IS NULL OR NOT IN``)."""
-    if isinstance(spec, dict):
-        if set(spec) != {"not"} or not spec["not"]:
-            raise ValueError(
-                f"filter for {col!r} must be a value, a list, or "
-                f"{{'not': [non-empty values]}}; got {spec!r}")
-        vals = spec["not"] if isinstance(spec["not"], (list, tuple)) \
-            else [spec["not"]]
+    """Metadata-filter predicate — the SAME spec grammar as the BM25
+    facet filters, via the shared ``operators.facets
+    .normalize_filter_spec`` (one parser, two surfaces): membership for
+    a scalar/list, ``{'not': [...]}`` → complement INCLUDING
+    null-valued rows (matching the BM25 NOT twin's ``IS NULL OR NOT
+    IN``)."""
+    from ..operators.facets import normalize_filter_spec
+    kind, vals = normalize_filter_spec(col, spec)
+    if kind == "not":
         return F.col(col).isNull() | ~F.col(col).isin(list(vals))
-    vals = spec if isinstance(spec, (list, tuple)) else [spec]
-    if not len(vals):
-        raise ValueError(f"empty filter value list for {col!r}")
     return F.col(col).isin(list(vals))
 
 

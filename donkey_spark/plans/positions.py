@@ -83,8 +83,12 @@ def write_positions(spark: SparkSession, docs_content: DataFrame,
     from ..operators.postings import term_bucket_col
     pos = docs_content.mapInPandas(
         extract, "doc_id long, term string, positions array<int>")
+    # doc_id as the third sort key: within a hot term's run of row
+    # groups the doc_id min/max stats become tight, so the probe's
+    # doc_id pushdown prunes row groups instead of reading the term's
+    # whole occurrence list (r5 review)
     (pos.withColumn("bucket", term_bucket_col(F.col("term")))
-        .sortWithinPartitions("bucket", "term")
+        .sortWithinPartitions("bucket", "term", "doc_id")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{out_dir}/positions"))
 
@@ -128,18 +132,34 @@ def _phrase_match_ids(pos_map: dict, ids: list[int], seq: list[str],
     return out
 
 
+#: rough positions bytes per posting row for the local-scan cost model:
+#: one list header + a handful of int32 positions + row overhead
+_POS_BYTES_PER_DOC = 64
+
+
 def verify_phrase(index, ids: list[int], seq: list[str],
                   slop: int = 0) -> set[int]:
     """Fetch positions for the BOUNDED (ids × seq-terms) slice and return
-    the ids containing the phrase. Driver-local pyarrow scan when the
-    index is on a local filesystem (like the scorer's fast path), Spark
-    pushdown-collect otherwise."""
+    the ids containing the phrase.
+
+    Driver-local pyarrow scan only when the estimated scan work fits the
+    index's ``local_bytes`` budget — the same cost model the scorer
+    uses (r5 review: hot-term occurrence lists can dwarf the candidate
+    set, since doc_id pushdown prunes row groups, not rows within
+    them); otherwise the scan runs distributed with the same pushdown."""
     if not ids:
         return set()
     from ..operators.postings import term_bucket_py
     terms = sorted(set(seq))
     buckets = sorted({term_bucket_py(t) for t in terms})
+    use_local = False
     if index.local_bytes:
+        # dfs are memoized on the Index — the AND candidate stage already
+        # probed these very terms, so this is a dict lookup, not IO
+        dfs = index._lookup_terms(terms)
+        est = sum(dfs.get(t, 0) for t in terms) * _POS_BYTES_PER_DOC
+        use_local = est <= index.local_bytes
+    if use_local:
         import pyarrow.dataset as ds
         dset = index._pa_dataset("positions")
         tbl = dset.to_table(

@@ -260,11 +260,16 @@ def _query_session(spark: SparkSession,
     a session per Index instance."""
     try:
         mirrored = tuple(spark.conf.get(k) for k in _QSPARK_MIRROR)
-        key = (spark.sparkContext.applicationId, scan_partition_bytes,
-               mirrored)
+        app = spark.sparkContext.applicationId
+        key = (app, scan_partition_bytes, mirrored)
         cached = _QSPARK_CACHE.get(key)
         if cached is not None:
             return cached
+        # evict sessions of other (stopped/replaced) applications — a
+        # restarted context gets a new applicationId, so stale entries
+        # would otherwise be retained forever (r5 review)
+        for k in [k for k in _QSPARK_CACHE if k[0] != app]:
+            del _QSPARK_CACHE[k]
         qspark = spark.newSession()
         for k, v in zip(_QSPARK_MIRROR, mirrored):
             qspark.conf.set(k, v)
@@ -444,17 +449,9 @@ class Index:
                     f"index has no facet(s) {unknown}; built with "
                     f"facets={self.facets or '()'} — rebuild with "
                     f"build_index(..., facets=(...))")
+            from ..operators.facets import normalize_filter_spec
             for c, v in sorted(filters.items()):
-                kind = "any"
-                if isinstance(v, dict):
-                    if set(v) != {"not"}:
-                        raise ValueError(
-                            f"filter dict for {c!r} must be "
-                            f"{{'not': values}}, got {sorted(v)}")
-                    kind, v = "not", v["not"]
-                vals = [v] if isinstance(v, str) else sorted(set(v))
-                if not vals:
-                    raise ValueError(f"empty filter value list for {c!r}")
+                kind, vals = normalize_filter_spec(c, v)
                 facet_groups.append((kind, [f"\x01{c}={x}" for x in vals]))
         facet_terms = [t for _, g in facet_groups for t in g]
         spark = self.spark

@@ -269,13 +269,16 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     # steady-state batches use a single-partition window (one tiny sort);
     # a catch-up/bootstrap epoch over a backlog (> STREAM_ID_GATE_ROWS)
     # switches to the batch build's two-phase range assignment so the
-    # whole backlog never funnels through one partition. The gate count
-    # is a narrow job over the micro-batch source (cheap vs the epoch).
+    # whole backlog never funnels through one partition. The gate needs
+    # only "is it above the threshold", so it counts a LIMITed slice —
+    # a bounded scan even over a 10^8-row backlog (r5 review), not a
+    # full pass the epoch would then repeat.
     from ..config import STREAM_ID_GATE_ROWS
     feats = ("repo", "path", "commit", "lang",
              F.sha2(F.col("content"), 256).alias("sha256"),
              doc_features_udf(F.col("content")).alias("f"))
-    if batch_df.count() > STREAM_ID_GATE_ROWS:
+    if (batch_df.select("repo").limit(STREAM_ID_GATE_ROWS + 1).count()
+            > STREAM_ID_GATE_ROWS):
         from ..operators.doc_ids import assign_doc_ids
         # dedupe=True fuses distinct(repo,path,commit) + count + rank
         # into the ONE range shuffle (operators/doc_ids.py); the

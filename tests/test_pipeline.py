@@ -430,3 +430,31 @@ def test_lsh_ann_topk_arrow_matches_expr_path(spark):
          lsh_ann_topk(emb, probe, k=10, n_tables=8, n_planes=4,
                       method="expr").collect()]
     assert a == e and len(a) == 10
+
+
+def test_ann_append_with_meta_cols(spark, tmp_path):
+    """r5: incremental appends carry the index's denormalized metadata,
+    so filtered probes see appended vectors too."""
+    from donkey_spark.pipeline.similarity import (ann_topk,
+                                                  append_ann_vectors,
+                                                  build_ann_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .collect()[0]["embedding"]]
+    first = emb.where(F.col("vec_id") < 400)
+    rest = emb.where(F.col("vec_id") >= 400)
+    out = str(tmp_path / "annm")
+    build_ann_index(first, out, n_tables=4, n_planes=4,
+                    meta_cols=("label",))
+    append_ann_vectors(rest, out, n_tables=4, n_planes=4,
+                       meta_cols=("label",), dim=64)
+    scratch = str(tmp_path / "annm_all")
+    build_ann_index(emb, scratch, n_tables=4, n_planes=4,
+                    meta_cols=("label",))
+    for filt in (None, {"label": [1, 2, 3]}):
+        got = ann_topk(spark, out, probe, k=10, n_tables=4, n_planes=4,
+                       filters=filt).collect()
+        want = ann_topk(spark, scratch, probe, k=10, n_tables=4,
+                        n_planes=4, filters=filt).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in got] == \
+            [(r["vec_id"], r["cosine"]) for r in want], filt
