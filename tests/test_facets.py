@@ -314,3 +314,18 @@ def test_distributed_fallback_split_sizing(spark, facet_setup):
     got = idx.search_rows([(0, "def return", 10)])
     assert got == base
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == prev
+
+
+def test_qspark_cache_evicts_stale_applications(spark, facet_setup):
+    """r5 review: cached child sessions keyed by a DIFFERENT (stopped/
+    replaced) applicationId are evicted when a new one is created."""
+    from donkey_spark.plans import query as qmod
+    _, faceted, _ = facet_setup
+    stale_key = ("app-that-no-longer-exists", "128m", ("x",))
+    qmod._QSPARK_CACHE[stale_key] = spark
+    # force a fresh creation path (unique split size → cache miss)
+    from donkey_spark.plans.query import Index
+    idx = Index(spark, faceted, scan_partition_bytes="96m")
+    assert stale_key not in qmod._QSPARK_CACHE
+    assert idx._qspark.conf.get(
+        "spark.sql.files.maxPartitionBytes") == "96m"
