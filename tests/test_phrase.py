@@ -199,3 +199,44 @@ def test_compact_preserves_positions(spark, pos_index, tmp_path):
     got = [(q, r, d, round(s, 9), rp, p) for q, r, d, s, rp, p in
            idx.search_phrase("def return", k=10)]
     assert got == _phrase_oracle(idx, pdf, "def return", 10)
+
+
+def test_phrase_composes_with_tombstones(spark, pos_index, tmp_path):
+    """A tombstoned doc vanishes from phrase results immediately (the
+    AND candidate stage already applies the dead mask; verification
+    must not resurrect it), survivors keep rank order."""
+    import shutil
+    from donkey_spark.plans.delete import delete_docs
+    from donkey_spark.plans.query import Index
+    out, _ = pos_index
+    base = Index(spark, out).search_phrase("def return", k=10)
+    assert len(base) == 10
+    victim = base[0][2]
+    delete_docs(spark, out, [victim])
+    try:
+        got = Index(spark, out).search_phrase("def return", k=9)
+        assert victim not in [r[2] for r in got]
+        assert [r[2] for r in got] == [r[2] for r in base[1:10]]
+    finally:
+        for d in ("tombstones", "tombstones_staging"):
+            shutil.rmtree(f"{out}/{d}", ignore_errors=True)
+
+
+def test_positional_build_chunked_and_resumed(spark, tmp_path):
+    """positions interact correctly with chunked + resumed builds: the
+    side table covers the whole corpus (it is written at finalize, not
+    per chunk) and a resumed run leaves phrase results identical."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    pdf = gen_corpus(150, seed=47)
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path / "chunked")
+    info1 = build_index(spark, corpus, out, range_size=64, n_chunks=3,
+                        positions=True)
+    assert info1["n_chunks"] >= 2
+    base = Index(spark, out).search_phrase("def return", k=10)
+    assert base
+    info2 = build_index(spark, corpus, out, range_size=64, n_chunks=3,
+                        positions=True, resume=True)
+    assert info2["chunks_built"] == 0
+    assert Index(spark, out).search_phrase("def return", k=10) == base
