@@ -2,11 +2,13 @@
 
 Builds (once) a positional 400k-file index and measures, warm:
 
-  and_s     AND-mode BM25 top-k for the phrase's terms — the candidate
-            stage search_phrase starts from
+  cand_s    the EXACT candidate stage search_phrase runs first: AND-mode
+            BM25 at k=64 (its initial widening width for k=10) — not
+            k=10, or the "overhead" would silently include the wider
+            candidate fetch (r5 review)
   phrase_s  full search_phrase (candidates + position verification +
-            widening) — the delta over and_s is the price of phrase
-            semantics
+            widening) — the delta over cand_s is the price of position
+            verification itself
   slop_s    search_phrase(slop=2)
 
 Also reports the build's positions_write phase (the one extra content
@@ -66,7 +68,7 @@ def main() -> None:
         n_hits = 0
         for _ in range(a.reps):
             t0 = time.perf_counter()
-            idx.search_rows([(0, p, 10)], mode="and")
+            idx.search_rows([(0, p, 64)], mode="and")   # = first round
             t_and.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             hits = idx.search_phrase(p, k=10)
@@ -76,7 +78,7 @@ def main() -> None:
             idx.search_phrase(p, k=10, slop=2)
             t_sl.append(time.perf_counter() - t0)
         rows.append({"phrase": p, "hits": n_hits,
-                     "and_s": med(t_and), "phrase_s": med(t_ph),
+                     "cand_s": med(t_and), "phrase_s": med(t_ph),
                      "slop2_s": med(t_sl),
                      "verify_overhead_s": round(med(t_ph) - med(t_and), 4)})
         print(json.dumps(rows[-1]), flush=True)

@@ -48,8 +48,13 @@ def normalize_filter_spec(col: str, spec) -> tuple[str, list]:
                 f"filter dict for {col!r} must be {{'not': values}}, "
                 f"got {sorted(spec)}")
         kind, spec = "not", spec["not"]
-    vals = (sorted(set(spec)) if isinstance(spec, (list, tuple, set))
-            else [spec])
+    if isinstance(spec, (str, bytes)):
+        vals = [spec]
+    else:
+        try:                       # ANY iterable of values (frozenset,
+            vals = sorted(set(spec))   # dict_keys, ndarray, generator...)
+        except TypeError:
+            vals = [spec]          # non-iterable scalar (int, float, ...)
     if not vals:
         raise ValueError(f"empty filter value list for {col!r}")
     return kind, vals

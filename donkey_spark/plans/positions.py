@@ -171,7 +171,12 @@ def verify_phrase(index, ids: list[int], seq: list[str],
                    zip(tbl["doc_id"].to_pylist(), tbl["term"].to_pylist(),
                        tbl["positions"].to_pylist())}
     else:
-        pos = (index.spark.read.parquet(f"{index.dir}/positions")
+        # the isolated child session: this branch handles exactly the
+        # LARGE scans (hot terms past the local budget), which would
+        # fragment into hundreds of tiny tasks under the caller
+        # session's build-tuned 8m split size (r5 review)
+        qspark = index._qspark
+        pos = (qspark.read.parquet(f"{index.dir}/positions")
                .where(F.col("bucket").isin(buckets)
                       & F.col("term").isin(terms)))
         if len(ids) <= 10_000:
@@ -179,7 +184,7 @@ def verify_phrase(index, ids: list[int], seq: list[str],
         else:
             # a widened candidate set as a literal list would bloat the
             # plan / stall py4j — ship it as a broadcast semi-join
-            cdf = index.spark.createDataFrame(
+            cdf = qspark.createDataFrame(
                 [(int(i),) for i in ids], "doc_id long")
             pos = pos.join(F.broadcast(cdf), "doc_id", "left_semi")
         rows = pos.select("doc_id", "term", "positions").collect()

@@ -243,8 +243,12 @@ def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
 #: (applicationId, scan_partition_bytes, mirrored conf values) -> child
 #: session. Keying on the mirrored values means a caller whose runtime
 #: conf differs (e.g. another timeZone) gets its OWN child rather than
-#: silently inheriting a previous caller's settings.
+#: silently inheriting a previous caller's settings. Guarded by a lock:
+#: concurrent Index construction across serving threads must not race
+#: the eviction sweep into the set/restore fallback (r5 review).
 _QSPARK_CACHE: dict[tuple, SparkSession] = {}
+import threading as _threading                                # noqa: E402
+_QSPARK_LOCK = _threading.Lock()
 
 _QSPARK_MIRROR = ("spark.sql.shuffle.partitions",
                   "spark.sql.adaptive.enabled",
@@ -262,21 +266,22 @@ def _query_session(spark: SparkSession,
         mirrored = tuple(spark.conf.get(k) for k in _QSPARK_MIRROR)
         app = spark.sparkContext.applicationId
         key = (app, scan_partition_bytes, mirrored)
-        cached = _QSPARK_CACHE.get(key)
-        if cached is not None:
-            return cached
-        # evict sessions of other (stopped/replaced) applications — a
-        # restarted context gets a new applicationId, so stale entries
-        # would otherwise be retained forever (r5 review)
-        for k in [k for k in _QSPARK_CACHE if k[0] != app]:
-            del _QSPARK_CACHE[k]
-        qspark = spark.newSession()
-        for k, v in zip(_QSPARK_MIRROR, mirrored):
-            qspark.conf.set(k, v)
-        qspark.conf.set("spark.sql.files.maxPartitionBytes",
-                        scan_partition_bytes)
-        _QSPARK_CACHE[key] = qspark
-        return qspark
+        with _QSPARK_LOCK:
+            cached = _QSPARK_CACHE.get(key)
+            if cached is not None:
+                return cached
+            # evict sessions of other (stopped/replaced) applications —
+            # a restarted context gets a new applicationId, so stale
+            # entries would otherwise be retained forever (r5 review)
+            for k in [k for k in _QSPARK_CACHE if k[0] != app]:
+                del _QSPARK_CACHE[k]
+            qspark = spark.newSession()
+            for k, v in zip(_QSPARK_MIRROR, mirrored):
+                qspark.conf.set(k, v)
+            qspark.conf.set("spark.sql.files.maxPartitionBytes",
+                            scan_partition_bytes)
+            _QSPARK_CACHE[key] = qspark
+            return qspark
     except Exception:          # e.g. a connect session: fall back, scan
         return spark           # splits then follow the session setting
 

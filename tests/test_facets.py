@@ -329,3 +329,19 @@ def test_qspark_cache_evicts_stale_applications(spark, facet_setup):
     assert stale_key not in qmod._QSPARK_CACHE
     assert idx._qspark.conf.get(
         "spark.sql.files.maxPartitionBytes") == "96m"
+
+
+def test_filter_spec_accepts_any_iterable(spark, facet_setup):
+    """r5 review: frozenset / dict_keys / tuple filter values must behave
+    like lists, not collapse to a stringified scalar."""
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    target = lang[0]
+    idx = Index(spark, faceted)
+    base = idx.search_rows([(0, "def return", 5)],
+                           filters={"lang": [target]})
+    assert base
+    for form in (frozenset({target}), (target,), {target: 1}.keys(),
+                 iter([target])):
+        assert idx.search_rows([(0, "def return", 5)],
+                               filters={"lang": form}) == base, form
