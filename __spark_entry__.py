@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (52 since
-    r5 — adds the metadata-filtered ANN and exact-phrase pairs; the ANN
-    pairs now certify the production mapInArrow bucket kernel), all
-    oracle-backed."""
+    """One entry per implemented ◇ operator from SURVEY.md §2 (53 since
+    r5 — adds the metadata-filtered ANN, exact-phrase and
+    embedding-near-dup pairs; the ANN pairs now certify the production
+    mapInArrow bucket kernel), all oracle-backed."""
     from donkey_spark.contract import QUERIES
     return dict(QUERIES)
 

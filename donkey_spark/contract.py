@@ -670,6 +670,24 @@ def q_lsh_ann_topk_filtered(spark, sf_dir):
                     filters={"label": [1, 2, 3]})
 
 
+#: embedding near-dup contract threshold — ~p99 of the fixture's pair
+#: cosine distribution, so the pair set is non-trivial but bounded
+EMB_NEARDUP_THRESHOLD = 0.28
+
+
+def q_emb_neardup_pairs(spark, sf_dir):
+    """r5 §2.14 — embedding-cosine near-duplicate pairs: LSH-bucketed
+    candidate generation (never all-pairs) + exact cosine threshold,
+    the vector twin of minhash neardup_pairs. The DuckDB twin
+    recomputes the sha-seeded planes, per-table buckets, the SAME
+    bucket-collision candidate pairs, and the rounded-cosine filter."""
+    from .pipeline.similarity import embedding_neardup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=EMB_NEARDUP_THRESHOLD,
+                                   n_tables=ANN_TABLES,
+                                   n_planes=ANN_PLANES)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> feature vectors via
     mapInPandas (decode stubbed deterministically — no codecs in image).
@@ -969,6 +987,51 @@ SELECT vec_id, cosine FROM (
   SELECT e.vec_id, ROUND({cos}, 6) AS cosine
   FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, pv)
 ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _emb_neardup_oracle_sql(dim: int = ANN_DIM, n_tables: int = ANN_TABLES,
+                            n_planes: int = ANN_PLANES,
+                            threshold: float = 0.28) -> str:
+    """DuckDB twin of embedding_neardup_pairs: identical sha-seeded
+    planes as literals, per-(vector, table) buckets, bucket-collision
+    candidate pairs (id_a < id_b, deduped across tables), exact cosine
+    rounded to 6 and thresholded."""
+    from .pipeline.similarity import _planes
+    rows = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed=f"t{t}")
+        for p in range(n_planes):
+            vals = ", ".join(repr(float(v)) for v in planes[p])
+            rows.append(f"({t}, {p}, [{vals}])")
+    values = ",\n  ".join(rows)
+    cos = (f"{_DOT.format(a='ea.embedding', b='eb.embedding')}"
+           f" / (sqrt({_DOT.format(a='ea.embedding', b='ea.embedding')})"
+           f" * sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')}))")
+    return f"""
+WITH planes(tbl, pidx, vals) AS (VALUES
+  {values}
+), proj AS (
+  SELECT e.vec_id, pl.tbl, pl.pidx,
+         CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+              i -> e.embedding[i]::DOUBLE * pl.vals[i])) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, planes pl
+), buck AS (
+  SELECT vec_id, tbl,
+         sum(bit * (1 << ({n_planes} - 1 - pidx)))::BIGINT AS bucket
+  FROM proj GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buck a JOIN buck b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b, ROUND({cos}, 6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b)
+WHERE cosine >= {threshold}
 """
 
 
@@ -1306,6 +1369,8 @@ SELECT 2::INTEGER AS n_epochs,
     "lsh_ann_topk_deleted": _ann_oracle_sql(keep_pred="vec_id % 5 != 0"),
     "lsh_ann_topk_filtered": _ann_oracle_sql(
         meta_pred="em.label IN (1, 2, 3)"),
+    "emb_neardup_pairs": _emb_neardup_oracle_sql(
+        threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
     # sha256(term) (big-endian), acc_j = Σ tf·(2·bit_j − 1), sign bits
     # packed into a signed int64 (bit 63 via two's-complement offset)
@@ -1445,5 +1510,6 @@ QUERIES = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "lsh_ann_topk_deleted": q_lsh_ann_topk_deleted,
     "lsh_ann_topk_filtered": q_lsh_ann_topk_filtered,
+    "emb_neardup_pairs": q_emb_neardup_pairs,
     "media_features": q_media_features,
 }

@@ -245,6 +245,40 @@ def lsh_ann_topk(vectors: DataFrame, probe: list[float], k: int = 10,
     return cosine_topk(cand, probe, k, id_col, vec_col)
 
 
+def embedding_neardup_pairs(vectors: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_tables: int = 4, n_planes: int = 8,
+                            dim: int | None = None,
+                            method: str = "arrow") -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the vector-space twin of
+    the MinHash text near-dup (pipeline/dedup.neardup_pairs): candidate
+    pairs are vectors sharing an LSH bucket in ANY table (**never
+    all-pairs** — the same bucketed shape that makes MinHash banding
+    scale), then exact cosine rescoring keeps pairs ≥ threshold.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
+    Recall is governed by (n_tables, n_planes) exactly like the ANN
+    probe — fewer planes = bigger buckets = more candidates; the
+    candidate-pair count is Σ_buckets C(bucket_size, 2), bounded by the
+    hash granularity, not n². Bucket assignment runs the production
+    matmul kernel (kernels/annproj.py)."""
+    rows = ann_bucket_rows(vectors, id_col, vec_col, n_tables, n_planes,
+                           dim=dim, method=method)
+    a = rows.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("_va"), "bucket")
+    b = rows.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("_vb"), "bucket")
+    cand = (a.join(b, "bucket")
+             .where(F.col("id_a") < F.col("id_b"))
+             # a pair colliding in several tables must rescore ONCE
+             .dropDuplicates(["id_a", "id_b"]))
+    return (cand.select("id_a", "id_b",
+                        F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+                        .alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
 # --- materialized LSH index (the 10^9+-vector path) -------------------------
 
 def ann_bucket_rows(vectors: DataFrame, id_col: str = "vec_id",

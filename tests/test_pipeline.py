@@ -458,3 +458,45 @@ def test_ann_append_with_meta_cols(spark, tmp_path):
                         n_planes=4, filters=filt).collect()
         assert [(r["vec_id"], r["cosine"]) for r in got] == \
             [(r["vec_id"], r["cosine"]) for r in want], filt
+
+
+def test_embedding_neardup_pairs_exact_and_never_all_pairs(spark):
+    """r5: every emitted pair is a true >=threshold pair with the exact
+    (rounded) cosine, every bucket-colliding true pair is emitted
+    (exactness on the candidate set), and the candidate set is a small
+    fraction of all pairs (the never-all-pairs scale property)."""
+    from donkey_spark.pipeline.similarity import (ann_bucket_rows,
+                                                  embedding_neardup_pairs)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, Vn = ids[order], Vn[order]
+    cos = {(int(ids[i]), int(ids[j])): round(float(Vn[i] @ Vn[j]), 6)
+           for i in range(len(ids)) for j in range(i + 1, len(ids))}
+
+    t = 0.28
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           embedding_neardup_pairs(emb, threshold=t, n_tables=4,
+                                   n_planes=4).collect()}
+    assert got, "threshold too high for the fixture"
+    for (a, b), c in got.items():
+        assert a < b and c >= t and c == cos[(a, b)], (a, b)
+
+    # exactness over the candidate set: every bucket-colliding pair
+    # with true cosine >= t must be in the result
+    br = ann_bucket_rows(emb, n_tables=4, n_planes=4).collect()
+    from collections import defaultdict
+    byb = defaultdict(list)
+    for r in br:
+        byb[r["bucket"]].append(r["vec_id"])
+    cands = {(min(a, b), max(a, b))
+             for vs in byb.values()
+             for i, a in enumerate(vs) for b in vs[i + 1:] if a != b}
+    expect = {p for p in cands if cos[p] >= t}
+    assert set(got) == expect
+    # the scale property: candidates are a small fraction of all pairs
+    n = len(ids)
+    assert len(cands) < 0.5 * n * (n - 1) / 2
