@@ -28,9 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (53 since
-    r5 — adds the metadata-filtered ANN, exact-phrase and
-    embedding-near-dup pairs; the ANN pairs now certify the production
+    """One entry per implemented ◇ operator from SURVEY.md §2 (54 since
+    r5 — adds the metadata-filtered ANN, exact-phrase, embedding- and
+    simhash-near-dup pairs; the ANN pairs now certify the production
     mapInArrow bucket kernel), all oracle-backed."""
     from donkey_spark.contract import QUERIES
     return dict(QUERIES)

@@ -675,6 +675,16 @@ def q_lsh_ann_topk_filtered(spark, sf_dir):
 EMB_NEARDUP_THRESHOLD = 0.28
 
 
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """r5 §2.14 — SimHash near-dup pairs (Manku et al. 2007): 4-band
+    pigeonhole candidates + bit_count(xor) <= 3, COMPLETE recall at
+    that radius. The DuckDB twin recomputes the fingerprints (the
+    existing simhash twin's CTEs), the band equi-join and the hamming
+    filter."""
+    from .pipeline.dedup import simhash_neardup_pairs
+    return simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     """r5 §2.14 — embedding-cosine near-duplicate pairs: LSH-bucketed
     candidate generation (never all-pairs) + exact cosine threshold,
@@ -1035,6 +1045,28 @@ WHERE cosine >= {threshold}
 """
 
 
+#: shared fingerprint CTEs for the simhash twin and the banded-pairs twin
+_SIMHASH_CTES = f"""WITH dt AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+          GROUP BY 1, 2
+        ), th AS (
+          SELECT doc_id, tf,
+                 CAST('0x' || substr(sha256(term), 1, 16) AS UBIGINT) AS h
+          FROM dt
+        ), bits AS (
+          SELECT doc_id, j, sum(tf * (2 * ((h >> j) & 1)::BIGINT - 1)) AS acc
+          FROM th, (SELECT unnest(range(64)) AS j) GROUP BY 1, 2
+        ), sim AS (
+          SELECT doc_id,
+                 sum(CASE WHEN acc > 0 AND j < 63
+                          THEN (1::BIGINT << j::INT) ELSE 0 END)
+                 + CASE WHEN bool_or(j = 63 AND acc > 0)
+                        THEN -9223372036854775808 ELSE 0 END AS simhash
+          FROM bits GROUP BY 1
+        )"""
+
+
 _STOP_SQL = {
     "en": "['the','and','of','to','is','in','that','it','for','on']",
     "de": "['der','die','das','und','ist','nicht','ein','mit','zu']",
@@ -1375,27 +1407,30 @@ SELECT 2::INTEGER AS n_epochs,
     # sha256(term) (big-endian), acc_j = Σ tf·(2·bit_j − 1), sign bits
     # packed into a signed int64 (bit 63 via two's-complement offset)
     "simhash": f"""
-        WITH dt AS (
-          SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
-            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
-          GROUP BY 1, 2
-        ), th AS (
-          SELECT doc_id, tf,
-                 CAST('0x' || substr(sha256(term), 1, 16) AS UBIGINT) AS h
-          FROM dt
-        ), bits AS (
-          SELECT doc_id, j, sum(tf * (2 * ((h >> j) & 1)::BIGINT - 1)) AS acc
-          FROM th, (SELECT unnest(range(64)) AS j) GROUP BY 1, 2
-        ), sim AS (
-          SELECT doc_id,
-                 sum(CASE WHEN acc > 0 AND j < 63
-                          THEN (1::BIGINT << j::INT) ELSE 0 END)
-                 + CASE WHEN bool_or(j = 63 AND acc > 0)
-                        THEN -9223372036854775808 ELSE 0 END AS simhash
-          FROM bits GROUP BY 1
-        )
+        {_SIMHASH_CTES}
         SELECT d.doc_id, COALESCE(s.simhash, 0)::BIGINT AS simhash
         FROM documents d LEFT JOIN sim s ON s.doc_id = d.doc_id""",
+    # Manku-style banded hamming pairs over the SAME fingerprint CTEs:
+    # 4 × 16-bit bands (pigeonhole-complete at radius 3), band equi-join
+    # candidates, bit_count(xor) filter
+    "simhash_neardup_pairs": f"""
+        {_SIMHASH_CTES}
+        , sh AS (
+          SELECT d.doc_id, COALESCE(s.simhash, 0)::BIGINT AS sh
+          FROM documents d LEFT JOIN sim s ON s.doc_id = d.doc_id
+        ), bands AS (
+          SELECT doc_id, sh, b, (sh >> (16 * b::INT)) & 65535 AS bv
+          FROM sh, (SELECT unnest(range(4)) AS b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 a.sh AS sa, b2.sh AS sb
+          FROM bands a JOIN bands b2
+            ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+          FROM cand)
+        WHERE hamming <= 3""",
     # SQL twin of pipeline/textqual.winnow_fingerprints (k=4, w=5): Horner
     # polynomial of per-token sha256 hashes mod 2^64 (HUGEINT arithmetic —
     # products stay < 2^104), window-min, distinct, signed int64
@@ -1511,5 +1546,6 @@ QUERIES = {
     "lsh_ann_topk_deleted": q_lsh_ann_topk_deleted,
     "lsh_ann_topk_filtered": q_lsh_ann_topk_filtered,
     "emb_neardup_pairs": q_emb_neardup_pairs,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "media_features": q_media_features,
 }

@@ -209,3 +209,43 @@ def simhash64(df: DataFrame, text_col: str = "text",
         return simhash_batch(content)
 
     return df.select(id_col, _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
+                          n_bands: int = 4, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-duplicate PAIRS via banded hamming search
+    [Manku, Jarvelin & Sarma, WWW 2007 — the canonical web-dedup
+    shape]: the 64-bit fingerprint splits into ``n_bands`` equal bands;
+    by pigeonhole, any pair within hamming distance n_bands−1 shares at
+    least one band VERBATIM, so the candidate join is an equi-join on
+    (band index, band value) — never all-pairs — and the default
+    (4 bands, max_hamming=3) has COMPLETE recall. Everything after the
+    fingerprint UDF is codegen: band extraction is shift+mask, hamming
+    is ``bit_count(xor)``.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b. max_hamming above
+    n_bands−1 is allowed but then finds only band-sharing pairs
+    (candidates-only, like any LSH)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sh = simhash64(df, text_col, id_col)
+    bands = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     (F.shiftright(F.col("simhash"), width * b)
+                      .bitwiseAND(F.lit(mask))).alias("bv"))
+            for b in range(n_bands)])).alias("e")) \
+        .select(id_col, "simhash", F.col("e.b").alias("b"),
+                F.col("e.bv").alias("bv"))
+    a = bands.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("_sa"), "b", "bv")
+    b2 = bands.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("_sb"), "b", "bv")
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (a.join(b2, ["b", "bv"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])     # multi-band hits, once
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

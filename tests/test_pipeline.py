@@ -500,3 +500,24 @@ def test_embedding_neardup_pairs_exact_and_never_all_pairs(spark):
     # the scale property: candidates are a small fraction of all pairs
     n = len(ids)
     assert len(cands) < 0.5 * n * (n - 1) / 2
+
+
+def test_simhash_neardup_pairs_complete_recall_at_radius(spark):
+    """r5: 4-band pigeonhole candidates give COMPLETE recall at hamming
+    <= 3 — the result equals brute-force over ALL pairs at that radius,
+    and hamming values are exact."""
+    from donkey_spark.pipeline.dedup import simhash64, simhash_neardup_pairs
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    sh = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+          for r in simhash64(docs).collect()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_neardup_pairs(docs).collect()}
+    assert got == want and got, "fixture must contain near-dups"
