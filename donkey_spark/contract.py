@@ -670,6 +670,103 @@ def q_lsh_ann_topk_filtered(spark, sf_dir):
                     filters={"label": [1, 2, 3]})
 
 
+IVF_LISTS, IVF_ITERS, IVF_NPROBE = 8, 1, 3
+_IVF_CACHE: dict[str, str] = {}
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """r5 §2.14 — IVF (inverted-file) ANN via the materialized
+    coarse-quantizer index (pipeline/ivf.py): spherical-k-means
+    centroids seeded from the 8 lowest-id vectors + 1 distributed Lloyd
+    iteration, assignment via the mapInArrow matmul kernel, probe =
+    partition-pruned scan of the nprobe=3 nearest lists + exact cosine
+    rescore. The DuckDB twin replays seeding, the Lloyd update,
+    assignment, list selection and the rescore from first principles
+    (same 9-decimal centroid rounding both sides)."""
+    from .pipeline.ivf import build_ivf_index, ivf_topk
+    if sf_dir not in _IVF_CACHE:
+        out = os.path.join(tempfile.gettempdir(),
+                           "donkey_ivf_" + sf_dir.strip("/").replace("/", "_"))
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_ivf_index(emb, out, n_lists=IVF_LISTS, n_iters=IVF_ITERS,
+                        meta_cols=("label",))
+        _IVF_CACHE[sf_dir] = out
+    return ivf_topk(spark, _IVF_CACHE[sf_dir], _probe_vec(spark, sf_dir),
+                    k=10, nprobe=IVF_NPROBE)
+
+
+def _ivf_oracle_sql(n_lists: int = IVF_LISTS, n_iters: int = IVF_ITERS,
+                    nprobe: int = IVF_NPROBE, k: int = 10) -> str:
+    """DuckDB twin of the IVF probe, from first principles: seeds = the
+    n_lists lowest-id vectors normalized and ROUND(·,9); each Lloyd
+    iteration assigns every vector to its max-dot centroid (ties →
+    lowest list), re-means per (list, position), renormalizes and
+    re-rounds (empty lists keep the previous centroid); the probe takes
+    the nprobe best lists by centroid dot and exact-rescores their
+    members. Mirrors pipeline/ivf.py's arithmetic: assignment compares
+    raw-vector·normalized-centroid dots (the vector's own norm never
+    reorders its scores), centroid components round to 9 decimals after
+    every update."""
+    dot_ec = _DOT.format(a="e.embedding", b="c.cvec")
+    norm_sq = _DOT.format(a="embedding", b="embedding")
+    ctes = [f"""cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         list_transform(range(1, len(embedding) + 1),
+             i -> ROUND(embedding[i]::DOUBLE / sqrt({norm_sq}), 9)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {n_lists})
+)"""]
+    assign = """a{j} AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {dot} DESC, c.list_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents{j} c)
+  WHERE rn = 1
+)"""
+    for j in range(n_iters):
+        ctes.append(assign.format(j=j, dot=dot_ec))
+        ctes.append(f"""cm{j} AS (
+  SELECT a.list_id, t.i, avg(e.embedding[t.i]::DOUBLE) AS m
+  FROM a{j} a JOIN embeddings e ON e.vec_id = a.vec_id
+  CROSS JOIN range(1, {ANN_DIM} + 1) t(i)
+  GROUP BY 1, 2
+), cv{j} AS (
+  SELECT list_id, list(m ORDER BY i) AS mv FROM cm{j} GROUP BY 1
+), cents{j + 1} AS (
+  SELECT s.list_id,
+         CASE WHEN c.list_id IS NULL THEN s.cvec
+              ELSE list_transform(range(1, {ANN_DIM} + 1),
+                  i -> ROUND(c.mv[i]
+                       / sqrt(list_sum(list_transform(c.mv, x -> x * x))),
+                       9))
+         END AS cvec
+  FROM cents{j} s LEFT JOIN cv{j} c USING (list_id)
+)""")
+    ctes.append(assign.format(j=n_iters, dot=dot_ec)
+                .replace(f"a{n_iters} AS", "af AS", 1))
+    cos = (f"{_DOT.format(a='e.embedding', b='v')}"
+           f" / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})"
+           f" * sqrt({_DOT.format(a='v', b='v')}))")
+    ctes.append("pv AS (SELECT embedding AS v FROM embeddings"
+                " WHERE vec_id = 0)")
+    ctes.append(f"""pl AS (
+  SELECT c.list_id FROM cents{n_iters} c, pv
+  ORDER BY {_DOT.format(a='v', b='c.cvec')} DESC, c.list_id ASC
+  LIMIT {nprobe}
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT vec_id, cosine FROM (
+  SELECT e.vec_id, ROUND({cos}, 6) AS cosine
+  FROM embeddings e
+  JOIN af ON af.vec_id = e.vec_id
+  JOIN pl ON pl.list_id = af.list_id, pv)
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
 #: embedding near-dup contract threshold — ~p99 of the fixture's pair
 #: cosine distribution, so the pair set is non-trivial but bounded
 EMB_NEARDUP_THRESHOLD = 0.28
@@ -1401,6 +1498,7 @@ SELECT 2::INTEGER AS n_epochs,
     "lsh_ann_topk_deleted": _ann_oracle_sql(keep_pred="vec_id % 5 != 0"),
     "lsh_ann_topk_filtered": _ann_oracle_sql(
         meta_pred="em.label IN (1, 2, 3)"),
+    "ivf_ann_topk": _ivf_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -1545,6 +1643,7 @@ QUERIES = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "lsh_ann_topk_deleted": q_lsh_ann_topk_deleted,
     "lsh_ann_topk_filtered": q_lsh_ann_topk_filtered,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "media_features": q_media_features,
