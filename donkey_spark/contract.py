@@ -767,6 +767,61 @@ ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+#: hybrid retrieval contract parameters: flagship lexical query 0 fused
+#: with the vec_id=0 ANN probe at retrieval depth 50, RRF constant 60
+#: (the Cormack/Clarke/Buettcher default)
+HYBRID_TEXT, HYBRID_DEPTH, HYBRID_RRF_K = "spark join filter", 50, 60
+
+
+def q_hybrid_topk(spark, sf_dir):
+    """r5 §2.14 — hybrid lexical+vector retrieval (pipeline/hybrid.py):
+    BM25 top-50 from the shared block-max index fused with the LSH-ANN
+    top-50 for the vec_id=0 probe by reciprocal rank fusion
+    (Σ 1/(60+rank), vec_id == doc_id convention). The DuckDB twin
+    composes the existing from-first-principles BM25 and plane-literal
+    ANN oracles and replays the fusion arithmetic."""
+    from .pipeline.hybrid import hybrid_topk
+    from .plans.query import Index
+    q_lsh_ann_topk(spark, sf_dir)          # ensure the cached bucket table
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    return hybrid_topk(idx, HYBRID_TEXT, _probe_vec(spark, sf_dir),
+                       ann_dir=_ANN_CACHE[sf_dir], k=10,
+                       depth=HYBRID_DEPTH, rrf_k=HYBRID_RRF_K,
+                       ann_opts={"n_tables": ANN_TABLES,
+                                 "n_planes": ANN_PLANES})
+
+
+def _hybrid_oracle_sql(text: str = HYBRID_TEXT, depth: int = HYBRID_DEPTH,
+                       k: int = 10, rrf_k: int = HYBRID_RRF_K) -> str:
+    """DuckDB twin of the RRF fusion: the BM25 oracle (single query at
+    depth) and the ANN oracle (k=depth) become CTEs; fused score =
+    Σ w/(rrf_k+rank) in DOUBLE (CAST — bare 1.0 is DECIMAL in DuckDB),
+    rounded to 6; absent ranks report 0; ties break doc_id asc."""
+    bm = _bm25_oracle_sql([(0, text, depth)])
+    an = _ann_oracle_sql(k=depth)
+    return f"""
+WITH bm AS ({bm}), an AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM ({an})
+), ids AS (
+  SELECT doc_id FROM bm UNION SELECT vec_id AS doc_id FROM an
+), fused AS (
+  SELECT ids.doc_id,
+         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + bm.rank), 0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + an.rank), 0),
+               6) AS rrf,
+         COALESCE(bm.rank, 0) AS bm25_rank,
+         COALESCE(an.rank, 0) AS ann_rank
+  FROM ids LEFT JOIN bm ON bm.doc_id = ids.doc_id
+           LEFT JOIN an ON an.vec_id = ids.doc_id
+)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::INT AS rank,
+       doc_id, rrf, bm25_rank::INT AS bm25_rank, ann_rank::INT AS ann_rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+"""
+
+
 #: embedding near-dup contract threshold — ~p99 of the fixture's pair
 #: cosine distribution, so the pair set is non-trivial but bounded
 EMB_NEARDUP_THRESHOLD = 0.28
@@ -1499,6 +1554,7 @@ SELECT 2::INTEGER AS n_epochs,
     "lsh_ann_topk_filtered": _ann_oracle_sql(
         meta_pred="em.label IN (1, 2, 3)"),
     "ivf_ann_topk": _ivf_oracle_sql(),
+    "hybrid_topk": _hybrid_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -1644,6 +1700,7 @@ QUERIES = {
     "lsh_ann_topk_deleted": q_lsh_ann_topk_deleted,
     "lsh_ann_topk_filtered": q_lsh_ann_topk_filtered,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "hybrid_topk": q_hybrid_topk,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "media_features": q_media_features,
