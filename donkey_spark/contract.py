@@ -837,6 +837,18 @@ def q_simhash_neardup_pairs(spark, sf_dir):
     return simhash_neardup_pairs(_docs(spark, sf_dir))
 
 
+def q_neardup_components(spark, sf_dir):
+    """r5 §2.14 — near-dup CLUSTERS: connected components
+    (large-star/small-star, Kiveris et al. SoCC 2014) over the SimHash
+    banded-hamming pair graph; every document gets a cluster_id = the
+    smallest doc_id reachable through near-dup pairs (singletons map to
+    themselves). The DuckDB twin recomputes the pairs with the shared
+    fingerprint CTEs and resolves components by a recursive
+    label-reachability CTE (component = min reachable label)."""
+    from .pipeline.dedup import neardup_clusters
+    return neardup_clusters(_docs(spark, sf_dir), method="simhash")
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     """r5 §2.14 — embedding-cosine near-duplicate pairs: LSH-bucketed
     candidate generation (never all-pairs) + exact cosine threshold,
@@ -1585,6 +1597,38 @@ SELECT 2::INTEGER AS n_epochs,
           SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
           FROM cand)
         WHERE hamming <= 3""",
+    # near-dup clusters = connected components of the SimHash pair
+    # graph: same fingerprint/band/candidate CTEs, then a recursive
+    # reachability walk — component id = min label reachable from each
+    # node; docs in no pair cluster as themselves
+    "neardup_components": f"""
+        {_SIMHASH_CTES.replace("WITH dt AS", "WITH RECURSIVE dt AS", 1)}
+        , sh AS (
+          SELECT d.doc_id, COALESCE(s.simhash, 0)::BIGINT AS sh
+          FROM documents d LEFT JOIN sim s ON s.doc_id = d.doc_id
+        ), bands AS (
+          SELECT doc_id, sh, b, (sh >> (16 * b::INT)) & 65535 AS bv
+          FROM sh, (SELECT unnest(range(4)) AS b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 a.sh AS sa, b2.sh AS sb
+          FROM bands a JOIN bands b2
+            ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+        ), prs AS (
+          SELECT id_a, id_b FROM cand
+          WHERE bit_count(xor(sa, sb)) <= 3
+        ), sym AS (
+          SELECT id_a AS u, id_b AS v FROM prs
+          UNION SELECT id_b, id_a FROM prs
+        ), walk(u, lbl) AS (
+          SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM sym) t
+          UNION
+          SELECT s.u, w.lbl FROM sym s JOIN walk w ON w.u = s.v
+        ), comp AS (
+          SELECT u, min(lbl) AS c FROM walk GROUP BY u
+        )
+        SELECT d.doc_id, COALESCE(c.c, d.doc_id)::BIGINT AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.u = d.doc_id""",
     # SQL twin of pipeline/textqual.winnow_fingerprints (k=4, w=5): Horner
     # polynomial of per-token sha256 hashes mod 2^64 (HUGEINT arithmetic —
     # products stay < 2^104), window-min, distinct, signed int64
@@ -1703,5 +1747,6 @@ QUERIES = {
     "hybrid_topk": q_hybrid_topk,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "neardup_components": q_neardup_components,
     "media_features": q_media_features,
 }

@@ -249,3 +249,117 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
             .dropDuplicates(["id_a", "id_b"])     # multi-band hits, once
             .select("id_a", "id_b", ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iters: int = 50) -> DataFrame:
+    """(node, component) over an undirected pair graph — component id =
+    the smallest node id reachable from each node. The step every dedup
+    pipeline needs after pair generation: near-dup PAIRS become dup
+    CLUSTERS (keep one canonical doc per component).
+
+    Alternating large-star / small-star [Kiveris, Lattanzi, Mirrokni,
+    Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC 2014]: each round is a constant number of bounded
+    shuffles (groupBy-min + equi-join + distinct — NO adjacency lists
+    are ever materialized, so a 10^6-member dup cluster never collects
+    on one task), and the edge set converges to per-component stars in
+    O(log n) rounds on real graphs. Compare label propagation, whose
+    round count is the graph DIAMETER — unbounded for chain-shaped
+    near-dup graphs.
+
+    Convergence is detected by a cheap per-round signature
+    (count / Σu / Σv) and CONFIRMED by an exact set comparison before
+    stopping — a signature collision can cost one extra round, never a
+    wrong answer. Raises after ``max_iters`` (50 rounds covers graphs
+    astronomically past 10^12 nodes).
+
+    Each round CHECKPOINTS its edge set — iterative self-referencing
+    DataFrames otherwise double their lineage every round (``sym``
+    reads the previous round twice) and the logical plan grows
+    exponentially until the driver OOMs planning it. With a checkpoint
+    dir configured (``sparkContext.setCheckpointDir`` — the reliable,
+    executor-loss-safe choice on a cluster) rounds checkpoint there;
+    otherwise ``localCheckpoint`` (executor-local blocks)."""
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _cut(df):
+        return (df.checkpoint(eager=True) if reliable
+                else df.localCheckpoint(eager=True))
+
+    edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                          F.col(b_col).cast("long").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
+    cur = _cut(edges)
+    prev_sig = None
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+        sym = cur.union(cur.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        ls = (sym.join(mins, "u").where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v")).distinct())
+        # small-star: orient down; every lo-neighbor AND hi itself link
+        # to min(Γ⁻(hi) ∪ {hi}) (= min lo, since all lo < hi)
+        d = (ls.select(F.greatest("u", "v").alias("hi"),
+                       F.least("u", "v").alias("lo")).distinct())
+        smins = d.groupBy("hi").agg(F.min("lo").alias("mn"))
+        nxt = (d.join(smins, "hi")
+               .select(F.col("lo").alias("u"), F.col("mn").alias("v"))
+               .union(smins.select(F.col("hi").alias("u"),
+                                   F.col("mn").alias("v")))
+               .where(F.col("u") != F.col("v")).distinct())
+        nxt = _cut(nxt)
+        row = nxt.agg(F.count("*").alias("c"), F.sum("u").alias("su"),
+                      F.sum("v").alias("sv")).collect()[0]
+        sig = (row["c"], row["su"], row["sv"])
+        if sig == prev_sig:
+            # counts equal + nxt ⊆ cur ⇒ sets equal: a true fixpoint
+            if nxt.exceptAll(cur).limit(1).count() == 0:
+                cur = nxt
+                break
+        cur, prev_sig = nxt, sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"rounds — pathological input?")
+    # fixpoint edges are stars: (node → component min); roots appear
+    # only on the right
+    out = (cur.select(F.col("u").alias("node"),
+                      F.col("v").alias("component"))
+           .union(cur.select("v", "v").distinct()))
+    return out
+
+
+def neardup_clusters(df: DataFrame, method: str = "simhash",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     include_singletons: bool = True,
+                     **pair_kwargs) -> DataFrame:
+    """(doc_id, cluster_id): near-duplicate clusters = connected
+    components of the chosen pair generator (``method``: "simhash" —
+    banded hamming pairs — or "minhash" — LSH band-bucket pairs).
+    Docs in no pair cluster as themselves (``include_singletons``);
+    downstream dedup keeps e.g. ``min(doc_id)`` per cluster."""
+    if method == "simhash":
+        pairs = simhash_neardup_pairs(df, text_col=text_col,
+                                      id_col=id_col, **pair_kwargs)
+    elif method == "minhash":
+        pairs = neardup_pairs(df, text_col=text_col, id_col=id_col,
+                              **pair_kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r} "
+                         "(expected simhash | minhash)")
+    comp = connected_components(pairs)
+    docs = df.select(F.col(id_col).cast("long").alias(id_col))
+    if not include_singletons:
+        docs = docs.join(comp.select(F.col("node").alias(id_col)),
+                         id_col, "left_semi")
+    return (docs.join(comp.withColumnRenamed("node", id_col),
+                      id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col))
+                    .alias("cluster_id")))

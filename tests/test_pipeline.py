@@ -521,3 +521,70 @@ def test_simhash_neardup_pairs_complete_recall_at_radius(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
            simhash_neardup_pairs(docs).collect()}
     assert got == want and got, "fixture must contain near-dups"
+
+
+def _py_components(edges, nodes=()):
+    """Transparent union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for n in nodes:
+        find(n)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """large-star/small-star vs a python union-find oracle: random
+    graphs (several densities/seeds), a 60-node chain (the
+    diameter-worst case label propagation loses on), and empty input."""
+    import random
+    from donkey_spark.pipeline.dedup import connected_components
+
+    def check(edges):
+        df = spark.createDataFrame(edges or [(0, 0)],
+                                   "id_a long, id_b long")
+        if not edges:
+            df = df.where("id_a < 0")
+        got = {r["node"]: r["component"]
+               for r in connected_components(df).collect()}
+        # engine contract: self-loops are not graph membership (real
+        # pair generators emit id_a < id_b, so they never occur)
+        assert got == _py_components(
+            [(a, b) for a, b in edges if a != b])
+
+    for seed, n, m in ((1, 40, 25), (2, 200, 150), (3, 100, 300)):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        check(edges)
+    check([(i, i + 1) for i in range(59)])          # 60-node chain
+    check([(5, 9), (9, 5), (2, 2), (7, 3)])         # dups/self-loops
+    check([])
+
+
+def test_neardup_clusters_end_to_end(spark, docs):
+    """Docs 0 and 3 are byte-identical (hamming 0 → paired by any
+    band): they must share a cluster rooted at the smaller id; every
+    other doc is its own singleton cluster."""
+    from donkey_spark.pipeline.dedup import neardup_clusters
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in neardup_clusters(docs, method="simhash").collect()}
+    assert len(got) == 5
+    assert got[0] == 0 and got[3] == got[0]
+    assert got[2] == 2 and got[4] == 4
+    without = neardup_clusters(docs, method="simhash",
+                               include_singletons=False).collect()
+    assert {r["doc_id"] for r in without} <= {0, 1, 3}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        neardup_clusters(docs, method="bogus")
