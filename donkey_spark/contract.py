@@ -767,6 +767,84 @@ ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+#: more-like-this contract parameters: raw document 42 seeds the query,
+#: 8 highest-tf·idf terms, top-10 with the seed excluded
+MLT_SEED, MLT_TERMS = 42, 8
+
+
+def q_more_like_this(spark, sf_dir):
+    """r5 §2.14 — more-like-this (plans/mlt.py): the seed document's 8
+    highest-tf·idf terms (df from the REAL partition-pruned dictionary
+    probe, idf = the engine's BM25 idf, selection score rounded to 9
+    decimals) run as an OR query through the block-max scorer; the
+    seed's own doc excluded, survivors re-ranked on the rounded BM25.
+    The DuckDB twin replays term selection and scoring from raw text."""
+    from .plans.mlt import more_like_this
+    from .plans.query import Index
+    idx_dir = contract_index_dir(spark, sf_dir)
+    text = (_docs(spark, sf_dir).where(F.col("doc_id") == MLT_SEED)
+            .collect()[0]["text"])
+    dense = (spark.read.parquet(f"{idx_dir}/docs")
+             .where(F.col("path") == f"doc/{MLT_SEED}")
+             .collect()[0]["doc_id"])
+    return more_like_this(Index(spark, idx_dir), text, k=10,
+                          max_terms=MLT_TERMS,
+                          exclude_doc_id=int(dense))
+
+
+def _mlt_oracle_sql(seed: int = MLT_SEED, k: int = 10,
+                    max_terms: int = MLT_TERMS) -> str:
+    """DuckDB twin of more_like_this: dense ids by the engine's ordering
+    rule, seed tf from the seed row's tokens, df corpus-wide, selection
+    = ROUND(tf·ln(1+(n−df+.5)/(df+.5)), 9) top-``max_terms`` (term asc
+    ties), then the standard BM25 sum over the selected terms with the
+    seed's dense id excluded at ranking."""
+    return f"""
+WITH ordered AS (
+  SELECT row_number() OVER (ORDER BY source, 'doc/'||CAST(doc_id AS VARCHAR))
+         - 1 AS d, doc_id AS raw_id, text FROM documents
+), toks AS (
+  SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered
+), dt AS (
+  SELECT d, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dl2 AS (
+  SELECT d, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM ordered) AS n,
+         (SELECT COALESCE(sum(dl), 0)::DOUBLE
+                 / (SELECT count(*) FROM ordered) FROM dl2) AS avgdl
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1
+), seed AS (
+  SELECT d FROM ordered WHERE raw_id = {seed}
+), qterms AS (
+  SELECT term FROM (
+    SELECT dt.term,
+           ROUND(dt.tf * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)), 9)
+           AS sel
+    FROM dt JOIN seed ON dt.d = seed.d
+    JOIN dfreq f ON f.term = dt.term, stats s)
+  ORDER BY sel DESC, term ASC LIMIT {max_terms}
+), scored AS (
+  SELECT dt.d AS doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * dt.tf * 2.2
+              / (dt.tf + 1.2 * (1 - 0.75 + 0.75 * dl2.dl / s.avgdl)) )
+         AS score
+  FROM qterms q JOIN dt ON dt.term = q.term
+  JOIN dfreq f ON f.term = q.term
+  JOIN dl2 ON dl2.d = dt.d, stats s
+  GROUP BY 1
+), ranked AS (
+  SELECT doc_id, ROUND(score, 6) AS score,
+         row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id ASC)
+         AS rank
+  FROM scored WHERE doc_id != (SELECT d FROM seed)
+)
+SELECT rank::INT AS rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
+
+
 #: hybrid retrieval contract parameters: flagship lexical query 0 fused
 #: with the vec_id=0 ANN probe at retrieval depth 50, RRF constant 60
 #: (the Cormack/Clarke/Buettcher default)
@@ -1567,6 +1645,7 @@ SELECT 2::INTEGER AS n_epochs,
         meta_pred="em.label IN (1, 2, 3)"),
     "ivf_ann_topk": _ivf_oracle_sql(),
     "hybrid_topk": _hybrid_oracle_sql(),
+    "more_like_this": _mlt_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -1745,6 +1824,7 @@ QUERIES = {
     "lsh_ann_topk_filtered": q_lsh_ann_topk_filtered,
     "ivf_ann_topk": q_ivf_ann_topk,
     "hybrid_topk": q_hybrid_topk,
+    "more_like_this": q_more_like_this,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "neardup_components": q_neardup_components,
