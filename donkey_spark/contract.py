@@ -767,6 +767,53 @@ ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+_FACET_IDX_CACHE: dict[str, str] = {}
+
+
+def _facet_index_dir(spark, sf_dir) -> str:
+    """Shared facet-enabled index (facets=("lang",)) — built once per
+    process, separate from the main contract index because presence
+    postings would shift the layout-twin pairs' n_postings/n_blocks."""
+    if sf_dir not in _FACET_IDX_CACHE:
+        from .plans.build import build_index
+        out = os.path.join(tempfile.gettempdir(),
+                           "donkey_fidx_" + sf_dir.strip("/").replace("/", "_"))
+        build_index(spark, documents_as_corpus(spark, sf_dir), out,
+                    facets=("lang",))
+        _FACET_IDX_CACHE[sf_dir] = out
+    return _FACET_IDX_CACHE[sf_dir]
+
+
+def q_facet_counts(spark, sf_dir):
+    """r5 §2.14 — facet histogram over the match set
+    (plans/facet_counts.py): for the flagship query, count matching
+    docs per lang — the counts a search UI shows beside its filters.
+    Values enumerate from the dictionary's presence tags; postings come
+    from the same pruned segment scan queries use; the per-salt Arrow
+    kernel unions the query terms' doc-id blocks and counts each
+    presence posting's overlap, emitting O(salts × values) rows. The
+    DuckDB twin counts distinct matching docs per lang from raw text."""
+    from .plans.facet_counts import facet_counts
+    from .plans.query import Index
+    return facet_counts(Index(spark, _facet_index_dir(spark, sf_dir)),
+                        "spark join filter", "lang")
+
+
+def _facet_counts_oracle_sql(text: str = "spark join filter") -> str:
+    from .functions.tokenize import tokenize_py
+    vals = ", ".join(f"('{t}')" for t in sorted(set(tokenize_py(text))))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+), q(term) AS (VALUES {vals}),
+m AS (SELECT DISTINCT doc_id FROM toks JOIN q USING (term))
+SELECT d.lang AS value, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY 1
+"""
+
+
 #: more-like-this contract parameters: raw document 42 seeds the query,
 #: 8 highest-tf·idf terms, top-10 with the seed excluded
 MLT_SEED, MLT_TERMS = 42, 8
@@ -1646,6 +1693,7 @@ SELECT 2::INTEGER AS n_epochs,
     "ivf_ann_topk": _ivf_oracle_sql(),
     "hybrid_topk": _hybrid_oracle_sql(),
     "more_like_this": _mlt_oracle_sql(),
+    "facet_counts": _facet_counts_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -1825,6 +1873,7 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "hybrid_topk": q_hybrid_topk,
     "more_like_this": q_more_like_this,
+    "facet_counts": q_facet_counts,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "neardup_components": q_neardup_components,

@@ -345,3 +345,84 @@ def test_filter_spec_accepts_any_iterable(spark, facet_setup):
                  iter([target])):
         assert idx.search_rows([(0, "def return", 5)],
                                filters={"lang": form}) == base, form
+
+
+# -- facet histograms (plans/facet_counts.py) --------------------------------
+
+def _brute_counts(idx, lang, text, mode):
+    """Oracle: full match set via the (already oracle-verified) scorer at
+    k=corpus, counted per lang."""
+    from collections import Counter
+    n = len(lang)
+    rows = idx.search_rows([(0, text, n)], mode=mode)
+    c = Counter(lang[r[2]] for r in rows if lang[r[2]] is not None)
+    return dict(c)
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_facet_counts_match_full_match_set(spark, facet_setup, mode):
+    from donkey_spark.plans.facet_counts import facet_counts
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    idx = Index(spark, faceted)
+    text = "def return class"
+    exp = _brute_counts(idx, lang, text, mode)
+    assert sum(exp.values()) > 10         # fixture sanity
+    got = {r["value"]: r["n_docs"]
+           for r in facet_counts(idx, text, "lang", mode=mode).collect()}
+    assert got == exp
+
+
+def test_facet_counts_values_subset(spark, facet_setup):
+    """values= restricts the histogram without touching other counts."""
+    from donkey_spark.plans.facet_counts import facet_counts
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    idx = Index(spark, faceted)
+    full = {r["value"]: r["n_docs"]
+            for r in facet_counts(idx, "def return", "lang").collect()}
+    assert len(full) >= 2
+    pick = sorted(full)[:1]
+    sub = {r["value"]: r["n_docs"]
+           for r in facet_counts(idx, "def return", "lang",
+                                 values=pick).collect()}
+    assert sub == {v: full[v] for v in pick}
+
+
+def test_facet_counts_compose_with_tombstones(spark, facet_setup):
+    import shutil
+    from donkey_spark.plans.delete import delete_docs
+    from donkey_spark.plans.facet_counts import facet_counts
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    idx = Index(spark, faceted)
+    before = {r["value"]: r["n_docs"]
+              for r in facet_counts(idx, "def return", "lang").collect()}
+    victim = idx.search_rows([(0, "def return", 1)])[0][2]
+    delete_docs(spark, faceted, [victim])
+    try:
+        after = {r["value"]: r["n_docs"] for r in facet_counts(
+            Index(spark, faceted), "def return", "lang").collect()}
+        exp = dict(before)
+        exp[lang[victim]] -= 1
+        assert after == {v: n for v, n in exp.items() if n}
+    finally:
+        for d in ("tombstones", "tombstones_staging"):
+            shutil.rmtree(f"{faceted}/{d}", ignore_errors=True)
+
+
+def test_facet_counts_errors_and_empty(spark, facet_setup):
+    from donkey_spark.plans.facet_counts import facet_counts, facet_values
+    from donkey_spark.plans.query import Index
+    plain, faceted, lang = facet_setup
+    idx = Index(spark, faceted)
+    with pytest.raises(ValueError, match="no facet"):
+        facet_counts(Index(spark, plain), "def", "lang")
+    with pytest.raises(ValueError):
+        facet_counts(idx, "def", "lang", mode="xor")
+    assert facet_counts(idx, "zzqqxwnotaterm", "lang").collect() == []
+    # AND with one OOV term matches nothing
+    assert facet_counts(idx, "def zzqqxwnotaterm", "lang",
+                        mode="and").collect() == []
+    assert facet_values(idx, "lang") == \
+        sorted({v for v in lang.values() if v is not None})
