@@ -814,6 +814,103 @@ GROUP BY 1
 """
 
 
+#: snippet window — tokens of context either side of the matched term
+SNIPPET_WINDOW = 3
+
+
+def q_search_snippets(spark, sf_dir):
+    """r5 §2.14 — result snippets (plans/snippets.py): the flagship
+    query set with, per hit, the ±3-token window around the first
+    occurrence of its rarest matched term, fetched from the source
+    corpus via a pushed-down repo/path scan (no content in the index).
+    Re-ranked by rounded score like the flagship pair; the OOV query
+    contributes zero rows on both engines."""
+    from .plans.query import Index
+    from .plans.snippets import search_snippets
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    res = search_snippets(idx, documents_as_corpus(spark, sf_dir),
+                          BM25_QUERIES, window=SNIPPET_WINDOW)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "repo", "path", "matched_term", "pos", "snippet"))
+
+
+def _snippets_oracle_sql(queries=None, window: int = SNIPPET_WINDOW) -> str:
+    """SQL twin: replay BM25 ranking, then pick each hit's matched query
+    term by (df ASC, term ASC), locate its first occurrence, and slice
+    the token array — byte-for-byte the engine's snippet rule."""
+    from .functions.tokenize import tokenize_py
+    queries = BM25_QUERIES if queries is None else queries
+    vals = ",\n  ".join(
+        f"({qid}, '{t}', {k})"
+        for qid, text, k in queries for t in sorted(set(tokenize_py(text))))
+    return f"""
+WITH ordered AS (
+  SELECT row_number() OVER (ORDER BY source, 'doc/'||CAST(doc_id AS VARCHAR))
+         - 1 AS d, source AS repo,
+         'doc/'||CAST(doc_id AS VARCHAR) AS path, text FROM documents
+), tokarr AS (
+  SELECT d, {_TOKS_SQL} AS toks FROM ordered
+), toks AS (
+  SELECT d, unnest(toks) AS term FROM tokarr
+), dt AS (
+  SELECT d, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dl2 AS (
+  SELECT d, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM ordered) AS n,
+         (SELECT COALESCE(sum(dl), 0)::DOUBLE
+                 / (SELECT count(*) FROM ordered) FROM dl2) AS avgdl
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1
+), qset(query_id, term, k) AS (VALUES
+  {vals}
+), scored AS (
+  SELECT q.query_id, q.k, dt.d AS doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * dt.tf * 2.2
+              / (dt.tf + 1.2 * (1 - 0.75 + 0.75 * dl2.dl / s.avgdl)) )
+         AS score
+  FROM qset q JOIN dt ON dt.term = q.term
+  JOIN dfreq f ON f.term = q.term
+  JOIN dl2 ON dl2.d = dt.d, stats s
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT query_id, doc_id, ROUND(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 6) DESC, doc_id ASC)
+         AS rank, k
+  FROM scored
+), hitterms AS (
+  SELECT r.query_id, r.doc_id, q.term, f.df,
+         row_number() OVER (PARTITION BY r.query_id, r.doc_id
+                            ORDER BY f.df ASC, q.term ASC) AS rn
+  FROM ranked r
+  JOIN qset q ON q.query_id = r.query_id
+  JOIN dt ON dt.d = r.doc_id AND dt.term = q.term
+  JOIN dfreq f ON f.term = q.term
+  WHERE r.rank <= r.k
+), snip AS (
+  SELECT h.query_id, h.doc_id, h.term,
+         list_position(ta.toks, h.term) AS pos, ta.toks
+  FROM hitterms h JOIN tokarr ta ON ta.d = h.doc_id
+  WHERE h.rn = 1
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score,
+       o.repo, o.path, s.term AS matched_term, s.pos::INT AS pos,
+       array_to_string(
+         s.toks[GREATEST(1, s.pos - {window}):s.pos + {window}], ' ')
+         AS snippet
+FROM ranked r
+JOIN snip s ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+JOIN ordered o ON o.d = r.doc_id
+WHERE r.rank <= r.k
+"""
+
+
 #: more-like-this contract parameters: raw document 42 seeds the query,
 #: 8 highest-tf·idf terms, top-10 with the seed excluded
 MLT_SEED, MLT_TERMS = 42, 8
@@ -1694,6 +1791,7 @@ SELECT 2::INTEGER AS n_epochs,
     "hybrid_topk": _hybrid_oracle_sql(),
     "more_like_this": _mlt_oracle_sql(),
     "facet_counts": _facet_counts_oracle_sql(),
+    "search_snippets": _snippets_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -1874,6 +1972,7 @@ QUERIES = {
     "hybrid_topk": q_hybrid_topk,
     "more_like_this": q_more_like_this,
     "facet_counts": q_facet_counts,
+    "search_snippets": q_search_snippets,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "neardup_components": q_neardup_components,

@@ -1,0 +1,104 @@
+"""Result snippets — the context window a search UI renders under each
+hit (donkey returns hit ids + metadata and leaves display to the caller
+`[donkey:src — unverified, SURVEY §0]`; a usable engine ships the
+display fetch too).
+
+The index stores no content (docs/ is metadata-only), so snippets are a
+second, bounded fetch AGAINST THE SOURCE CORPUS — the same shape as the
+scored→doc-metadata join (SURVEY op 28), applied to content:
+
+1. rank the query with the ordinary block-max scorer (≤ Σk hit rows);
+2. read content for exactly those hits: the corpus scan is filtered on
+   ``repo IN (...) AND path IN (...)`` — both predicates push down to
+   the parquet/Iceberg scan, so at 10^12 files the fetch touches the
+   hits' row groups, never the corpus — then broadcast-joined against
+   the hit rows (≤ Σk, always the small side);
+3. one Arrow-batched pandas pass per joined row tokenizes the content
+   (§T tokenizer — identical to indexing) and emits the snippet.
+
+Snippet rule (deterministic, so a SQL twin can replay it exactly):
+among the query's in-dictionary terms PRESENT in the doc, pick the one
+with the lowest document frequency (ties: lexicographically first) —
+the most discriminative term the hit actually matched; the snippet is
+the ±``window`` tokens around its first occurrence, space-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_py
+
+_OUT_SCHEMA = ("query_id int, rank int, doc_id long, score double, "
+               "repo string, path string, matched_term string, "
+               "pos int, snippet string")
+
+
+def search_snippets(index, corpus: DataFrame,
+                    queries: list[tuple[int, str, int]],
+                    window: int = 3, mode: str = "or",
+                    filters: dict | None = None) -> DataFrame:
+    """Top-k search with a display snippet per hit.
+
+    Returns (query_id, rank, doc_id, score, repo, path, matched_term,
+    pos, snippet): ``pos`` is the 1-based token index of the first
+    occurrence of ``matched_term`` (the hit's rarest matched query
+    term), ``snippet`` the space-joined tokens pos−window..pos+window.
+    A hit whose content is missing from ``corpus`` keeps its row with
+    NULL matched_term/pos/snippet (the index outliving a source file is
+    a fact worth surfacing, not dropping).
+    """
+    spark = index.spark
+    rows = index.search_rows(queries, mode=mode, filters=filters)
+    if not rows:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+
+    # per-query selection order: in-dictionary terms by (df asc, term)
+    all_terms = sorted({t for _, text, _ in queries
+                        for t in tokenize_py(text)})
+    dfs = index._lookup_terms(all_terms)
+    sel_order = {
+        qid: [t for t in sorted(set(tokenize_py(text)),
+                                key=lambda t: (dfs.get(t) or 0, t))
+              if dfs.get(t)]
+        for qid, text, _ in queries}
+
+    hits = spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double, "
+              "repo string, path string")
+    repos = sorted({r[4] for r in rows})
+    paths = sorted({r[5] for r in rows})
+    content = (corpus
+               .where(F.col("repo").isin(repos)
+                      & F.col("path").isin(paths))   # parquet pushdown
+               .select("repo", "path", "content"))
+    # left join keeps hits whose source file vanished (NULL content);
+    # both sides are O(Σk) rows after the pushdown, so the join is
+    # trivially broadcastable whichever side the planner picks
+    joined = hits.join(content, ["repo", "path"], "left")
+
+    w = window
+
+    def add_snippets(batches):
+        for pdf in batches:
+            terms, poss, snips = [], [], []
+            for content_, qid in zip(pdf["content"], pdf["query_id"]):
+                toks = tokenize_py(content_)
+                hit = next((t for t in sel_order.get(qid, ())
+                            if t in toks), None)
+                if hit is None:
+                    terms.append(None), poss.append(None)
+                    snips.append(None)
+                    continue
+                i = toks.index(hit)
+                terms.append(hit)
+                poss.append(i + 1)
+                snips.append(" ".join(toks[max(0, i - w):i + w + 1]))
+            out = pdf[["query_id", "rank", "doc_id", "score",
+                       "repo", "path"]].copy()
+            out["matched_term"], out["pos"], out["snippet"] = \
+                terms, poss, snips
+            yield out
+
+    return joined.mapInPandas(add_snippets, _OUT_SCHEMA)
