@@ -814,6 +814,85 @@ GROUP BY 1
 """
 
 
+#: upsert pair: every doc_id % 10 == 0 gets a new version whose content
+#: grows a marker term + one in-vocab term; query 2 proves only the new
+#: versions carry the marker
+UPSERT_SUFFIX = " upserted_marker sort"
+UPSERT_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spark join filter", 10),
+    (1, "group sort merge", 10),
+    (2, "upserted_marker sort", 10),
+]
+_UPSERT_IDX_CACHE: dict[str, str] = {}
+
+
+def _upsert_patch(spark, sf_dir):
+    """The new versions: same (repo, path), NEW commit, patched content."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .where(F.col("doc_id") % 10 == 0))
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"))
+         .alias("path"),
+        F.concat(F.lit("u"), F.sha2(F.col("doc_id").cast("string"), 256)
+                 .substr(1, 39)).alias("commit"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(UPSERT_SUFFIX)).alias("content"))
+
+
+def _upsert_index_dir(spark, sf_dir) -> str:
+    """Build-then-upsert, from a pristine dir each process (upsert
+    mutates; a stale dir from an earlier run must not leak state in)."""
+    if sf_dir not in _UPSERT_IDX_CACHE:
+        import shutil
+        from .plans.build import build_index
+        from .plans.upsert import upsert_docs
+        out = os.path.join(tempfile.gettempdir(),
+                           "donkey_upidx_" + sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, documents_as_corpus(spark, sf_dir), out)
+        upsert_docs(spark, out, _upsert_patch(spark, sf_dir))
+        _UPSERT_IDX_CACHE[sf_dir] = out
+    return _UPSERT_IDX_CACHE[sf_dir]
+
+
+def q_bm25_topk_upsert(spark, sf_dir):
+    """r5 §2.14 — document upsert (plans/upsert.py): every tenth doc
+    replaced by a new version (same repo/path, new commit, content +
+    marker suffix) via epoch-append + key tombstones, then the flagship
+    ranking protocol. Old versions must be invisible; stats stay frozen
+    over base ∪ new (Lucene-between-merges) — which the twin replays by
+    computing df/avgdl over ALL versions and filtering the dead ones
+    only at ranking."""
+    from .plans.query import Index
+    idx = Index(spark, _upsert_index_dir(spark, sf_dir))
+    res = idx.search_batch(UPSERT_QUERIES)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
+def _upsert_oracle_sql() -> str:
+    pre = f"""base AS (
+  SELECT row_number() OVER (ORDER BY source, 'doc/'||CAST(doc_id AS VARCHAR))
+         - 1 AS d, text, (doc_id % 10 = 0) AS dead FROM documents
+), newd AS (
+  SELECT (SELECT count(*) FROM documents)
+         + row_number() OVER (ORDER BY source,
+                              'doc/'||CAST(doc_id AS VARCHAR))
+         - 1 AS d, text || '{UPSERT_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+), """
+    return _bm25_oracle_sql(
+        UPSERT_QUERIES,
+        keep_sql="doc_id NOT IN (SELECT d FROM base WHERE dead)",
+        pre_cte=pre,
+        ordered_sql="SELECT d, text FROM base "
+                    "UNION ALL SELECT d, text FROM newd")
+
+
 #: snippet window — tokens of context either side of the matched term
 SNIPPET_WINDOW = 3
 
@@ -1188,11 +1267,19 @@ def q_segment_stats(spark, sf_dir):
 # DuckDB oracle SQL (views documents/events/lineitem/... pre-registered)
 # ---------------------------------------------------------------------------
 
+#: the standard corpus CTE body — dense doc ids over the documents view
+_ORDERED_SQL = ("SELECT row_number() OVER (ORDER BY source, "
+                "'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS d, text "
+                "FROM documents")
+
+
 def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
                      conjunctive: bool = False,
                      deleted_pred: str | None = None,
                      keep_sql: str | None = None,
-                     phrase: bool = False) -> str:
+                     phrase: bool = False,
+                     pre_cte: str = "",
+                     ordered_sql: str = _ORDERED_SQL) -> str:
     """From-first-principles DuckDB BM25 over the documents view for the
     given query set; conjunctive=True keeps only docs matched by EVERY
     query term (HAVING count = per-query term count); deleted_pred (a
@@ -1236,9 +1323,8 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
                        " JOIN tokstr ON tokstr.d = scored.doc_id")
         phrase_where = "\n  WHERE contains(tokstr.s, pats.pat)"
     return f"""
-WITH ordered AS (
-  SELECT row_number() OVER (ORDER BY source, 'doc/'||CAST(doc_id AS VARCHAR))
-         - 1 AS d, text FROM documents
+WITH {pre_cte}ordered AS (
+  {ordered_sql}
 ), toks AS (
   SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered
 ), dt AS (
@@ -1792,6 +1878,7 @@ SELECT 2::INTEGER AS n_epochs,
     "more_like_this": _mlt_oracle_sql(),
     "facet_counts": _facet_counts_oracle_sql(),
     "search_snippets": _snippets_oracle_sql(),
+    "bm25_topk_upsert": _upsert_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -1973,6 +2060,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "facet_counts": q_facet_counts,
     "search_snippets": q_search_snippets,
+    "bm25_topk_upsert": q_bm25_topk_upsert,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "neardup_components": q_neardup_components,
