@@ -6,7 +6,8 @@ spec and pointed at META_VERSION as the safe way to rev the format.
 Design (Lucene's two-tier shape, re-expressed for parquet):
 
 * ``build_index(..., positions=True)`` writes an ADDITIONAL
-  ``positions/bucket=<b>/`` table — (doc_id, term, positions:list<int>),
+  ``positions/chunk=<c>/bucket=<b>/`` table — (doc_id, term,
+  positions:list<int>),
   bucketed by the SAME crc32 term hash as the dictionary/segments so a
   phrase probe prunes to its terms' bucket dirs. Within each written
   file rows are term-sorted, so parquet row-group min/max stats prune
@@ -28,9 +29,11 @@ Design (Lucene's two-tier shape, re-expressed for parquet):
 
 Scale: the verify step is O(candidates), independent of corpus size;
 the positions table scan is partition-pruned by bucket and pushed down
-on (term, doc_id). Streaming ingest REFUSES positional indexes (the
-epoch path does not extend positions yet — a fail-fast seam, like the
-media codecs, rather than silently phrase-blind streamed docs).
+on (term, doc_id). The table is CHUNKED like docs/segments
+(``positions/chunk=<c>/bucket=<b>``): streaming epochs and upserts
+append their own chunk=stream<e> dirs (r5 — the earlier fail-fast seam
+is closed), readers union chunks (doc-space partitioning: no
+supersession rule), and compaction rewrites chunk=batch fresh.
 """
 
 from __future__ import annotations
@@ -48,8 +51,17 @@ POSITIONS_VERSION = 3
 
 
 def write_positions(spark: SparkSession, docs_content: DataFrame,
-                    out_dir: str, cap: int = MAX_TOKENS_PER_DOC) -> None:
-    """Write the positions side table from (doc_id, content) rows.
+                    out_dir: str, cap: int = MAX_TOKENS_PER_DOC,
+                    chunk: str = "batch") -> None:
+    """Write a positions side-table CHUNK from (doc_id, content) rows.
+
+    Layout mirrors docs/segments: ``positions/chunk=<c>/bucket=<b>`` —
+    a batch build writes one chunk=batch, each streaming epoch / upsert
+    appends its own chunk=stream<e> as an idempotent epoch-keyed
+    overwrite. Chunks partition the DOC space (every doc's positions
+    live in exactly one chunk), so readers just union them: no
+    supersession rule, deletion is the tombstone mask, compaction
+    rewrites chunk=batch fresh.
 
     The extractor mirrors §T exactly (NFC → lower → token regex → cap) so
     position i is the i-th RETAINED token — the same sequence the DuckDB
@@ -90,7 +102,28 @@ def write_positions(spark: SparkSession, docs_content: DataFrame,
     (pos.withColumn("bucket", term_bucket_col(F.col("term")))
         .sortWithinPartitions("bucket", "term", "doc_id")
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(f"{out_dir}/positions"))
+        .parquet(f"{out_dir}/positions/chunk={chunk}"))
+
+
+def check_positions_layout(spark: SparkSession, index_dir: str) -> None:
+    """Fail fast on a flat (pre-chunk) positions layout: appending
+    chunk=* dirs beside root-level bucket=* dirs would break Hive
+    partition discovery for every later positions read — refuse and
+    point at the (cheap) migration, same policy as the dictionary
+    guard (plans/build._check_dictionary_layout)."""
+    from ..fsutil import hadoop_fs
+    fs, ppath = hadoop_fs(spark, f"{index_dir}/positions")
+    if not fs.exists(ppath):
+        return
+    flat = [st.getPath().getName() for st in fs.listStatus(ppath)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("bucket=")]
+    if flat:
+        raise ValueError(
+            f"{index_dir}/positions has a flat bucket=* layout (early-r5 "
+            f"positional format); mixing chunk=* dirs beside it would "
+            f"corrupt positions reads — compact_index (or rebuild with "
+            f"positions=True) rewrites it in the chunked layout")
 
 
 def _phrase_match_ids(pos_map: dict, ids: list[int], seq: list[str],

@@ -8,8 +8,9 @@ shape, composed ENTIRELY from the engine's existing primitives:
 
 * the new versions are appended as one stream-style epoch
   (streaming/ingest._append_epoch — O(batch) cost, idempotent,
-  facet-preserving, refuses positional v3 indexes exactly like
-  streaming does);
+  facet-preserving, and on positional v3 indexes it writes the
+  epoch's positions chunk too, so upserted docs answer phrase
+  queries immediately);
 * every LIVE older version of an upserted (repo, path) is then
   tombstoned by key (plans/delete.py — frozen-stats semantics until
   the next compact_index reclaims).
@@ -50,8 +51,9 @@ def upsert_docs(spark: SparkSession, index_dir: str,
 
     After an upsert, queries see exactly the new versions; corpus-wide
     stats stay frozen (tombstone contract) until compact_index. The
-    target must be an existing chunk-layout index; positional (v3)
-    indexes are refused, matching streaming ingest.
+    target must be an existing chunk-layout index (positional v3
+    included — the epoch writes its positions chunk; only the early
+    flat positions layout is refused, matching streaming ingest).
     """
     from ..fsutil import fs_exists
     from ..streaming.ingest import _append_epoch

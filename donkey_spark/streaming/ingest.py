@@ -55,7 +55,8 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
     # epochs append chunk=* dictionary partials — refuse to mix them into
     # a pre-chunked (flat bucket=*) dictionary root (memoized per run)
     _check_dictionary_layout(spark, index_dir)
-    base = {"n": 0, "dl": 0.0, "p": 0, "rsize": None, "facets": ()}
+    base = {"n": 0, "dl": 0.0, "p": 0, "rsize": None, "facets": (),
+            "positions": False}
     if fs_exists(spark, f"{index_dir}/docs"):
         batch_docs = (spark.read.parquet(f"{index_dir}/docs")
                       .where(~F.col("chunk").cast("string")
@@ -70,16 +71,15 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
                         .collect()[0][0])
     if fs_exists(spark, f"{index_dir}/meta"):
         m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
-        from ..plans.positions import POSITIONS_VERSION
+        from ..plans.positions import (POSITIONS_VERSION,
+                                       check_positions_layout)
         if int(m.get("version", 0)) >= POSITIONS_VERSION:
-            # fail fast: epochs do not extend the positions side table
-            # yet, and silently phrase-blind streamed docs would be a
-            # wrong answer — same honest-seam policy as the media codecs
-            raise ValueError(
-                f"{index_dir} is a positional index (format version "
-                f"{m['version']}); streaming ingest does not extend the "
-                f"positions table — compact/rebuild without "
-                f"positions=True to stream into it")
+            # epochs extend the positions side table with their own
+            # chunk=stream<e> dir (r5; positions chunks partition the
+            # doc space, so readers just union them) — but refuse the
+            # early flat layout, which chunk dirs would corrupt
+            check_positions_layout(spark, index_dir)
+            base["positions"] = True
         base["rsize"] = int(m["range_size"])
         # epochs over a facet-enabled batch index keep indexing the same
         # facets, so filtered queries stay correct across the stream
@@ -274,9 +274,13 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     # a bounded scan even over a 10^8-row backlog (r5 review), not a
     # full pass the epoch would then repeat.
     from ..config import STREAM_ID_GATE_ROWS
-    feats = ("repo", "path", "commit", "lang",
+    feats = ["repo", "path", "commit", "lang",
              F.sha2(F.col("content"), 256).alias("sha256"),
-             doc_features_udf(F.col("content")).alias("f"))
+             doc_features_udf(F.col("content")).alias("f")]
+    if base["positions"]:
+        # the epoch's positions chunk needs (doc_id, content) AFTER id
+        # assignment — carry content through (O(epoch) extra persist)
+        feats.append("content")
     if (batch_df.select("repo").limit(STREAM_ID_GATE_ROWS + 1).count()
             > STREAM_ID_GATE_ROWS):
         from ..operators.doc_ids import assign_doc_ids
@@ -334,6 +338,12 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
                  F.col("f.dl").alias("dl"), "sha256")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/docs/chunk={this_chunk}"))
+    if base["positions"]:
+        # epoch-keyed overwrite like every other artifact: replay of this
+        # epoch converges; phrase queries see streamed docs immediately
+        from ..plans.positions import write_positions
+        write_positions(spark, rows.select("doc_id", "content"),
+                        index_dir, chunk=this_chunk)
     # per-epoch dictionary PARTIAL (readers sum df/cf per term across
     # chunk partials) — replaces the r2 full-dictionary rewrite that
     # rescanned every segment each epoch; read back this epoch's chunk
@@ -360,9 +370,10 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         "status string, n_docs long, sum_dl long, n_postings long")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/manifest_stream/epoch={int(epoch_id)}"))
-    from ..config import META_VERSION, N_BUCKETS
+    from ..config import N_BUCKETS
+    from ..plans.positions import meta_version
     (spark.createDataFrame(
-        [(META_VERSION, n_docs, float(avgdl_new),
+        [(meta_version(base["positions"]), n_docs, float(avgdl_new),
           postings_before + epoch_postings,
           int(rsize), int(block_size), codec, int(N_BUCKETS), -1,
           ",".join(base["facets"]))],

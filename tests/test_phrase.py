@@ -167,18 +167,54 @@ def test_phrase_requires_positional_index(spark, tmp_path):
         idx.search_phrase("def return", k=5)
 
 
-def test_streaming_refuses_positional_index(spark, tmp_path):
-    """Epochs do not extend the positions table — appending would leave
-    streamed docs silently phrase-blind, so ingest fails fast."""
+def test_streaming_extends_positional_index(spark, tmp_path):
+    """r5: epochs write their own positions chunk (chunk=stream<e>) —
+    phrase queries must see streamed docs, exactly as a batch build of
+    the union corpus would (compared by (repo, path) since doc ids
+    differ between the two histories)."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.sources.corpus import CORPUS_SCHEMA
+    from donkey_spark.streaming.ingest import _append_epoch
+    out, ref = str(tmp_path / "posidx"), str(tmp_path / "refidx")
+    pdf = gen_corpus(120, seed=6)
+    build_index(spark, spark.createDataFrame(pdf.iloc[:90]), out,
+                range_size=64, positions=True)
+    _append_epoch(spark.createDataFrame(pdf.iloc[90:], CORPUS_SCHEMA),
+                  0, out, "varint", 128, memo={})
+    idx = Index(spark, out)
+    assert idx.version == 3                 # epoch meta keeps v3
+    build_index(spark, spark.createDataFrame(pdf), ref, range_size=64,
+                positions=True)
+    got = idx.search_phrase("def return", k=50)
+    exp = Index(spark, ref).search_phrase("def return", k=50)
+    assert {(r[4], r[5]) for r in got} == {(r[4], r[5]) for r in exp}
+    assert len(got) > 0
+    # at least one hit must come from the STREAMED slice
+    streamed = set(zip(pdf.iloc[90:]["repo"], pdf.iloc[90:]["path"]))
+    all_hits = idx.search_phrase("def", k=200)
+    assert {(r[4], r[5]) for r in all_hits} & streamed
+
+
+def test_streaming_refuses_flat_positions_layout(spark, tmp_path):
+    """The early-r5 flat bucket=* positions layout cannot take chunk
+    dirs beside it — ingest fails fast and points at compaction."""
+    import os
+    import shutil
     from donkey_spark.plans.build import build_index
     from donkey_spark.sources.corpus import CORPUS_SCHEMA
     from donkey_spark.streaming.ingest import _append_epoch
-    out = str(tmp_path / "posidx")
-    pdf = gen_corpus(50, seed=6)
-    build_index(spark, spark.createDataFrame(pdf.iloc[:40]), out,
+    out = str(tmp_path / "flat")
+    pdf = gen_corpus(40, seed=8)
+    build_index(spark, spark.createDataFrame(pdf.iloc[:30]), out,
                 range_size=64, positions=True)
-    with pytest.raises(ValueError, match="positional index"):
-        _append_epoch(spark.createDataFrame(pdf.iloc[40:], CORPUS_SCHEMA),
+    # forge the legacy layout: hoist bucket=* out of chunk=batch
+    pos = f"{out}/positions"
+    for b in os.listdir(f"{pos}/chunk=batch"):
+        shutil.move(f"{pos}/chunk=batch/{b}", f"{pos}/{b}")
+    shutil.rmtree(f"{pos}/chunk=batch")
+    with pytest.raises(ValueError, match="flat bucket"):
+        _append_epoch(spark.createDataFrame(pdf.iloc[30:], CORPUS_SCHEMA),
                       0, out, "varint", 128, memo={})
 
 

@@ -160,6 +160,15 @@ def test_upsert_preserves_facets_and_refuses_v3(spark, tmp_path):
         [(0, "upserted_marker", 200)], filters={"lang": target})
     exp = patched.where(F.col("lang") == target).count()
     assert len(hits) == exp                # new docs carry facet postings
+    # upsert into a positional (v3) index writes the epoch's positions
+    # chunk: the upserted docs' NEW phrase is findable, the old content
+    # (now tombstoned) never ranks
     build_index(spark, corpus, pdir, range_size=64, positions=True)
-    with pytest.raises(ValueError, match="positional"):
-        upsert_docs(spark, pdir, patched)
+    info = upsert_docs(spark, pdir, patched)
+    assert info["n_appended"] == patched.count()
+    pidx = Index(spark, pdir)
+    assert pidx.version == 3
+    hits = pidx.search_phrase("upserted_marker", k=100)
+    assert {(r[4], r[5]) for r in hits} == \
+        {(r["repo"], r["path"])
+         for r in patched.select("repo", "path").collect()}
