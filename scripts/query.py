@@ -34,6 +34,18 @@ def main() -> None:
                          "(docs with a listed value are excluded), and "
                          "separate --filter flags AND together; index "
                          "must be built with --facets")
+    ap.add_argument("--facet-counts", default=None, metavar="COL",
+                    help="instead of top-k rows, print the per-value "
+                         "document counts of this facet column over the "
+                         "query's FULL match set (index must be built "
+                         "with --facets)")
+    ap.add_argument("--snippets", default=None, metavar="CORPUS",
+                    help="annotate each hit with a context snippet "
+                         "fetched from this corpus parquet path "
+                         "(repo, path, commit, lang, content)")
+    ap.add_argument("--window", type=int, default=3,
+                    help="with --snippets: tokens of context either side "
+                         "of the matched term")
     ap.add_argument("--out", default=None, help="write results parquet here")
     a = ap.parse_args()
     if not a.query and not a.queries:
@@ -58,12 +70,23 @@ def main() -> None:
             c, v = f.split("=", 1)
             filters[c] = v.split(",") if "," in v else v
     filters = filters or None
-    if a.phrase:
+    if a.facet_counts:
+        if a.phrase or a.queries or filters:
+            ap.error("--facet-counts takes a single --query "
+                     "(optionally --mode and) no --filter/--phrase")
+        from donkey_spark.plans.facet_counts import facet_counts
+        res = facet_counts(idx, a.query, a.facet_counts, mode=a.mode)
+    elif a.phrase:
         if a.queries or filters:
             ap.error("--phrase takes a single --query and no --filter")
         from donkey_spark.plans.query import _RESULT_SCHEMA
         res = spark.createDataFrame(
             idx.search_phrase(a.query, k=a.k, slop=a.slop), _RESULT_SCHEMA)
+    elif a.snippets:
+        from donkey_spark.plans.snippets import search_snippets
+        corpus = spark.read.parquet(a.snippets)
+        res = search_snippets(idx, corpus, batch, window=a.window,
+                              mode=a.mode, filters=filters)
     else:
         res = idx.search_batch(batch, mode=a.mode, filters=filters)
     if a.out:

@@ -97,3 +97,46 @@ def test_cli_positional_build_and_phrase_query(cli_corpus):
     assert len(df) >= 1 and (df["score"] > 0).all()
     assert df.sort_values("rank")["rank"].tolist() == \
         list(range(1, len(df) + 1))
+
+
+def test_cli_facet_counts_snippets_upsert(cli_corpus):
+    """r5: --facet-counts histogram, --snippets annotation, and the
+    upsert entry point, end to end as subprocesses."""
+    base = cli_corpus
+    idx = str(base / "svcidx")
+    _run(["scripts/build_index.py", "--corpus",
+          str(base / "corpus.parquet"), "--out", idx, "--facets", "lang"])
+
+    fres = str(base / "fcounts")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "--facet-counts", "lang", "--out", fres])
+    fdf = pd.read_parquet(fres)
+    assert set(fdf.columns) == {"value", "n_docs"}
+    assert len(fdf) >= 2 and (fdf["n_docs"] > 0).all()
+
+    sres = str(base / "snips")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "5", "--snippets", str(base / "corpus.parquet"),
+          "--window", "2", "--out", sres])
+    sdf = pd.read_parquet(sres)
+    assert len(sdf) == 5
+    assert sdf["snippet"].notna().all()
+    assert sdf["snippet"].str.split().map(len).le(5).all()   # 2W+1
+
+    pdf = gen_corpus(120, seed=19)
+    newv = pdf.iloc[:10].copy()
+    newv["commit"] = "z" + newv["commit"].str.slice(1)
+    newv["content"] = newv["content"] + " cli_upsert_marker"
+    newv.to_parquet(base / "newv.parquet", index=False)
+    out = _run(["scripts/upsert_docs.py", "--index", idx,
+                "--docs", str(base / "newv.parquet")])
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["n_appended"] == 10 and info["n_tombstones"] == 10
+
+    ures = str(base / "ures")
+    _run(["scripts/query.py", "--index", idx, "--query",
+          "cli_upsert_marker", "-k", "20", "--out", ures])
+    udf = pd.read_parquet(ures)
+    assert len(udf) == 10
+    assert set(zip(udf["repo"], udf["path"])) == \
+        set(zip(newv["repo"], newv["path"]))
