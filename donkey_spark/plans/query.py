@@ -421,6 +421,134 @@ class Index:
                 if self._df_memo.get(t) is not None}
 
     # -- search ------------------------------------------------------------
+    def _plan_search(self, queries: list[tuple[int, str, int]],
+                     mode: str = "or",
+                     filters: dict | None = None) -> dict | None:
+        """The shared planning pass: parse → dictionary probe → facet
+        resolution → per-query term plans → bucket pruning → the
+        local-vs-distributed cost decision. Returns None when the plan
+        is provably empty (every early-exit search_rows takes);
+        otherwise the dict search_rows executes and explain_search
+        reports."""
+        if mode not in ("or", "and"):
+            raise ValueError(mode)
+        facet_groups: list[tuple[str, list[str]]] = []
+        if filters:
+            unknown = sorted(set(filters) - set(self.facets))
+            if unknown:
+                raise ValueError(
+                    f"index has no facet(s) {unknown}; built with "
+                    f"facets={self.facets or '()'} — rebuild with "
+                    f"build_index(..., facets=(...))")
+            from ..operators.facets import normalize_filter_spec
+            for c, v in sorted(filters.items()):
+                kind, vals = normalize_filter_spec(c, v)
+                facet_groups.append((kind, [f"\x01{c}={x}" for x in vals]))
+        facet_terms = [t for _, g in facet_groups for t in g]
+        parsed = {qid: (sorted(set(tokenize_py(text))), k)
+                  for qid, text, k in queries}
+        all_terms = sorted({t for ts, _ in parsed.values() for t in ts}
+                           | set(facet_terms))
+        dfs = self._lookup_terms(all_terms)
+        if any(kind == "any" and all(t not in dfs for t in g)
+               for kind, g in facet_groups):
+            return None   # no doc carries ANY requested value of a column
+        # values absent from the dictionary drop out of their group; an
+        # emptied NOT group excludes nothing and drops entirely
+        facet_groups = [(kind, [t for t in g if t in dfs])
+                        for kind, g in facet_groups]
+        facet_groups = [(kind, g) for kind, g in facet_groups if g]
+        facet_terms = [t for _, g in facet_groups for t in g]
+        live_terms = sorted(dfs)
+        if not live_terms:
+            return None
+        idf_map = {t: float(bm25_idf(self.n_docs, dfs[t]))
+                   for t in live_terms}
+        qplan = [(qid, [t for t in ts if t in idf_map], k)
+                 for qid, (ts, k) in parsed.items()
+                 if mode == "or" or all(t in idf_map for t in ts)]
+        qplan = [q for q in qplan if q[1]]
+        # facets apply as a per-salt presence mask in BOTH modes — built
+        # once per salt, never per query (see _make_group_scorer)
+        required = facet_groups or None
+        if not qplan:
+            return None
+
+        needed = sorted({t for _, ts, _ in qplan for t in ts}
+                        | set(facet_terms))
+        buckets = sorted({term_bucket_py(t, self.n_buckets)
+                          for t in needed})
+        # Cost model: the scorer touches each query's terms' postings, so
+        # driver-local WORK is Σ_q Σ_{t∈q} df(t) — not the union — while
+        # the distributed path amortizes one ~2 s job over all queries and
+        # all cores. Go local only when the single-threaded work is small.
+        # Facet postings decode once per salt (shared cache), so they
+        # count once, not per query.
+        est_work = (sum(dfs[t] for _, ts, _ in qplan
+                        for t in ts if t not in facet_terms)
+                    + sum(dfs[t] for t in facet_terms)) * _BYTES_PER_POSTING
+        use_local = 0 < est_work <= self.local_bytes
+        return {"qplan": qplan, "idf_map": idf_map, "dfs": dfs,
+                "needed": needed, "buckets": buckets,
+                "required": required, "facet_terms": facet_terms,
+                "est_work": est_work, "use_local": use_local,
+                "parsed": parsed}
+
+    def explain_search(self, queries: list[tuple[int, str, int]],
+                       mode: str = "or",
+                       filters: dict | None = None) -> dict:
+        """Observability: the pruning/cost decisions search_rows would
+        take for this batch, WITHOUT executing it — what an EXPLAIN is
+        to a SQL engine. Returns a plain dict (JSON-serializable):
+
+        * ``path``: "local" (driver pyarrow over the pruned block set),
+          "distributed" (repartition-by-salt mapInArrow scan), or
+          "empty" (provably no results — OOV terms, empty facet
+          selection, AND with a missing conjunct);
+        * per-query term plans with df and idf (dropped OOV terms
+          listed separately);
+        * ``buckets_probed`` of ``n_buckets`` segment dirs read;
+        * ``est_bytes`` (the cost model's work estimate) vs
+          ``local_budget_bytes``;
+        * facet groups as resolved against the dictionary, the
+          tombstone count, and whether the batch qualifies for the
+          decode-cache prefill.
+        """
+        plan = self._plan_search(queries, mode, filters)
+        base = {
+            "mode": mode,
+            "n_queries": len(queries),
+            "tombstones": int(self._tombstones.size),
+            "local_budget_bytes": int(self.local_bytes),
+            "n_buckets": int(self.n_buckets),
+        }
+        if plan is None:
+            return {**base, "path": "empty", "queries": {}, "reason":
+                    "no query term (or required facet value) is in the "
+                    "dictionary"}
+        dfs, idf = plan["dfs"], plan["idf_map"]
+        per_q = {}
+        for qid, ts, k in plan["qplan"]:
+            want = plan["parsed"][qid][0]
+            per_q[qid] = {
+                "k": k,
+                "terms": [{"term": t, "df": int(dfs[t]),
+                           "idf": round(idf[t], 6)} for t in ts],
+                "dropped_oov": [t for t in want if t not in idf],
+            }
+        return {
+            **base,
+            "path": "local" if plan["use_local"] else "distributed",
+            "est_bytes": int(plan["est_work"]),
+            "buckets_probed": len(plan["buckets"]),
+            "facet_groups": [
+                {"kind": kind,
+                 "values": [t.split("=", 1)[1] for t in g]}
+                for kind, g in (plan["required"] or [])],
+            "prefill": len(plan["qplan"]) >= _PRECOMPUTE_MIN_QUERIES,
+            "queries": per_q,
+        }
+
     def search_rows(self, queries: list[tuple[int, str, int]],
                     mode: str = "or",
                     filters: dict | None = None) -> list[tuple]:
@@ -444,65 +572,13 @@ class Index:
         lang NOT IN (...)`). Facet terms intersect as zero-score
         presence postings — BM25 scores are identical to the unfiltered
         query's scores for the surviving docs."""
-        if mode not in ("or", "and"):
-            raise ValueError(mode)
-        facet_groups: list[tuple[str, list[str]]] = []
-        if filters:
-            unknown = sorted(set(filters) - set(self.facets))
-            if unknown:
-                raise ValueError(
-                    f"index has no facet(s) {unknown}; built with "
-                    f"facets={self.facets or '()'} — rebuild with "
-                    f"build_index(..., facets=(...))")
-            from ..operators.facets import normalize_filter_spec
-            for c, v in sorted(filters.items()):
-                kind, vals = normalize_filter_spec(c, v)
-                facet_groups.append((kind, [f"\x01{c}={x}" for x in vals]))
-        facet_terms = [t for _, g in facet_groups for t in g]
+        plan = self._plan_search(queries, mode, filters)
+        if plan is None:
+            return []
+        qplan, idf_map, dfs = plan["qplan"], plan["idf_map"], plan["dfs"]
+        needed, buckets = plan["needed"], plan["buckets"]
+        required, use_local = plan["required"], plan["use_local"]
         spark = self.spark
-        parsed = {qid: (sorted(set(tokenize_py(text))), k)
-                  for qid, text, k in queries}
-        all_terms = sorted({t for ts, _ in parsed.values() for t in ts}
-                           | set(facet_terms))
-        dfs = self._lookup_terms(all_terms)
-        if any(kind == "any" and all(t not in dfs for t in g)
-               for kind, g in facet_groups):
-            return []    # no doc carries ANY requested value of a column
-        # values absent from the dictionary drop out of their group; an
-        # emptied NOT group excludes nothing and drops entirely
-        facet_groups = [(kind, [t for t in g if t in dfs])
-                        for kind, g in facet_groups]
-        facet_groups = [(kind, g) for kind, g in facet_groups if g]
-        facet_terms = [t for _, g in facet_groups for t in g]
-        live_terms = sorted(dfs)
-        if not live_terms:
-            return []
-        idf_map = {t: float(bm25_idf(self.n_docs, dfs[t]))
-                   for t in live_terms}
-        qplan = [(qid, [t for t in ts if t in idf_map], k)
-                 for qid, (ts, k) in parsed.items()
-                 if mode == "or" or all(t in idf_map for t in ts)]
-        qplan = [q for q in qplan if q[1]]
-        # facets apply as a per-salt presence mask in BOTH modes — built
-        # once per salt, never per query (see _make_group_scorer)
-        required = facet_groups or None
-        if not qplan:
-            return []
-
-        needed = sorted({t for _, ts, _ in qplan for t in ts}
-                        | set(facet_terms))
-        buckets = sorted({term_bucket_py(t, self.n_buckets)
-                          for t in needed})
-        # Cost model: the scorer touches each query's terms' postings, so
-        # driver-local WORK is Σ_q Σ_{t∈q} df(t) — not the union — while
-        # the distributed path amortizes one ~2 s job over all queries and
-        # all cores. Go local only when the single-threaded work is small.
-        # Facet postings decode once per salt (shared cache), so they
-        # count once, not per query.
-        est_work = (sum(dfs[t] for _, ts, _ in qplan
-                        for t in ts if t not in facet_terms)
-                    + sum(dfs[t] for t in facet_terms)) * _BYTES_PER_POSTING
-        use_local = 0 < est_work <= self.local_bytes
 
         if use_local:
             # driver-local scoring: pyarrow reads ONLY the probed bucket

@@ -426,3 +426,38 @@ def test_facet_counts_errors_and_empty(spark, facet_setup):
                         mode="and").collect() == []
     assert facet_values(idx, "lang") == \
         sorted({v for v in lang.values() if v is not None})
+
+
+# -- explain_search (planning observability) ---------------------------------
+
+def test_explain_search_reports_the_plan(spark, facet_setup):
+    """explain_search must agree with what search_rows actually does:
+    path choice, per-term dfs, bucket count, facet resolution — and
+    never execute a scan (it is pure planning)."""
+    import json
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    target = lang[0]
+    idx = Index(spark, faceted)
+    exp = idx.explain_search([(0, "def return", 10)],
+                             filters={"lang": target})
+    json.dumps(exp)                        # JSON-serializable contract
+    assert exp["path"] == "local"          # tiny fixture fits the budget
+    assert exp["est_bytes"] <= exp["local_budget_bytes"]
+    assert exp["facet_groups"] == [{"kind": "any", "values": [target]}]
+    terms = {t["term"]: t for t in exp["queries"][0]["terms"]}
+    assert set(terms) == {"def", "return"}
+    assert all(t["df"] > 0 and t["idf"] > 0 for t in terms.values())
+    assert 1 <= exp["buckets_probed"] <= exp["n_buckets"]
+    # forcing the distributed path flips the decision
+    exp2 = Index(spark, faceted, local_bytes=0).explain_search(
+        [(0, "def return", 10)])
+    assert exp2["path"] == "distributed"
+    # provably-empty plans say so
+    exp3 = idx.explain_search([(0, "zzqnotaterm", 5)])
+    assert exp3["path"] == "empty" and exp3["queries"] == {}
+    exp4 = idx.explain_search([(0, "def zzq_oov", 5)], mode="and")
+    assert exp4["path"] == "empty"
+    # OOV terms in OR mode are listed as dropped, not silently gone
+    exp5 = idx.explain_search([(0, "def zzq_oov", 5)])
+    assert exp5["queries"][0]["dropped_oov"] == ["zzq_oov"]
