@@ -44,28 +44,41 @@ def facet_values(index, facet: str) -> list[str]:
     return sorted(r["term"][len(prefix):] for r in rows)
 
 
-def facet_counts(index, text: str, facet: str, mode: str = "or",
+def facet_counts(index, text: str, facet, mode: str = "or",
                  values: list | None = None) -> DataFrame:
-    """(value, n_docs): how many live documents matching ``text``
-    (OR: any term; AND: every term) carry each value of ``facet``.
-    Docs without the facet column are not counted (they have no
-    presence posting — the same semantics equality filters use)."""
-    if facet not in index.facets:
+    """Facet histogram over the match set of ``text`` (OR: any term;
+    AND: every term). ``facet`` is one column name → (value, n_docs)
+    rows, or a sequence of column names → (facet, value, n_docs) rows
+    counting EVERY listed column in the same single pass over the
+    query postings (what a search UI renders: all filter groups at
+    once, one scan). Docs without a facet column are not counted under
+    it (they have no presence posting — the same semantics equality
+    filters use). ``values=`` (single-facet form only) skips the
+    value-enumeration scan."""
+    multi = not isinstance(facet, str)
+    facets = list(facet) if multi else [facet]
+    if multi and values is not None:
+        raise ValueError("values= applies to the single-facet form")
+    unknown = sorted(set(facets) - set(index.facets))
+    if unknown:
         raise ValueError(
-            f"index has no facet {facet!r}; built with "
+            f"index has no facet(s) {unknown}; built with "
             f"facets={index.facets or '()'}")
     if mode not in ("or", "and"):
         raise ValueError(mode)
     spark = index.spark
-    empty = spark.createDataFrame([], "value string, n_docs long")
+    schema = ("facet string, value string, n_docs long" if multi
+              else "value string, n_docs long")
+    empty = spark.createDataFrame([], schema)
     qterms = sorted(set(tokenize_py(text)))
     dfs = index._lookup_terms(qterms)
     live = [t for t in qterms if dfs.get(t)]
     if not live or (mode == "and" and len(live) < len(qterms)):
         return empty
-    vals = facet_values(index, facet) if values is None else values
-    prefix = f"\x01{facet}="
-    tags = [f"{prefix}{v}" for v in vals]
+    tags = []
+    for f in facets:
+        vals = facet_values(index, f) if values is None else values
+        tags += [f"\x01{f}={v}" for v in vals]
     tag_dfs = index._lookup_terms(tags)
     tags = [t for t in tags if tag_dfs.get(t)]
     if not tags:
@@ -76,7 +89,7 @@ def facet_counts(index, text: str, facet: str, mode: str = "or",
                       for t in needed})
     qset, n_q = frozenset(live), len(live)
     tagset = frozenset(tags)
-    codec, plen = index.codec, len(prefix)
+    codec = index.codec
     tomb_bc = index._tombstones_bc
     mode_and = mode == "and"
 
@@ -126,19 +139,24 @@ def facet_counts(index, text: str, facet: str, mode: str = "or",
                 c = int(np.isin(ids_of(t), matched,
                                 assume_unique=True).sum())
                 if c:
-                    out_v.append(t[plen:])
+                    out_v.append(t[1:])      # "col=value"
                     out_n.append(c)
         if out_v:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out_v, pa.string()),
                  pa.array(out_n, pa.int64())],
-                names=["value", "n"])
+                names=["tag", "n"])
 
     seg = (index._seg
            .where(F.col("bucket").isin(buckets)
                   & F.col("term").isin(needed))
            .select("term", "salt", "docids_blob"))
     part = seg.repartition("salt").mapInArrow(
-        count_arrow, "value string, n long")
-    return (part.groupBy("value").agg(F.sum("n").alias("n_docs"))
-            .select("value", F.col("n_docs").cast("long").alias("n_docs")))
+        count_arrow, "tag string, n long")
+    agg = part.groupBy("tag").agg(
+        F.sum("n").cast("long").alias("n_docs"))
+    split = F.split(F.col("tag"), "=", 2)
+    if multi:
+        return agg.select(split.getItem(0).alias("facet"),
+                          split.getItem(1).alias("value"), "n_docs")
+    return agg.select(split.getItem(1).alias("value"), "n_docs")

@@ -461,3 +461,28 @@ def test_explain_search_reports_the_plan(spark, facet_setup):
     # OOV terms in OR mode are listed as dropped, not silently gone
     exp5 = idx.explain_search([(0, "def zzq_oov", 5)])
     assert exp5["queries"][0]["dropped_oov"] == ["zzq_oov"]
+
+
+def test_facet_counts_multi_column_single_pass(spark, tmp_path):
+    """The list form counts every facet column in one pass and agrees
+    with per-column calls."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.facet_counts import facet_counts
+    from donkey_spark.plans.query import Index
+    pdf = gen_corpus(200, seed=21)
+    out = str(tmp_path / "multi")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64,
+                facets=("lang", "repo"))
+    idx = Index(spark, out)
+    multi = {(r["facet"], r["value"]): r["n_docs"] for r in
+             facet_counts(idx, "def return", ["lang", "repo"]).collect()}
+    singles = {}
+    for col in ("lang", "repo"):
+        for r in facet_counts(idx, "def return", col).collect():
+            singles[(col, r["value"])] = r["n_docs"]
+    assert multi == singles
+    assert {f for f, _ in multi} == {"lang", "repo"}
+    with pytest.raises(ValueError, match="values="):
+        facet_counts(idx, "def", ["lang", "repo"], values=["py"])
+    with pytest.raises(ValueError, match="no facet"):
+        facet_counts(idx, "def", ["lang", "nope"])
