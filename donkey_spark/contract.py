@@ -771,15 +771,15 @@ _FACET_IDX_CACHE: dict[str, str] = {}
 
 
 def _facet_index_dir(spark, sf_dir) -> str:
-    """Shared facet-enabled index (facets=("lang",)) — built once per
-    process, separate from the main contract index because presence
+    """Shared facet-enabled index (facets=("lang", "repo")) — built once
+    per process, separate from the main contract index because presence
     postings would shift the layout-twin pairs' n_postings/n_blocks."""
     if sf_dir not in _FACET_IDX_CACHE:
         from .plans.build import build_index
         out = os.path.join(tempfile.gettempdir(),
                            "donkey_fidx_" + sf_dir.strip("/").replace("/", "_"))
         build_index(spark, documents_as_corpus(spark, sf_dir), out,
-                    facets=("lang",))
+                    facets=("lang", "repo"))
         _FACET_IDX_CACHE[sf_dir] = out
     return _FACET_IDX_CACHE[sf_dir]
 
@@ -799,7 +799,9 @@ def q_facet_counts(spark, sf_dir):
                         "spark join filter", "lang")
 
 
-def _facet_counts_oracle_sql(text: str = "spark join filter") -> str:
+def _facet_counts_oracle_sql(text: str = "spark join filter",
+                             count_col: str = "lang",
+                             extra_pred: str = "TRUE") -> str:
     from .functions.tokenize import tokenize_py
     vals = ", ".join(f"('{t}')" for t in sorted(set(tokenize_py(text))))
     return f"""
@@ -807,11 +809,25 @@ WITH toks AS (
   SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
 ), q(term) AS (VALUES {vals}),
 m AS (SELECT DISTINCT doc_id FROM toks JOIN q USING (term))
-SELECT d.lang AS value, count(*)::BIGINT AS n_docs
+SELECT d.{count_col} AS value, count(*)::BIGINT AS n_docs
 FROM m JOIN documents d USING (doc_id)
-WHERE d.lang IS NOT NULL
+WHERE d.{count_col} IS NOT NULL AND ({extra_pred})
 GROUP BY 1
 """
+
+
+def q_facet_counts_filtered(spark, sf_dir):
+    """r5 §2.14 — faceted-navigation counts: the repo histogram of the
+    flagship query's match set WITH lang='en' selected — the counts a
+    UI shows for one filter group while another group's selection is
+    active. The filter mask intersects inside the same per-salt kernel
+    (id-array set ops over presence postings); the twin just adds the
+    lang predicate."""
+    from .plans.facet_counts import facet_counts
+    from .plans.query import Index
+    return facet_counts(Index(spark, _facet_index_dir(spark, sf_dir)),
+                        "spark join filter", "repo",
+                        filters={"lang": "en"})
 
 
 #: upsert pair: every doc_id % 10 == 0 gets a new version whose content
@@ -1877,6 +1893,8 @@ SELECT 2::INTEGER AS n_epochs,
     "hybrid_topk": _hybrid_oracle_sql(),
     "more_like_this": _mlt_oracle_sql(),
     "facet_counts": _facet_counts_oracle_sql(),
+    "facet_counts_filtered": _facet_counts_oracle_sql(
+        count_col="source", extra_pred="d.lang = 'en'"),
     "search_snippets": _snippets_oracle_sql(),
     "bm25_topk_upsert": _upsert_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
@@ -2059,6 +2077,7 @@ QUERIES = {
     "hybrid_topk": q_hybrid_topk,
     "more_like_this": q_more_like_this,
     "facet_counts": q_facet_counts,
+    "facet_counts_filtered": q_facet_counts_filtered,
     "search_snippets": q_search_snippets,
     "bm25_topk_upsert": q_bm25_topk_upsert,
     "emb_neardup_pairs": q_emb_neardup_pairs,

@@ -45,7 +45,8 @@ def facet_values(index, facet: str) -> list[str]:
 
 
 def facet_counts(index, text: str, facet, mode: str = "or",
-                 values: list | None = None) -> DataFrame:
+                 values: list | None = None,
+                 filters: dict | None = None) -> DataFrame:
     """Facet histogram over the match set of ``text`` (OR: any term;
     AND: every term). ``facet`` is one column name → (value, n_docs)
     rows, or a sequence of column names → (facet, value, n_docs) rows
@@ -54,7 +55,15 @@ def facet_counts(index, text: str, facet, mode: str = "or",
     once, one scan). Docs without a facet column are not counted under
     it (they have no presence posting — the same semantics equality
     filters use). ``values=`` (single-facet form only) skips the
-    value-enumeration scan."""
+    value-enumeration scan.
+
+    ``filters=`` applies the SAME facet-filter grammar as search
+    (equality / OR list / {"not": [...]}): counts are taken over the
+    FILTERED match set — faceted-navigation semantics, where the
+    histogram of one column respects the selections active on the
+    others. Filter masks intersect inside the same per-salt kernel
+    (id-array set ops over the already-fetched presence postings), so
+    no join or extra scan appears."""
     multi = not isinstance(facet, str)
     facets = list(facet) if multi else [facet]
     if multi and values is not None:
@@ -66,6 +75,17 @@ def facet_counts(index, text: str, facet, mode: str = "or",
             f"facets={index.facets or '()'}")
     if mode not in ("or", "and"):
         raise ValueError(mode)
+    fgroups: list[tuple[str, list[str]]] = []
+    if filters:
+        funknown = sorted(set(filters) - set(index.facets))
+        if funknown:
+            raise ValueError(
+                f"index has no facet(s) {funknown}; built with "
+                f"facets={index.facets or '()'}")
+        from ..operators.facets import normalize_filter_spec
+        for c, v in sorted(filters.items()):
+            kind, vals_ = normalize_filter_spec(c, v)
+            fgroups.append((kind, [f"\x01{c}={x}" for x in vals_]))
     spark = index.spark
     schema = ("facet string, value string, n_docs long" if multi
               else "value string, n_docs long")
@@ -79,12 +99,23 @@ def facet_counts(index, text: str, facet, mode: str = "or",
     for f in facets:
         vals = facet_values(index, f) if values is None else values
         tags += [f"\x01{f}={v}" for v in vals]
-    tag_dfs = index._lookup_terms(tags)
+    ftags = [t for _, g in fgroups for t in g]
+    tag_dfs = index._lookup_terms(sorted(set(tags) | set(ftags)))
     tags = [t for t in tags if tag_dfs.get(t)]
     if not tags:
         return empty
+    # same dictionary-resolution rules as search: an "any" group with NO
+    # live value selects nothing; values missing from the dictionary
+    # drop out of their group; an emptied NOT group excludes nothing
+    if any(kind == "any" and all(not tag_dfs.get(t) for t in g)
+           for kind, g in fgroups):
+        return empty
+    fgroups = [(kind, [t for t in g if tag_dfs.get(t)])
+               for kind, g in fgroups]
+    fgroups = [(kind, frozenset(g)) for kind, g in fgroups if g]
+    ftags = [t for _, g in fgroups for t in g]
 
-    needed = sorted(set(live) | set(tags))
+    needed = sorted(set(live) | set(tags) | set(ftags))
     buckets = sorted({term_bucket_py(t, index.n_buckets)
                       for t in needed})
     qset, n_q = frozenset(live), len(live)
@@ -131,6 +162,25 @@ def facet_counts(index, text: str, facet, mode: str = "or",
                 j = np.searchsorted(tomb, matched)
                 j[j == tomb.size] = tomb.size - 1
                 matched = matched[tomb[j] != matched]
+            if matched.size == 0:
+                continue
+            for kind, g in fgroups:
+                present = [t for t in g if t in by_term]
+                if kind == "any":
+                    if not present:       # no allowed doc in this salt
+                        matched = matched[:0]
+                        break
+                    allow = np.unique(np.concatenate(
+                        [ids_of(t) for t in present]))
+                    matched = matched[np.isin(matched, allow,
+                                              assume_unique=True)]
+                elif present:
+                    deny = np.unique(np.concatenate(
+                        [ids_of(t) for t in present]))
+                    matched = matched[~np.isin(matched, deny,
+                                               assume_unique=True)]
+                if matched.size == 0:
+                    break
             if matched.size == 0:
                 continue
             for t in by_term:

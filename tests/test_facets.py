@@ -486,3 +486,47 @@ def test_facet_counts_multi_column_single_pass(spark, tmp_path):
         facet_counts(idx, "def", ["lang", "repo"], values=["py"])
     with pytest.raises(ValueError, match="no facet"):
         facet_counts(idx, "def", ["lang", "nope"])
+
+
+def test_facet_counts_respect_filters(spark, tmp_path):
+    """Faceted navigation: one column's histogram respects the other
+    column's active selection (equality, OR list, NOT), matching a
+    brute-force recount of the filtered match set."""
+    from collections import Counter
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.facet_counts import facet_counts
+    from donkey_spark.plans.query import Index
+    pdf = gen_corpus(250, seed=31)
+    out = str(tmp_path / "nav")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64,
+                facets=("lang", "repo"))
+    idx = Index(spark, out)
+    docs = {r["doc_id"]: (r["lang"], r["repo"]) for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    match = [r[2] for r in
+             idx.search_rows([(0, "def return", len(docs))])]
+    langs = sorted({v[0] for v in docs.values() if v[0]})
+    sel = langs[:2]
+    cases = [
+        ({"lang": sel[0]}, lambda l: l == sel[0]),
+        ({"lang": sel}, lambda l: l in sel),
+        ({"lang": {"not": [sel[0]]}}, lambda l: l != sel[0]),
+    ]
+    for filt, keep in cases:
+        exp = Counter(docs[d][1] for d in match
+                      if keep(docs[d][0]) and docs[d][1] is not None)
+        got = {r["value"]: r["n_docs"] for r in facet_counts(
+            idx, "def return", "repo", filters=filt).collect()}
+        assert got == dict(exp), filt
+        assert sum(got.values()) < len(match)     # filter actually bites
+    # filters compose with the multi-column form
+    got = {(r["facet"], r["value"]): r["n_docs"] for r in facet_counts(
+        idx, "def return", ["lang", "repo"],
+        filters={"lang": sel[0]}).collect()}
+    assert set(got) and all(
+        f != "lang" or v == sel[0] for (f, v) in got)
+    # an impossible selection yields an empty histogram
+    assert facet_counts(idx, "def return", "repo",
+                        filters={"lang": "klingon"}).collect() == []
+    with pytest.raises(ValueError, match="no facet"):
+        facet_counts(idx, "def return", "repo", filters={"nope": "x"})
