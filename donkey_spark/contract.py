@@ -909,6 +909,27 @@ def _upsert_oracle_sql() -> str:
                     "UNION ALL SELECT d, text FROM newd")
 
 
+def q_bm25_topk_facet_backfill(spark, sf_dir):
+    """r5 §2.14 — facet backfill (plans/add_facet.py): a PLAIN index gets
+    lang added as a facet after the fact (no rebuild — one presence-
+    posting chunk from docs metadata), then runs the flagship set
+    filtered to lang=en. Must equal the built-in-facet pair exactly:
+    same oracle as bm25_topk_filtered."""
+    from .plans.add_facet import add_facet
+    from .plans.build import build_index
+    from .plans.query import Index
+    out = tempfile.mkdtemp(prefix="donkey_backfill_")
+    build_index(spark, documents_as_corpus(spark, sf_dir), out)
+    add_facet(spark, out, "lang")
+    res = Index(spark, out).search_batch(BM25_QUERIES,
+                                         filters={"lang": _FACET_LANG})
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
 #: snippet window — tokens of context either side of the matched term
 SNIPPET_WINDOW = 3
 
@@ -1897,6 +1918,9 @@ SELECT 2::INTEGER AS n_epochs,
         count_col="source", extra_pred="d.lang = 'en'"),
     "search_snippets": _snippets_oracle_sql(),
     "bm25_topk_upsert": _upsert_oracle_sql(),
+    # backfilled facets must be indistinguishable from built-in ones:
+    # the oracle IS the built-in filtered pair's
+    "bm25_topk_facet_backfill": _BM25_FILTERED_ORACLE,
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -2080,6 +2104,7 @@ QUERIES = {
     "facet_counts_filtered": q_facet_counts_filtered,
     "search_snippets": q_search_snippets,
     "bm25_topk_upsert": q_bm25_topk_upsert,
+    "bm25_topk_facet_backfill": q_bm25_topk_facet_backfill,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "neardup_components": q_neardup_components,

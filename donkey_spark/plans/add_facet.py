@@ -1,0 +1,129 @@
+"""Facet backfill — index a NEW filter column on an existing index
+without rebuilding it.
+
+At 10^12 files, "we now need to filter by license" must not cost a full
+reindex: facet postings are zero-idf presence terms in the same
+(term, salt) layout as content postings (operators/facets.py), so a new
+column is just MORE postings — buildable from the docs metadata alone
+(no content pass, no touch of existing segments):
+
+* one ``segments/chunk=facet_<col>`` dir built by the streaming path's
+  ``build_segments`` from (doc_id, dl, "\\x01col=value", tf=1) rows —
+  the dl comes from the docs table, the salt from the index's own
+  range_size, so the new postings co-locate with every query's scan;
+* one ``dictionary/chunk=facet_<col>`` partial (readers sum chunks;
+  the merge rule treats non-stream chunks as always live);
+* a ``manifest_stream`` journal row at a NEGATIVE epoch carrying the
+  posting count (n_docs=0, sum_dl=0 — corpus stats unchanged), so
+  later streaming epochs' running totals stay exact;
+* meta gains the column in ``facets`` (later epochs index it for new
+  docs; compact_index preserves it — its caller corpus must carry the
+  column from then on).
+
+The write order (segments → dictionary → journal → meta) makes a torn
+run invisible: until meta commits, planners do not know the facet
+exists, and re-running overwrites the same chunk dirs idempotently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def add_facet(spark: SparkSession, index_dir: str, column: str,
+              values: DataFrame | None = None) -> dict:
+    """Backfill facet ``column`` onto an existing index.
+
+    ``values``: (doc_id, value) DataFrame — one row per doc, NULL/absent
+    docs get no presence posting (same semantics as build-time facets);
+    omit it to take the column from the index's own docs table (works
+    for the metadata columns docs already stores, e.g. lang). Returns
+    {"column", "n_postings", "n_values"}.
+    """
+    from ..fsutil import fs_exists
+    from ..operators.facets import FACET_PREFIX
+    from ..operators.postings import (build_segments,
+                                      dictionary_from_segments,
+                                      merge_segments)
+    from .build import _check_dictionary_layout
+    if not fs_exists(spark, f"{index_dir}/meta"):
+        raise ValueError(f"{index_dir} is not an index (no meta)")
+    _check_dictionary_layout(spark, index_dir)
+    m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
+    facets = tuple(f for f in (m.get("facets") or "").split(",") if f)
+    if column in facets:
+        raise ValueError(f"facet {column!r} is already indexed "
+                         f"(facets={facets})")
+
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    if values is None:
+        if column not in docs.columns:
+            raise ValueError(
+                f"docs table has no column {column!r} — pass values= "
+                f"(a (doc_id, value) DataFrame) to backfill it")
+        vals = docs.select("doc_id", F.col(column).alias("value"))
+    else:
+        vals = values.select("doc_id", F.col("value"))
+        dup = (vals.groupBy("doc_id").count()
+               .where(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"values has multiple rows for doc_id {dup[0]['doc_id']}"
+                f" — a doc carries at most one value per facet column")
+        vals = docs.select("doc_id").join(vals, "doc_id")
+
+    dt = (docs.select("doc_id", "dl")
+          .join(vals.where(F.col("value").isNotNull()), "doc_id")
+          .select("doc_id", "dl",
+                  F.concat(F.lit(f"{FACET_PREFIX}{column}="),
+                           F.col("value").cast("string")).alias("term"),
+                  F.lit(1).alias("tf")))
+
+    chunk = f"facet_{column}"
+    from pyspark.sql import Observation
+    obs = Observation(chunk)
+    seg = merge_segments(build_segments(
+        dt, float(m["avgdl"]), int(m["range_size"]),
+        codec=m["codec"], block_size=int(m["block_size"])))
+    seg = seg.observe(obs, F.coalesce(F.sum("n_docs"), F.lit(0)).alias("p"))
+    (seg.write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{index_dir}/segments/chunk={chunk}"))
+    n_post = int(obs.get["p"])
+
+    seg_chunk = spark.read.parquet(f"{index_dir}/segments/chunk={chunk}")
+    (dictionary_from_segments(seg_chunk)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{index_dir}/dictionary/chunk={chunk}"))
+    n_vals = seg_chunk.select("term").distinct().count()
+
+    # journal the posting count at a fresh NEGATIVE epoch: streaming's
+    # running totals (sum over manifest_stream) then include it, while
+    # epoch ids from checkpoints / upserts (>= 0) can never collide
+    epoch = -1
+    if fs_exists(spark, f"{index_dir}/manifest_stream"):
+        low = (spark.read.parquet(f"{index_dir}/manifest_stream")
+               .agg(F.min("epoch")).collect()[0][0])
+        if low is not None and int(low) <= epoch:
+            epoch = int(low) - 1
+    (spark.createDataFrame(
+        [(f"facet:{column}", 0, 0, n_post)],
+        "status string, n_docs long, sum_dl long, n_postings long")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/manifest_stream/epoch={epoch}"))
+
+    meta = dict(m)
+    meta["facets"] = ",".join(facets + (column,))
+    meta["n_postings"] = int(m["n_postings"]) + n_post
+    (spark.createDataFrame([tuple(meta.values())],
+                           ", ".join(f"{k} {_META_TYPES[k]}" for k in meta))
+        .write.mode("overwrite").parquet(f"{index_dir}/meta"))
+    return {"column": column, "n_postings": n_post, "n_values": n_vals}
+
+
+_META_TYPES = {
+    "version": "int", "n_docs": "long", "avgdl": "double",
+    "n_postings": "long", "range_size": "long", "block_size": "int",
+    "codec": "string", "n_buckets": "int", "n_chunks": "int",
+    "facets": "string",
+}
