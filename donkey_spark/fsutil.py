@@ -44,3 +44,15 @@ def local_path(path: str) -> str:
     if path.startswith("file:"):
         return path[5:]
     return path
+
+
+def chunk_dirs(spark: SparkSession, table_dir: str) -> list[str]:
+    """The chunk=<c> partition values under a table dir — one FS
+    listing, no Spark job. Empty list when the dir does not exist."""
+    if not fs_exists(spark, table_dir):
+        return []
+    fs, p = hadoop_fs(spark, table_dir)
+    return [st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("chunk=")]

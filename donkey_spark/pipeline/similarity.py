@@ -42,12 +42,24 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 def cosine_topk(vectors: DataFrame, probe: list[float], k: int = 10,
-                id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                filters: dict | None = None,
+                metadata: DataFrame | None = None,
+                exclude=None,
+                tombstones_from: str | None = None) -> DataFrame:
     """Exact top-k by cosine vs a probe vector. orderBy+limit lowers to
-    TakeOrderedAndProject (per-partition heap + driver merge)."""
+    TakeOrderedAndProject (per-partition heap + driver merge).
+
+    ``filters``/``metadata``/``exclude``/``tombstones_from`` carry the
+    SAME semantics as on ``ann_topk``/``ivf_topk`` (r5 review: the exact
+    branch must honor every knob hybrid_topk documents as pass-through):
+    filter columns present on ``vectors`` predicate directly, the rest
+    resolve through ``metadata``; exclusions drop ids before ranking."""
+    cand = _apply_filters(vectors, filters, metadata, id_col)
+    cand = _apply_exclusions(vectors.sparkSession, cand, id_col,
+                             exclude, tombstones_from)
     p = F.array(*[F.lit(float(x)) for x in probe])
-    return (vectors
+    return (cand
             .select(id_col,
                     F.round(cosine_expr(F.col(vec_col), p), 6)
                     .alias("cosine"))

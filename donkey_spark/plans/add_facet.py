@@ -13,16 +13,29 @@ column is just MORE postings — buildable from the docs metadata alone
   range_size, so the new postings co-locate with every query's scan;
 * one ``dictionary/chunk=facet_<col>`` partial (readers sum chunks;
   the merge rule treats non-stream chunks as always live);
-* a ``manifest_stream`` journal row at a NEGATIVE epoch carrying the
-  posting count (n_docs=0, sum_dl=0 — corpus stats unchanged), so
-  later streaming epochs' running totals stay exact;
-* meta gains the column in ``facets`` (later epochs index it for new
-  docs; compact_index preserves it — its caller corpus must carry the
-  column from then on).
+* a ``manifest_stream`` journal row at a NEGATIVE ODD epoch carrying
+  the posting count (n_docs=0, sum_dl=0 — corpus stats unchanged), so
+  later streaming epochs' running totals stay exact. The row is keyed
+  by its ``facet:<col>`` status: re-running the backfill OVERWRITES the
+  same row instead of stacking a second count (r5 review — a torn
+  first run must not double-count), and upsert epochs (even negatives,
+  plans/upsert.py) / stream checkpoints (non-negatives) can never
+  collide with the allocation;
+* meta gains the column in ``facets``; compact_index preserves it —
+  its caller corpus must carry the column from then on.
+
+Later epochs: a facet column the corpus schema carries (e.g. lang) is
+indexed for new docs automatically; a column backfilled from caller
+``values=`` is NOT on later batches, so streaming/upsert epochs skip
+it (their docs get no presence posting — NULL semantics) and a
+re-run of ``add_facet`` (a REFRESH — allowed for backfilled columns)
+rebuilds the postings over the docs table as it stands.
 
 The write order (segments → dictionary → journal → meta) makes a torn
 run invisible: until meta commits, planners do not know the facet
-exists, and re-running overwrites the same chunk dirs idempotently.
+exists, and re-running overwrites the same chunk dirs idempotently;
+the final meta stats are recomputed from base + journal, so they
+converge from ANY torn state rather than accumulating increments.
 """
 
 from __future__ import annotations
@@ -52,9 +65,14 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
     _check_dictionary_layout(spark, index_dir)
     m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
     facets = tuple(f for f in (m.get("facets") or "").split(",") if f)
-    if column in facets:
-        raise ValueError(f"facet {column!r} is already indexed "
-                         f"(facets={facets})")
+    if column in facets and not fs_exists(
+            spark, f"{index_dir}/segments/chunk=facet_{column}"):
+        # a BUILD-time facet (postings interleaved in the batch chunks)
+        # cannot be regenerated from docs metadata alone; only columns
+        # this module backfilled may be refreshed
+        raise ValueError(f"facet {column!r} is already indexed by the "
+                         f"build (facets={facets}) — only backfilled "
+                         f"columns can be refreshed")
 
     docs = spark.read.parquet(f"{index_dir}/docs")
     if values is None:
@@ -97,24 +115,51 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
         .parquet(f"{index_dir}/dictionary/chunk={chunk}"))
     n_vals = seg_chunk.select("term").distinct().count()
 
-    # journal the posting count at a fresh NEGATIVE epoch: streaming's
-    # running totals (sum over manifest_stream) then include it, while
-    # epoch ids from checkpoints / upserts (>= 0) can never collide
-    epoch = -1
-    if fs_exists(spark, f"{index_dir}/manifest_stream"):
-        low = (spark.read.parquet(f"{index_dir}/manifest_stream")
-               .agg(F.min("epoch")).collect()[0][0])
-        if low is not None and int(low) <= epoch:
-            epoch = int(low) - 1
+    # journal the posting count: this column's OWN row if one exists
+    # (a re-run — torn or refresh — overwrites it; a fresh allocation
+    # would stack a second count into every later epoch's running
+    # totals), else a fresh ODD negative epoch below everything (even
+    # negatives belong to upserts, non-negatives to stream checkpoints)
+    from ..streaming.ingest import journal_df
+    epoch = None
+    journal = journal_df(spark, index_dir)
+    if journal is not None:
+        mine = (journal.where(F.col("status") == f"facet:{column}")
+                .select("epoch").limit(1).collect())
+        if mine:
+            epoch = int(mine[0]["epoch"])     # reuse verbatim (legacy
+            #                                   rows may sit at evens)
+        else:
+            low = journal.agg(F.min("epoch")).collect()[0][0]
+            if low is not None and int(low) < 0:
+                epoch = int(low) - 1
+                if epoch % 2 == 0:           # fresh rows: odd negatives
+                    epoch -= 1               # (below everything either way)
+    if epoch is None:
+        epoch = -1
     (spark.createDataFrame(
         [(f"facet:{column}", 0, 0, n_post)],
         "status string, n_docs long, sum_dl long, n_postings long")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/manifest_stream/epoch={epoch}"))
 
+    # meta stats RECOMPUTED from base + journal (not incremented):
+    # converges from any torn state — a crash between the journal and
+    # meta writes, or a refresh whose previous count meta never saw
+    from ..streaming.ingest import _base_state
+    base = _base_state(spark, index_dir)
+    j = (journal_df(spark, index_dir)
+         .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+              F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s"),
+              F.coalesce(F.sum("n_postings"), F.lit(0)).alias("p"))
+         .collect()[0])
     meta = dict(m)
-    meta["facets"] = ",".join(facets + (column,))
-    meta["n_postings"] = int(m["n_postings"]) + n_post
+    if column not in facets:
+        meta["facets"] = ",".join(facets + (column,))
+    meta["n_docs"] = base["n"] + int(j["n"])
+    meta["avgdl"] = ((base["dl"] + float(j["s"])) / meta["n_docs"]
+                     if meta["n_docs"] else 0.0)
+    meta["n_postings"] = base["p"] + int(j["p"])
     (spark.createDataFrame([tuple(meta.values())],
                            ", ".join(f"{k} {_META_TYPES[k]}" for k in meta))
         .write.mode("overwrite").parquet(f"{index_dir}/meta"))

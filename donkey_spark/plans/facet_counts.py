@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize_py
 from ..kernels.blocks import decode_doc_ids
+from ..operators.facets import FACET_PREFIX, facet_term
 from ..operators.postings import term_bucket_py
 
 
@@ -34,7 +35,7 @@ def facet_values(index, facet: str) -> list[str]:
     """Distinct indexed values of a facet column, from the dictionary's
     presence tags (one dictionary scan — vocabulary-sized, not
     corpus-sized)."""
-    prefix = f"\x01{facet}="
+    prefix = f"{FACET_PREFIX}{facet}="
     d = index._dict
     active = index._active_dict_chunks()
     if active is not None:
@@ -85,7 +86,7 @@ def facet_counts(index, text: str, facet, mode: str = "or",
         from ..operators.facets import normalize_filter_spec
         for c, v in sorted(filters.items()):
             kind, vals_ = normalize_filter_spec(c, v)
-            fgroups.append((kind, [f"\x01{c}={x}" for x in vals_]))
+            fgroups.append((kind, [facet_term(c, x) for x in vals_]))
     spark = index.spark
     schema = ("facet string, value string, n_docs long" if multi
               else "value string, n_docs long")
@@ -98,7 +99,7 @@ def facet_counts(index, text: str, facet, mode: str = "or",
     tags = []
     for f in facets:
         vals = facet_values(index, f) if values is None else values
-        tags += [f"\x01{f}={v}" for v in vals]
+        tags += [facet_term(f, v) for v in vals]
     ftags = [t for _, g in fgroups for t in g]
     tag_dfs = index._lookup_terms(sorted(set(tags) | set(ftags)))
     tags = [t for t in tags if tag_dfs.get(t)]

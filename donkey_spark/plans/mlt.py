@@ -22,13 +22,13 @@ the same determinism trick the IVF centroids use.
 
 from __future__ import annotations
 
-import math
 from collections import Counter
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize_py
+from ..kernels.bm25 import idf
 
 SELECT_ROUND = 9             # decimals kept on the term-selection score
 
@@ -45,8 +45,9 @@ def mlt_terms(index, text: str, max_terms: int = 8) -> list[str]:
         df = dfs.get(t)
         if not df:
             continue
-        sel = round(c * math.log1p((index.n_docs - df + 0.5)
-                                   / (df + 0.5)), SELECT_ROUND)
+        # THE scorer's idf (kernels/bm25.idf) — not a re-spelled formula
+        # that could drift from it (r5 review)
+        sel = round(c * float(idf(index.n_docs, df)), SELECT_ROUND)
         scored.append((-sel, t))
     scored.sort()
     return [t for _, t in scored[:max_terms]]

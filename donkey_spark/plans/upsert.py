@@ -7,10 +7,9 @@ as delete-old + add-new between merges. This module takes the Lucene
 shape, composed ENTIRELY from the engine's existing primitives:
 
 * the new versions are appended as one stream-style epoch
-  (streaming/ingest._append_epoch — O(batch) cost, idempotent,
-  facet-preserving, and on positional v3 indexes it writes the
-  epoch's positions chunk too, so upserted docs answer phrase
-  queries immediately);
+  (streaming/ingest._append_epoch — O(batch) cost, facet-preserving,
+  and on positional v3 indexes it writes the epoch's positions chunk
+  too, so upserted docs answer phrase queries immediately);
 * every LIVE older version of an upserted (repo, path) is then
   tombstoned by key (plans/delete.py — frozen-stats semantics until
   the next compact_index reclaims).
@@ -19,16 +18,29 @@ Version identity is the ``commit`` column: a row whose full
 (repo, path, commit) triple is already in the index is assumed
 identical and skipped — changed content MUST come with a new commit
 (the corpus contract: content is a function of the triple, enforced
-corpus-wide by check_sha256). That skip is what makes retries converge:
+corpus-wide by check_sha256).
 
-  crash after append, before tombstone  → both versions visible;
-  re-running the same upsert skips the append (triples present) and
-  completes the tombstone — exactly-once by replay, the same recipe
-  as the streaming manifest journal.
+Epoch identity (r5 review — two crash/concurrency findings): upsert
+epochs do NOT share the stream<e> namespace. A paused stream's
+checkpoint holds its own batch counter, so "max journal epoch + 1"
+could collide with the stream's NEXT micro-batch id, whose epoch-keyed
+overwrite would then silently replace the upserted documents. Instead
+an upsert writes ``chunk=u<k>`` dirs (k = 1 + highest existing u-chunk,
+read from the docs table's directory listing) journaled at epoch
+``−2k`` — even negatives; facet backfills (plans/add_facet.py) take the
+odd negatives, stream checkpoints the non-negatives. No writer can
+collide with another by construction.
 
-Ordering of the two steps is deliberate: append THEN tombstone means a
-torn upsert shows a duplicate (old + new both ranked) rather than a
-vanished document — the recoverable failure.
+Replay convergence: the manifest_stream journal row is the COMMIT
+POINT of the append (it is written after the segments/docs/dictionary/
+positions chunks). A re-run first garbage-collects any u-chunk whose
+journal row never landed (a torn append — its half-written chunks and
+to-be-reused doc ids must not survive), then re-applies exactly the
+rows whose triples are missing from the (committed) docs table, and
+finally reconciles the meta file from base + journal (covering a crash
+between the journal write and the meta write). The append-then-
+tombstone order makes every torn state visible as a duplicate — never
+a vanished document.
 """
 
 from __future__ import annotations
@@ -40,6 +52,71 @@ from pyspark.sql import functions as F
 _FILE_KEY = ["repo", "path"]
 _VERSION_KEY = ["repo", "path", "commit"]
 
+#: tables that carry per-chunk dirs an upsert epoch writes
+_CHUNKED_TABLES = ("docs", "segments", "dictionary", "positions")
+
+
+def _upsert_epoch(k: int) -> int:
+    """Journal epoch of upsert chunk u<k> — the even negatives (facet
+    backfill rows are odd negatives, stream epochs non-negative)."""
+    return -2 * k
+
+
+def _gc_torn_chunks(spark: SparkSession, index_dir: str,
+                    journaled: set[int]) -> list[str]:
+    """Delete every u<k> chunk dir whose journal row never committed —
+    a torn previous upsert. Its docs rows would otherwise (a) make the
+    replay skip the append forever and (b) collide with the doc ids the
+    redo will assign (the torn chunk is invisible to id allocation
+    precisely because it is unjournaled)."""
+    from ..fsutil import chunk_dirs, fs_exists, hadoop_fs
+    from ..streaming.ingest import _is_upsert_chunk
+    torn = [c for c in chunk_dirs(spark, f"{index_dir}/docs")
+            if _is_upsert_chunk(c)
+            and _upsert_epoch(int(c[1:])) not in journaled]
+    for c in torn:
+        for tbl in _CHUNKED_TABLES:
+            d = f"{index_dir}/{tbl}/chunk={c}"
+            if fs_exists(spark, d):
+                fs, p = hadoop_fs(spark, d)
+                fs.delete(p, True)
+    return torn
+
+
+def _reconcile_meta(spark: SparkSession, index_dir: str) -> None:
+    """Recompute meta's (n_docs, avgdl, n_postings) from the batch base
+    + the FULL journal and overwrite meta if stale — closes the crash
+    window between an epoch's journal write (its commit point) and its
+    meta write, which replay otherwise skips past forever."""
+    from ..streaming.ingest import _base_state, journal_df
+    base = _base_state(spark, index_dir)
+    n, dl, p = base["n"], base["dl"], base["p"]
+    journal = journal_df(spark, index_dir)
+    if journal is not None:
+        j = (journal
+             .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+                  F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s"),
+                  F.coalesce(F.sum("n_postings"), F.lit(0)).alias("p"))
+             .collect()[0])
+        n += int(j["n"])
+        dl += float(j["s"])
+        p += int(j["p"])
+    m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
+    if (int(m["n_docs"]) == n and int(m["n_postings"]) == p
+            and n > 0 and abs(float(m["avgdl"]) - dl / n) < 1e-9):
+        return
+    from ..config import N_BUCKETS
+    from .positions import meta_version
+    (spark.createDataFrame(
+        [(meta_version(base["positions"]), n,
+          (dl / n) if n else 0.0, p,
+          int(base["rsize"]), int(m["block_size"]), m["codec"],
+          int(N_BUCKETS), -1, ",".join(base["facets"]))],
+        "version int, n_docs long, avgdl double, n_postings long, "
+        "range_size long, block_size int, codec string, n_buckets int, "
+        "n_chunks int, facets string")
+        .write.mode("overwrite").parquet(f"{index_dir}/meta"))
+
 
 def upsert_docs(spark: SparkSession, index_dir: str,
                 new_docs: DataFrame) -> dict:
@@ -47,17 +124,24 @@ def upsert_docs(spark: SparkSession, index_dir: str,
     (repo, path, commit, lang, content), one row per file. Returns
     {"n_appended", "n_tombstones", "epoch"}: rows newly appended, the
     index's TOTAL tombstone count after the call (delete_docs contract),
-    and the epoch id used (None when every row was already applied).
+    and the journal epoch id used (None when every row was already
+    applied).
 
     After an upsert, queries see exactly the new versions; corpus-wide
     stats stay frozen (tombstone contract) until compact_index. The
     target must be an existing chunk-layout index (positional v3
     included — the epoch writes its positions chunk; only the early
     flat positions layout is refused, matching streaming ingest).
+
+    Do not run concurrently with a live stream epoch's write — the
+    torn-chunk GC cannot distinguish a mid-write stream chunk from a
+    crashed one (upserts against a stream-fed index belong between
+    trigger intervals, exactly like compact_index).
     """
-    from ..fsutil import fs_exists
-    from ..streaming.ingest import _append_epoch
-    from .delete import delete_docs
+    from ..fsutil import chunk_dirs, fs_exists
+    from ..streaming.ingest import (_append_epoch, _is_upsert_chunk,
+                                    journal_df)
+    from .delete import delete_docs, tombstone_keys
     if not fs_exists(spark, f"{index_dir}/meta"):
         raise ValueError(f"{index_dir} is not an index (no meta) — "
                          f"build_index first; upsert only updates")
@@ -72,21 +156,32 @@ def upsert_docs(spark: SparkSession, index_dir: str,
             "tombstone the other; first offenders: "
             + ", ".join(f"({r['repo']}, {r['path']})" for r in dup))
 
+    journal = journal_df(spark, index_dir)
+    journaled: set[int] = set() if journal is None else {
+        int(r["epoch"])
+        for r in journal.select("epoch").distinct().collect()}
+    _gc_torn_chunks(spark, index_dir, journaled)
+
     docs = spark.read.parquet(f"{index_dir}/docs")
-    # idempotent replay: rows whose version triple is already indexed
-    # were applied by a previous (possibly torn) run of this upsert
+    # idempotent replay: rows whose version triple is already in the
+    # COMMITTED docs table (torn chunks were just GC'd) were applied by
+    # a previous run of this upsert
     fresh = new_docs.join(
         docs.select(*_VERSION_KEY), _VERSION_KEY, "left_anti").persist()
     n_new = fresh.count()
     epoch = None
     if n_new:
-        epoch = 0
-        if fs_exists(spark, f"{index_dir}/manifest_stream"):
-            prev = (spark.read.parquet(f"{index_dir}/manifest_stream")
-                    .agg(F.max("epoch")).collect()[0][0])
-            epoch = int(prev) + 1 if prev is not None else 0
+        k = 1 + max((int(c[1:]) for c in
+                     chunk_dirs(spark, f"{index_dir}/docs")
+                     if _is_upsert_chunk(c)), default=0)
+        epoch = _upsert_epoch(k)
         _append_epoch(fresh, epoch, index_dir,
-                      codec=m["codec"], block_size=int(m["block_size"]))
+                      codec=m["codec"], block_size=int(m["block_size"]),
+                      chunk_name=f"u{k}", status="upsert")
+    else:
+        # nothing to append — but a previous run may have died between
+        # its journal write and its meta write; make meta catch up
+        _reconcile_meta(spark, index_dir)
     fresh.unpersist()
 
     # tombstone every older version of an upserted file — computed from
@@ -97,6 +192,12 @@ def upsert_docs(spark: SparkSession, index_dir: str,
                  _FILE_KEY)
            .where(F.col("d.commit") != F.col("n.commit"))
            .select(*[F.col(f"d.{c}").alias(c) for c in _VERSION_KEY]))
-    n_tomb = delete_docs(spark, index_dir, old) if not old.isEmpty() else 0
+    if not old.isEmpty():
+        n_tomb = delete_docs(spark, index_dir, old)
+    else:
+        # the contract is the index's TOTAL count (delete_docs return),
+        # not "how many this call added" (r5 review)
+        t = tombstone_keys(spark, index_dir)
+        n_tomb = t.count() if t is not None else 0
     return {"n_appended": int(n_new), "n_tombstones": int(n_tomb),
             "epoch": epoch}

@@ -58,9 +58,12 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
     base = {"n": 0, "dl": 0.0, "p": 0, "rsize": None, "facets": (),
             "positions": False}
     if fs_exists(spark, f"{index_dir}/docs"):
+        # exclude every JOURNALED chunk (stream<e> epochs AND u<k> upsert
+        # epochs — plans/upsert.py): their docs/dl are carried by their
+        # manifest_stream rows; counting them here too would double them
         batch_docs = (spark.read.parquet(f"{index_dir}/docs")
                       .where(~F.col("chunk").cast("string")
-                             .startswith("stream")))
+                             .rlike("^(stream|u)[0-9]+$")))
         agg = batch_docs.agg(F.count("*").alias("n"),
                              F.sum("dl").alias("s")).collect()[0]
         base["n"], base["dl"] = int(agg["n"]), float(agg["s"] or 0.0)
@@ -96,17 +99,34 @@ def _is_stream_chunk(c: str) -> bool:
     return c.startswith("stream") and c[6:].isdigit()
 
 
+def journal_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The manifest_stream journal as a DataFrame, or None when it does
+    not exist OR holds no epoch partitions — an empty root dir (left by
+    a torn-epoch GC) would otherwise fail the parquet read with
+    UNABLE_TO_INFER_SCHEMA (r5 review)."""
+    from ..fsutil import fs_exists, hadoop_fs
+    d = f"{index_dir}/manifest_stream"
+    if not fs_exists(spark, d):
+        return None
+    fs, p = hadoop_fs(spark, d)
+    if not any(st.isDirectory()
+               and st.getPath().getName().startswith("epoch=")
+               for st in fs.listStatus(p)):
+        return None
+    return spark.read.parquet(d)
+
+
+def _is_upsert_chunk(c: str) -> bool:
+    """chunk=u<k> — an upsert epoch (plans/upsert.py; journal epoch
+    −2k). Distinct from stream<e> so a paused stream's checkpoint
+    counter can never collide with an upsert's allocation."""
+    return c.startswith("u") and c[1:].isdigit()
+
+
 def dictionary_chunks(spark: SparkSession, index_dir: str) -> list[str]:
     """The dictionary's chunk partition values — one FS listing, no job."""
-    from ..fsutil import fs_exists, hadoop_fs
-    d = f"{index_dir}/dictionary"
-    if not fs_exists(spark, d):
-        return []
-    fs, p = hadoop_fs(spark, d)
-    return [st.getPath().getName().split("=", 1)[1]
-            for st in fs.listStatus(p)
-            if st.isDirectory()
-            and st.getPath().getName().startswith("chunk=")]
+    from ..fsutil import chunk_dirs
+    return chunk_dirs(spark, f"{index_dir}/dictionary")
 
 
 def active_dictionary_chunks(chunks: list[str]) -> list[str]:
@@ -170,16 +190,14 @@ def merge_dictionary_partials(spark: SparkSession, index_dir: str,
     re-plan per batch anyway.)
 
     Returns the number of partials folded (0 = no-op)."""
-    from ..fsutil import fs_exists, hadoop_fs
+    from ..fsutil import hadoop_fs
     chunks = dictionary_chunks(spark, index_dir)
     if not chunks:
         return 0
     if before_epoch is None and any(_is_stream_chunk(c) for c in chunks):
-        journaled = -1
-        if fs_exists(spark, f"{index_dir}/manifest_stream"):
-            journaled = int(
-                spark.read.parquet(f"{index_dir}/manifest_stream")
-                .agg(F.coalesce(F.max("epoch"), F.lit(-1))).collect()[0][0])
+        j = journal_df(spark, index_dir)
+        journaled = (int(j.agg(F.coalesce(F.max("epoch"), F.lit(-1)))
+                     .collect()[0][0]) if j is not None else -1)
         before_epoch = journaled + 1
     fs, _ = hadoop_fs(spark, f"{index_dir}/dictionary")
     active = set(active_dictionary_chunks(chunks))
@@ -226,7 +244,9 @@ def merge_dictionary_partials(spark: SparkSession, index_dir: str,
 
 def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
                   codec: str, block_size: int,
-                  memo: dict | None = None) -> None:
+                  memo: dict | None = None,
+                  chunk_name: str | None = None,
+                  status: str = "stream") -> None:
     spark = batch_df.sparkSession
     # Derive the committed state from the batch base (memoized per stream
     # run) plus the per-epoch manifest_stream journal — NEVER from the
@@ -237,12 +257,11 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     # epoch whose docs chunk committed but whose manifest row didn't is
     # excluded too — correct, because the checkpoint replays THAT epoch
     # first (in order) and its chunk dirs are overwritten in place.
-    this_chunk = f"stream{epoch_id}"
+    this_chunk = chunk_name or f"stream{epoch_id}"
     # ONLY path-absence may mean "empty index": a transient FS/schema error
     # reading committed state must fail the micro-batch (the checkpoint
     # retries) rather than silently restart doc_ids at 0 over already
     # committed epochs.
-    from ..fsutil import fs_exists
     if memo is None or "base" not in memo:
         base = _base_state(spark, index_dir)
         if memo is not None:
@@ -252,9 +271,9 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     n_before, sum_dl = base["n"], base["dl"]
     postings_before = base["p"]
     rsize = base["rsize"]
-    if fs_exists(spark, f"{index_dir}/manifest_stream"):
-        prev = (spark.read.parquet(f"{index_dir}/manifest_stream")
-                .where(F.col("epoch") != int(epoch_id))
+    j = journal_df(spark, index_dir)
+    if j is not None:
+        prev = (j.where(F.col("epoch") != int(epoch_id))
                 .agg(F.count("*").alias("e"),
                      F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
                      F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s"),
@@ -314,8 +333,15 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     #                              identical across every epoch of the run
 
     from ..operators.facets import append_facet_terms
+    # only facet columns the batch actually CARRIES can be indexed for
+    # its docs: a column backfilled from caller values (add_facet
+    # values=) is not in the corpus schema, and referencing it here
+    # would fail every future epoch (r5 review). Skipping it gives the
+    # epoch's docs no presence posting — exactly the NULL-value
+    # semantics — and a later add_facet refresh covers them.
+    fpresent = tuple(f for f in base["facets"] if f in rows.columns)
     fterms, ftfs = append_facet_terms(F.col("f.terms"), F.col("f.tfs"),
-                                      base["facets"])
+                                      fpresent)
     dt = (rows.select("doc_id", F.col("f.dl").alias("dl"),
                       F.explode(F.arrays_zip(fterms.alias("terms"),
                                              ftfs.alias("tfs"))).alias("e"))
@@ -366,7 +392,7 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         merge_dictionary_partials(spark, index_dir,
                                   before_epoch=int(epoch_id))
     (spark.createDataFrame(
-        [("stream", n_batch, batch_dl, epoch_postings)],
+        [(status, n_batch, batch_dl, epoch_postings)],
         "status string, n_docs long, sum_dl long, n_postings long")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/manifest_stream/epoch={int(epoch_id)}"))

@@ -71,11 +71,15 @@ def main() -> None:
             filters[c] = v.split(",") if "," in v else v
     filters = filters or None
     if a.facet_counts:
-        if a.phrase or a.queries or filters:
+        if a.phrase or a.queries:
             ap.error("--facet-counts takes a single --query "
-                     "(optionally --mode and) no --filter/--phrase")
+                     "(optionally --mode/--filter) and no --phrase")
+        # --filter composes: faceted navigation (counts over the
+        # FILTERED match set — the histogram a UI shows while other
+        # filter groups are active)
         from donkey_spark.plans.facet_counts import facet_counts
-        res = facet_counts(idx, a.query, a.facet_counts, mode=a.mode)
+        res = facet_counts(idx, a.query, a.facet_counts, mode=a.mode,
+                           filters=filters)
     elif a.phrase:
         if a.queries or filters:
             ap.error("--phrase takes a single --query and no --filter")

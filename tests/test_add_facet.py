@@ -80,8 +80,17 @@ def test_backfill_values_dataframe_and_validation(spark, tmp_path):
     assert {r[2] for r in nots} == \
         {r[2] for r in full} - {r[2] for r in full
                                 if r[2] % 3 != 0 and r[2] % 2 == 1}
-    with pytest.raises(ValueError, match="already indexed"):
-        add_facet(spark, out, "parity", values=vals)
+    # re-running a BACKFILLED column is a refresh (r5 review), not an
+    # error — same values must converge to identical state
+    before = idx.search_rows([(0, "def return", n)],
+                             filters={"parity": "even"})
+    info2 = add_facet(spark, out, "parity", values=vals)
+    assert info2["n_postings"] == info["n_postings"]
+    m = spark.read.parquet(f"{out}/meta").collect()[0]
+    assert m["facets"].split(",").count("parity") == 1
+    idx2 = Index(spark, out)
+    assert idx2.search_rows([(0, "def return", n)],
+                            filters={"parity": "even"}) == before
     dup = vals.unionByName(vals.limit(1))
     with pytest.raises(ValueError, match="multiple rows"):
         add_facet(spark, out, "parity2", values=dup)
@@ -104,10 +113,104 @@ def test_backfill_composes_with_later_epochs(spark, tmp_path):
     newrows["commit"] = "q" + newrows["commit"].str.slice(1)
     newrows["content"] = newrows["content"] + " backfill_epoch_marker"
     info = upsert_docs(spark, out, spark.createDataFrame(newrows))
-    assert info["epoch"] == 0
+    assert info["epoch"] == -2       # upsert epochs: even negatives
     idx = Index(spark, out)
     langs = sorted(set(newrows["lang"]))
     hits = idx.search_rows([(0, "backfill_epoch_marker", 50)],
                            filters={"lang": langs})
     assert len(hits) == len(newrows)     # every new doc carries the facet
     assert idx.n_docs == 150 + 8         # journal totals stayed exact
+
+
+def test_build_time_facet_cannot_be_refreshed(spark, bf_setup):
+    from donkey_spark.plans.add_facet import add_facet
+    _, built, _, _ = bf_setup
+    # build-time facet postings live inside the batch chunks — a
+    # metadata-only rebuild cannot regenerate them
+    with pytest.raises(ValueError, match="indexed by the build"):
+        add_facet(spark, built, "lang")
+
+
+def test_values_facet_survives_later_epochs_and_refresh(spark, tmp_path):
+    """r5 review: a facet backfilled from caller values= is NOT a corpus
+    column — later upsert/stream epochs must SKIP it (NULL semantics for
+    their docs), not crash with AnalysisException; a refresh then covers
+    the new docs."""
+    from donkey_spark.plans.add_facet import add_facet
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.upsert import upsert_docs
+    pdf = gen_corpus(100, seed=29)
+    out = str(tmp_path / "vf")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64)
+    docs = spark.read.parquet(f"{out}/docs")
+    vals = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "even")
+         .otherwise("odd").alias("value"))
+    add_facet(spark, out, "parity", values=vals)
+
+    new = spark.createDataFrame(
+        [("nrepo", f"p/{i}.py", f"c{i}", "py",
+          f"def f{i}(): return parity_epoch_marker") for i in range(6)],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    info = upsert_docs(spark, out, new)        # must not raise
+    assert info["n_appended"] == 6
+    idx = Index(spark, out)
+    marker = [(0, "parity_epoch_marker", 50)]
+    # the epoch's docs carry NO parity value: absent from both positive
+    # filters, present in the NOT complement (NULL semantics)
+    assert idx.search_rows(marker, filters={"parity": ["even", "odd"]}) \
+        == []
+    assert len(idx.search_rows(marker,
+                               filters={"parity": {"not": ["even"]}})) == 6
+
+    # refresh with values covering the new docs closes the gap
+    docs2 = spark.read.parquet(f"{out}/docs")
+    vals2 = docs2.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "even")
+         .otherwise("odd").alias("value"))
+    add_facet(spark, out, "parity", values=vals2)
+    idx2 = Index(spark, out)
+    hits = idx2.search_rows(marker, filters={"parity": ["even", "odd"]})
+    assert len(hits) == 6
+    assert idx2.n_docs == 106                  # totals stayed exact
+
+
+def test_torn_backfill_does_not_double_count(spark, tmp_path):
+    """r5 review: a run that crashed between the journal write and the
+    meta write must, on re-run, OVERWRITE its journal row — a second row
+    would inflate every later epoch's running totals."""
+    import shutil as sh
+    from donkey_spark.plans.add_facet import add_facet
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.upsert import upsert_docs
+    pdf = gen_corpus(90, seed=37)
+    out = str(tmp_path / "torn")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64)
+    n_post_plain = int(spark.read.parquet(f"{out}/meta")
+                       .collect()[0]["n_postings"])
+    sh.copytree(f"{out}/meta", f"{out}_meta_save")
+    info = add_facet(spark, out, "lang")
+    # simulate the crash: journal row landed, meta commit did not
+    sh.rmtree(f"{out}/meta")
+    sh.move(f"{out}_meta_save", f"{out}/meta")
+
+    info2 = add_facet(spark, out, "lang")      # replay
+    assert info2["n_postings"] == info["n_postings"]
+    journal = spark.read.parquet(f"{out}/manifest_stream")
+    assert journal.where(
+        F.col("status").startswith("facet:")).count() == 1
+    m = spark.read.parquet(f"{out}/meta").collect()[0]
+    assert int(m["n_postings"]) == n_post_plain + info["n_postings"]
+    # and a later epoch's totals stay exact (the double-count surfaced
+    # exactly here before the fix)
+    new = spark.createDataFrame(
+        [("xr", "x/1.py", "cx", "en", "def x(): return 1")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    upsert_docs(spark, out, new)
+    assert Index(spark, out).n_docs == 91

@@ -114,6 +114,20 @@ def test_cli_facet_counts_snippets_upsert(cli_corpus):
     assert set(fdf.columns) == {"value", "n_docs"}
     assert len(fdf) >= 2 and (fdf["n_docs"] > 0).all()
 
+    # faceted navigation from the CLI: --filter restricts the histogram's
+    # match set (r5 review — this composition was unreachable before)
+    langs = sorted(fdf["value"])[:2]
+    fres2 = str(base / "fcounts_filtered")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "--facet-counts", "lang", "--filter", f"lang={','.join(langs)}",
+          "--out", fres2])
+    fdf2 = pd.read_parquet(fres2).set_index("value")["n_docs"]
+    full = fdf.set_index("value")["n_docs"]
+    # the filter restricts the match set: selected values keep their
+    # counts, unselected values drop out
+    assert fdf2.to_dict() == {v: c for v, c in full.to_dict().items()
+                              if v in langs}
+
     sres = str(base / "snips")
     _run(["scripts/query.py", "--index", idx, "--query", "def return",
           "-k", "5", "--snippets", str(base / "corpus.parquet"),

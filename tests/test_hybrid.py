@@ -119,3 +119,23 @@ def test_hybrid_topk_ann_kinds_agree_at_full_recall(spark, bm25_idx,
         hybrid_topk(bm25_idx, "x", probe, ann="bogus")
     with pytest.raises(ValueError):
         hybrid_topk(bm25_idx, "x", probe, ann="exact")  # vectors missing
+
+
+def test_hybrid_exact_branch_passes_filters_and_exclude(spark, bm25_idx):
+    """r5 review: ann_opts pass-through must hold on the exact branch
+    too (it crashed with TypeError on filters/exclude before)."""
+    from donkey_spark.pipeline.hybrid import hybrid_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0)
+             .collect()[0]["embedding"]]
+    meta = emb.select("vec_id", (F.col("vec_id") % 2 == 0).alias("even"))
+    got = _rows(hybrid_topk(
+        bm25_idx, "spark join filter", probe, ann="exact", vectors=emb,
+        k=10, depth=20,
+        ann_opts={"filters": {"even": True}, "metadata": meta,
+                  "exclude": [0]}))
+    assert len(got) == 10
+    # the ANN branch contributed only even, non-excluded ids
+    ann_members = [r[1] for r in got if r[4] > 0]   # ann_rank column
+    assert ann_members and all(d % 2 == 0 and d != 0
+                               for d in ann_members)

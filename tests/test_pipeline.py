@@ -588,3 +588,26 @@ def test_neardup_clusters_end_to_end(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         neardup_clusters(docs, method="bogus")
+
+
+def test_cosine_topk_filters_and_exclusions(spark):
+    """r5 review: the exact brute-force path honors the same
+    filters/metadata/exclude surface as the ANN probes (hybrid_topk
+    documents them as pass-through for ann='exact')."""
+    from donkey_spark.pipeline.similarity import cosine_topk
+    rows = [(i, [1.0, 0.0] if i % 2 else [0.0, 1.0],
+             "py" if i < 6 else "java") for i in range(10)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, lang string")
+    probe = [1.0, 0.0]
+    got = cosine_topk(vecs, probe, k=10, filters={"lang": "py"}).collect()
+    assert [r["vec_id"] for r in got] == [1, 3, 5, 0, 2, 4]
+    got = cosine_topk(vecs, probe, k=10, filters={"lang": "py"},
+                      exclude=[1, 3]).collect()
+    assert [r["vec_id"] for r in got] == [5, 0, 2, 4]
+    # metadata-frame fallback for a column not on the vector rows
+    meta = spark.createDataFrame([(i, i % 3 == 0) for i in range(10)],
+                                 "vec_id long, keep boolean")
+    got = cosine_topk(vecs.select("vec_id", "embedding"), probe, k=10,
+                      filters={"keep": True}, metadata=meta).collect()
+    assert [r["vec_id"] for r in got] == [3, 9, 0, 6]

@@ -128,3 +128,35 @@ def test_empty_and_oov_queries(spark, snip_setup):
     assert search_snippets(idx, corpus,
                            [(0, "zzqnotaterm", 5)]).collect() == []
     assert search_snippets(idx, corpus, [(0, "", 5)]).collect() == []
+
+
+def test_snippets_join_versions_not_just_paths(spark, tmp_path):
+    """r5 review: after an upsert the source corpus legitimately holds
+    several (repo, path) versions — the content join must go through the
+    full (repo, path, commit) triple or hits duplicate and render stale
+    snippets."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.snippets import search_snippets
+    from donkey_spark.plans.upsert import upsert_docs
+    pdf = gen_corpus(80, seed=41)
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64)
+    newv = pdf.iloc[::8].copy()
+    newv["commit"] = "v" + newv["commit"].str.slice(1)
+    newv["content"] = "snippet_upsert_marker " + newv["content"]
+    upsert_docs(spark, out, spark.createDataFrame(newv))
+
+    import pandas as pd
+    corpus_both = spark.createDataFrame(
+        pd.concat([pdf, newv], ignore_index=True))
+    idx = Index(spark, out)
+    qs = [(0, "snippet_upsert_marker", 50)]
+    res = search_snippets(idx, corpus_both, qs, window=2).collect()
+    # one row per hit (no version fan-out), snippet from the NEW content
+    assert len(res) == len(newv)
+    assert len({(r["query_id"], r["rank"]) for r in res}) == len(res)
+    for r in res:
+        assert r["matched_term"] == "snippet_upsert_marker"
+        assert r["pos"] == 1                 # the marker is prepended
+        assert r["snippet"].startswith("snippet_upsert_marker")

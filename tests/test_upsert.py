@@ -41,7 +41,7 @@ def test_upsert_replaces_old_versions(spark, up_setup):
     info = upsert_docs(spark, out, patched)
     assert info["n_appended"] == n_patch
     assert info["n_tombstones"] == n_patch
-    assert info["epoch"] == 0
+    assert info["epoch"] == -2      # u1 chunk, even-negative journal id
 
     idx = Index(spark, out)
     # the marker term matches EXACTLY the new versions
@@ -86,7 +86,7 @@ def test_upsert_twice_keeps_only_latest(spark, up_setup):
     upsert_docs(spark, out, _patched(spark, pdf, suffix=" upserted_v1"))
     info = upsert_docs(spark, out, _patched(spark, pdf,
                                             suffix=" upserted_v2"))
-    assert info["epoch"] == 1
+    assert info["epoch"] == -4      # second upsert epoch: u2
     idx = Index(spark, out)
     assert idx.search_rows([(0, "upserted_v1", 100)]) == []
     assert len(idx.search_rows([(0, "upserted_v2", 100)])) == \
@@ -172,3 +172,95 @@ def test_upsert_preserves_facets_and_refuses_v3(spark, tmp_path):
     assert {(r[4], r[5]) for r in hits} == \
         {(r["repo"], r["path"])
          for r in patched.select("repo", "path").collect()}
+
+
+def test_torn_append_before_journal_converges(spark, up_setup):
+    """r5 review: the journal row is the append's COMMIT POINT. A crash
+    after the chunk writes but before the journal row must not make the
+    replay skip the append forever (unsearchable terms, reused doc ids)
+    — the re-run GCs the unjournaled u-chunk and redoes the epoch."""
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.upsert import upsert_docs
+    out, pdf, _ = up_setup
+    patched = _patched(spark, pdf)
+    n_patch = patched.count()
+    shutil.copytree(f"{out}/meta", f"{out}_meta_save")
+    upsert_docs(spark, out, patched)
+    # simulate the torn state: epoch chunks on disk, journal row and
+    # meta update missing (journal is written after the chunks,
+    # meta after the journal)
+    shutil.rmtree(f"{out}/manifest_stream/epoch=-2")
+    shutil.rmtree(f"{out}/meta")
+    shutil.move(f"{out}_meta_save", f"{out}/meta")
+
+    info = upsert_docs(spark, out, patched)
+    assert info["n_appended"] == n_patch       # redone, not skipped
+    assert info["epoch"] == -2                 # the GC'd u1 slot reused
+    idx = Index(spark, out)
+    assert idx.n_docs == 200 + n_patch
+    hits = idx.search_rows([(0, "upserted_marker", 10 * n_patch)])
+    assert len(hits) == n_patch                # searchable, no dups
+    docs = spark.read.parquet(f"{out}/docs")
+    assert docs.groupBy("doc_id").count() \
+               .where(F.col("count") > 1).count() == 0
+    assert docs.groupBy("repo", "path", "commit").count() \
+               .where(F.col("count") > 1).count() == 0
+
+
+def test_torn_meta_write_is_reconciled_on_replay(spark, up_setup):
+    """Crash between the journal write and the meta write: the replay
+    appends nothing (triples committed) but must bring meta's running
+    totals forward rather than leave them stale forever."""
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.upsert import upsert_docs
+    out, pdf, _ = up_setup
+    patched = _patched(spark, pdf)
+    shutil.copytree(f"{out}/meta", f"{out}_meta_save")
+    upsert_docs(spark, out, patched)
+    good = spark.read.parquet(f"{out}/meta").collect()[0].asDict()
+    shutil.rmtree(f"{out}/meta")
+    shutil.move(f"{out}_meta_save", f"{out}/meta")     # stale meta
+
+    info = upsert_docs(spark, out, patched)
+    assert info["n_appended"] == 0
+    m = spark.read.parquet(f"{out}/meta").collect()[0].asDict()
+    assert (m["n_docs"], m["n_postings"]) == \
+        (good["n_docs"], good["n_postings"])
+    assert abs(m["avgdl"] - good["avgdl"]) < 1e-9
+    assert Index(spark, out).n_docs == good["n_docs"]
+
+
+def test_upsert_coexists_with_stream_epochs(spark, tmp_path):
+    """r5 review: upsert epochs live in their own chunk namespace
+    (u<k>, journal −2k) — a stream whose checkpoint counter starts at 0
+    AFTER an upsert must not overwrite the upserted documents (the old
+    max(journal)+1 allocation collided with exactly that batch id)."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.upsert import upsert_docs
+    from donkey_spark.streaming import stream_ingest
+    pdf = gen_corpus(80, seed=31)
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:60]), out,
+                range_size=64)
+    patched = _patched(spark, pdf.iloc[:60], every=10)
+    n_up = patched.count()
+    info = upsert_docs(spark, out, patched)
+    assert info["epoch"] == -2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    late = pdf.iloc[60:].copy()
+    late["content"] = late["content"] + " streamed_after_upsert"
+    late.to_parquet(src / "wave.parquet", index=False)
+    q = stream_ingest(spark, str(src), out, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)                    # batch id 0 → stream0
+
+    idx = Index(spark, out)
+    assert idx.n_docs == 60 + n_up + 20
+    assert len(idx.search_rows([(0, "upserted_marker", 100)])) == n_up
+    assert len(idx.search_rows(
+        [(0, "streamed_after_upsert", 100)])) == 20
+    docs = spark.read.parquet(f"{out}/docs")
+    assert docs.groupBy("doc_id").count() \
+               .where(F.col("count") > 1).count() == 0
