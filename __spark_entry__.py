@@ -28,12 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (58 since
+    """One entry per implemented ◇ operator from SURVEY.md §2 (64 since
     r5 — adds the metadata-filtered ANN, exact-phrase, embedding- and
     simhash-near-dup pairs, the IVF coarse-quantizer ANN, hybrid
     BM25+ANN reciprocal-rank fusion, near-dup connected-component
-    clusters, and more-like-this; the ANN pairs now certify the
-    production mapInArrow kernels), all oracle-backed."""
+    clusters, more-like-this, facet histograms (plain and filtered),
+    snippets, upsert, facet backfill, and federated sharded search;
+    the ANN pairs now certify the production mapInArrow kernels), all
+    oracle-backed."""
     from donkey_spark.contract import QUERIES
     return dict(QUERIES)
 

@@ -107,6 +107,29 @@ def contract_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_CACHE[sf_dir]
 
 
+_SHARD_CACHE: dict[str, list[str]] = {}
+
+
+def contract_shard_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two shard indexes over a deterministic split of the documents
+    corpus (raw doc number parity, derived from the path — engine-
+    independent), for the federated-search pair. The oracle never sees
+    the split: sharding must be invisible to results."""
+    if sf_dir not in _SHARD_CACHE:
+        from .plans.build import build_index
+        corpus = documents_as_corpus(spark, sf_dir)
+        part = F.substring("path", 5, 18).cast("long") % 2
+        dirs = []
+        for i in range(2):
+            out = os.path.join(
+                tempfile.gettempdir(),
+                f"donkey_shard{i}_" + sf_dir.strip("/").replace("/", "_"))
+            build_index(spark, corpus.where(part == i), out)
+            dirs.append(out)
+        _SHARD_CACHE[sf_dir] = dirs
+    return _SHARD_CACHE[sf_dir]
+
+
 # ---------------------------------------------------------------------------
 # ◇ queries — Spark side
 # ---------------------------------------------------------------------------
@@ -315,6 +338,29 @@ def q_bm25_topk(spark, sf_dir):
     return (res.withColumn("rank", F.row_number().over(w))
             .select("query_id", "rank", "doc_id",
                     F.round(F.col("score"), 6).alias("score")))
+
+
+def q_bm25_topk_sharded(spark, sf_dir):
+    """§2.14 T21 — federated sharded search: TWO shard indexes over a
+    corpus split, queried with global stats (plans/sharded.py), merged
+    on (score, repo, path) — compared against the SAME unified-corpus
+    DuckDB oracle as the flagship pair. Sharding must be invisible:
+    identical ranks, identical scores. No doc_id in the output (a
+    federation has no global id; the key columns are the identity)."""
+    from .plans.query import Index
+    from .plans.sharded import RESULT_SCHEMA, search_rows_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = search_rows_sharded(shards, BM25_QUERIES)
+    df = spark.createDataFrame(rows, RESULT_SCHEMA)
+    # re-rank on the ROUNDED score like every bm25 pair (tie-break
+    # (repo, path) == the unified index's doc_id order, since dense ids
+    # are assigned in key order)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "repo", "path"))
 
 
 def q_bm25_topk_deleted(spark, sf_dir):
@@ -1402,6 +1448,23 @@ FROM ranked WHERE rank <= k
 
 
 _BM25_ORACLE = _bm25_oracle_sql(BM25_QUERIES)
+
+#: the sharded pair's twin IS the unified oracle — sharding is invisible
+#: — with the dense doc_id mapped back to its (repo, path) key (the only
+#: document identity a federation has)
+_BM25_SHARDED_ORACLE = f"""
+WITH base AS (
+{_BM25_ORACLE}
+), keys AS (
+  SELECT row_number() OVER (ORDER BY source,
+           'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS d,
+         source AS repo,
+         'doc/'||CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+)
+SELECT base.query_id, base.rank, base.score, keys.repo, keys.path
+FROM base JOIN keys ON keys.d = base.doc_id
+"""
 _BM25_AND_ORACLE = _bm25_oracle_sql(BM25_AND_QUERIES, conjunctive=True)
 _BM25_PHRASE_ORACLE = _bm25_oracle_sql(BM25_PHRASE_QUERIES, phrase=True)
 _BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
@@ -1898,6 +1961,7 @@ SELECT 2::INTEGER AS n_epochs,
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name""",
     "bm25_topk": _BM25_ORACLE,
+    "bm25_topk_sharded": _BM25_SHARDED_ORACLE,
     "bm25_topk_and": _BM25_AND_ORACLE,
     "bm25_phrase_topk": _BM25_PHRASE_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
@@ -2071,6 +2135,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "revenue_by_nation": q_revenue_by_nation,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_sharded": q_bm25_topk_sharded,
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_topk_deleted": q_bm25_topk_deleted,

@@ -30,16 +30,27 @@ from .bm25 import tf_part
 
 
 class TermBlocks:
-    """Posting blocks of one term within one doc range (lazy decode)."""
+    """Posting blocks of one term within one doc range (lazy decode).
 
-    __slots__ = ("idf", "blocks", "ub")
+    ``pot_scale`` (≥ 1) inflates the STATIC pruning potentials only —
+    ``ub`` and the per-block ``block_max_tfpart`` bounds — never the
+    accumulated scores. It is required when scoring with an avgdl
+    LARGER than the one the block maxima were computed with (sharded
+    search under global stats, plans/sharded.py): tf_part is monotone
+    increasing in avgdl with ratio bounded by avgdl_q/avgdl_build, so
+    scaling by that ratio keeps every skip decision a safe upper-bound
+    test. At the default 1.0 behavior is bit-identical to before."""
 
-    def __init__(self, idf: float, blocks: list[dict]):
+    __slots__ = ("idf", "blocks", "ub", "pot_idf")
+
+    def __init__(self, idf: float, blocks: list[dict],
+                 pot_scale: float = 1.0):
         # blocks: dicts with first_doc_id, max_doc_id, block_max_tfpart,
         #         docids_blob, tfs_blob, codec
         self.idf = float(idf)
+        self.pot_idf = self.idf * float(pot_scale)
         self.blocks = blocks
-        self.ub = self.idf * max(b["block_max_tfpart"] for b in blocks)
+        self.ub = self.pot_idf * max(b["block_max_tfpart"] for b in blocks)
 
 
 def _decode_parts(keep: list[dict], codec: str, avgdl: float,
@@ -148,8 +159,8 @@ def score_range_topk(base: int, size: int,
                          dtype=np.int64) - base,
                 np.array([b["max_doc_id"] for b in t.blocks],
                          dtype=np.int64) - base + 1)
-                + t.idf * np.array([b["block_max_tfpart"]
-                                    for b in t.blocks]) + rem)
+                + t.pot_idf * np.array([b["block_max_tfpart"]
+                                        for b in t.blocks]) + rem)
             keep = [b for b, p in zip(t.blocks, pots) if p >= theta]
             if stats is not None and len(keep) < len(t.blocks):
                 stats["blocks_skipped"] = (stats.get("blocks_skipped", 0)
@@ -285,7 +296,7 @@ def score_range_topk_and(base: int, size: int,
                      dtype=np.int64) - base,
             np.array([b["max_doc_id"] for b in keep],
                      dtype=np.int64) - base + 1)
-            + t.idf * np.array([b["block_max_tfpart"] for b in keep]))
+            + t.pot_idf * np.array([b["block_max_tfpart"] for b in keep]))
         dec_order = np.argsort(-pots, kind="stable")
         n_terms = len(terms)
         qual_scores: list[np.ndarray] = []

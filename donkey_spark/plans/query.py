@@ -60,7 +60,8 @@ _REC_COLS = ["first_doc_id", "max_doc_id", "block_max_tfpart", "n_docs",
 
 
 def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
-                       tombstones=None, required_groups=None):
+                       tombstones=None, required_groups=None,
+                       pot_scale: float = 1.0):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results.
@@ -116,7 +117,7 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                     return [], [], []
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in qplan:
-            tbs = [TermBlocks(idf_map[t], by_term[t])
+            tbs = [TermBlocks(idf_map[t], by_term[t], pot_scale)
                    for t in terms if t in by_term]
             if not tbs:
                 continue
@@ -213,13 +214,14 @@ def _score_block_table(tbl, score_group, codec: str, avgdl: float,
 
 
 def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
-                       tombstones=None, required_groups=None):
+                       tombstones=None, required_groups=None,
+                       pot_scale: float = 1.0):
     """mapInArrow partition function for the distributed path: each
     partition holds complete salts (repartition("salt") upstream), blobs
     stay Arrow buffers end to end — no pandas object conversion of
     posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
     score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
-                                     tombstones, required_groups)
+                                     tombstones, required_groups, pot_scale)
     prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
     def score_arrow(batches):
@@ -423,15 +425,28 @@ class Index:
     # -- search ------------------------------------------------------------
     def _plan_search(self, queries: list[tuple[int, str, int]],
                      mode: str = "or",
-                     filters: dict | None = None) -> dict | None:
+                     filters: dict | None = None,
+                     stats: dict | None = None) -> dict | None:
         """The shared planning pass: parse → dictionary probe → facet
         resolution → per-query term plans → bucket pruning → the
         local-vs-distributed cost decision. Returns None when the plan
         is provably empty (every early-exit search_rows takes);
         otherwise the dict search_rows executes and explain_search
-        reports."""
+        reports.
+
+        ``stats``: corpus-stats override {"n_docs", "avgdl", "dfs"} for
+        federated sharded search (plans/sharded.py) — idf comes from the
+        GLOBAL df/N, tf normalization from the global avgdl, while term
+        presence, pruning, and postings stay this shard's. Block-max
+        potentials are inflated by avgdl_global/avgdl_local when the
+        global avgdl is larger (the stored block maxima were computed at
+        build avgdl; tf_part's ratio is bounded by the avgdl ratio, so
+        the scaled potentials remain safe upper bounds)."""
         if mode not in ("or", "and"):
             raise ValueError(mode)
+        if stats is not None and not {"n_docs", "avgdl", "dfs"} <= set(stats):
+            raise ValueError(
+                "stats override needs n_docs, avgdl and dfs keys")
         facet_groups: list[tuple[str, list[str]]] = []
         if filters:
             unknown = sorted(set(filters) - set(self.facets))
@@ -462,7 +477,12 @@ class Index:
         live_terms = sorted(dfs)
         if not live_terms:
             return None
-        idf_map = {t: float(bm25_idf(self.n_docs, dfs[t]))
+        # idf from the global stats when overridden (terms the override
+        # does not list — e.g. facet tags — keep their local df; facet
+        # presence postings are zero-score either way)
+        n_eff = int(stats["n_docs"]) if stats else self.n_docs
+        sdfs = stats["dfs"] if stats else {}
+        idf_map = {t: float(bm25_idf(n_eff, sdfs.get(t, dfs[t])))
                    for t in live_terms}
         qplan = [(qid, [t for t in ts if t in idf_map], k)
                  for qid, (ts, k) in parsed.items()
@@ -488,11 +508,14 @@ class Index:
                         for t in ts if t not in facet_terms)
                     + sum(dfs[t] for t in facet_terms)) * _BYTES_PER_POSTING
         use_local = 0 < est_work <= self.local_bytes
+        avgdl_eff = float(stats["avgdl"]) if stats else self.avgdl
         return {"qplan": qplan, "idf_map": idf_map, "dfs": dfs,
                 "needed": needed, "buckets": buckets,
                 "required": required, "facet_terms": facet_terms,
                 "est_work": est_work, "use_local": use_local,
-                "parsed": parsed}
+                "parsed": parsed, "avgdl": avgdl_eff,
+                "pot_scale": (max(1.0, avgdl_eff / self.avgdl)
+                              if self.avgdl > 0 else 1.0)}
 
     def explain_search(self, queries: list[tuple[int, str, int]],
                        mode: str = "or",
@@ -551,7 +574,8 @@ class Index:
 
     def search_rows(self, queries: list[tuple[int, str, int]],
                     mode: str = "or",
-                    filters: dict | None = None) -> list[tuple]:
+                    filters: dict | None = None,
+                    stats: dict | None = None) -> list[tuple]:
         """queries: [(query_id, text, k)] -> fully-materialized result rows
         [(query_id, rank, doc_id, score, repo, path)] sorted by
         (query_id, rank) — the serving-layer surface (donkey's Hits
@@ -571,13 +595,17 @@ class Index:
         pass (complement semantics — the SQL twin is `lang IS NULL OR
         lang NOT IN (...)`). Facet terms intersect as zero-score
         presence postings — BM25 scores are identical to the unfiltered
-        query's scores for the surviving docs."""
-        plan = self._plan_search(queries, mode, filters)
+        query's scores for the surviving docs.
+
+        ``stats``: global corpus-stats override for federated sharded
+        search (see _plan_search / plans/sharded.py)."""
+        plan = self._plan_search(queries, mode, filters, stats)
         if plan is None:
             return []
         qplan, idf_map, dfs = plan["qplan"], plan["idf_map"], plan["dfs"]
         needed, buckets = plan["needed"], plan["buckets"]
         required, use_local = plan["required"], plan["use_local"]
+        avgdl, pot_scale = plan["avgdl"], plan["pot_scale"]
         spark = self.spark
 
         if use_local:
@@ -586,16 +614,19 @@ class Index:
             # does), then the identical per-salt kernel runs in-process —
             # no Spark job. Bounded by est_work ≤ local_bytes.
             scorer = _make_group_scorer(qplan, idf_map, mode,
-                                        self.range_size, self.avgdl,
-                                        self._tombstones, required)
+                                        self.range_size, avgdl,
+                                        self._tombstones, required,
+                                        pot_scale)
             cand = self._local_candidates(
                 needed, buckets, scorer,
-                prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES)
+                prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES,
+                avgdl=avgdl)
         else:
             score_arrow = _make_arrow_scorer(qplan, idf_map, mode,
                                              self.range_size, self.codec,
-                                             self.avgdl,
-                                             self._tombstones_bc, required)
+                                             avgdl,
+                                             self._tombstones_bc, required,
+                                             pot_scale)
             seg = (self._seg
                    .where(F.col("bucket").isin(buckets)      # dir prune
                           & F.col("term").isin(needed))
@@ -719,7 +750,8 @@ class Index:
         return self._pa_cache[sub]
 
     def _local_candidates(self, needed, buckets,
-                          score_group, prefill: bool = False) -> list[tuple]:
+                          score_group, prefill: bool = False,
+                          avgdl: float | None = None) -> list[tuple]:
         """Driver-side scoring over the pruned block set: a pyarrow scan of
         the probed bucket dirs feeds the SAME table scorer the distributed
         partitions run. Returns (qid, doc_id, score) tuples."""
@@ -731,8 +763,9 @@ class Index:
             & ds.field("term").isin(needed))
         if tbl.num_rows == 0:
             return []
-        q, d, s = _score_block_table(tbl, score_group, self.codec,
-                                     self.avgdl, prefill)
+        q, d, s = _score_block_table(
+            tbl, score_group, self.codec,
+            self.avgdl if avgdl is None else avgdl, prefill)
         return list(zip(q, d, s))
 
     def _doc_meta(self, ids: list, use_local: bool) -> dict:

@@ -1,0 +1,118 @@
+"""Federated sharded search — one query over MANY shard indexes, with
+EXACT global-stats BM25.
+
+At 10^12 files a single monolithic index is operationally wrong: real
+deployments shard — by time window (daily crawl indexes), by tenant, or
+by hash — and every shard builds, compacts, and deletes independently.
+The query layer must then answer over the federation as if ONE index
+had been built over the union. Donkey serves one database per process
+`[donkey:src — unverified, SURVEY §0]`; the Elasticsearch/Solr lineage
+calls the missing piece distributed frequencies (their default skips
+it and accepts cross-shard score skew — "dfs_query_then_fetch" turns
+it on). This module does the exact version, in two bounded phases:
+
+1. **stats phase** — probe each shard's dictionary for the query
+   terms' df (the same partition-pruned, memoized probe every query
+   uses — O(terms) per shard, never a scan) and combine:
+   N = Σ nᵢ, df(t) = Σ dfᵢ(t), avgdl = Σ sum_dlᵢ / N (each shard's
+   integral sum_dl is recovered exactly as round(avgdlᵢ·nᵢ), so the
+   global avgdl is bit-equal to what a unified build computes);
+2. **query phase** — every shard ranks with the GLOBAL stats injected
+   (`Index.search_rows(stats=...)`): idf from global df/N, tf
+   normalization on global avgdl, while term presence, block pruning,
+   tombstones and facet filters stay shard-local. Block-max potentials
+   are inflated by avgdl_g/avgdlᵢ when the global avgdl is larger, so
+   every skip stays a safe upper-bound test (kernels/wand.TermBlocks).
+
+Each shard returns its own top-k; since any global top-k member is in
+its shard's top-k, merging the ≤ shards·k candidate rows on the driver
+is exact. Scores are comparable BY CONSTRUCTION (same formula, same
+global stats), so the merge is a sort, not a re-score.
+
+Rank identity with a unified index: dense doc ids are assigned in
+(repo, path, commit) order (operators/doc_ids.py), so the single-index
+tie-break — doc_id ascending — IS key order; the merge breaks ties on
+(repo, path) and therefore reproduces the unified ranking exactly
+(tested shard-count-invariant in tests/test_sharded.py; the
+`bm25_topk_sharded` driver pair proves it against the SAME DuckDB
+oracle the unified flagship pair uses).
+
+Scale shape: stats phase is O(shards · terms) tiny probes, query phase
+is embarrassingly parallel across shards (each runs its normal pruned
+plan), merge is O(shards · Σk) driver rows. Nothing anywhere is
+O(corpus). Constraint: a (repo, path) must live in ONE shard (the
+natural sharding invariant replace-by-key upserts already require).
+"""
+
+from __future__ import annotations
+
+from ..functions.tokenize import tokenize_py
+
+#: result row: (query_id, rank, shard, doc_id, score, repo, path) —
+#: shard index + shard-LOCAL doc id let callers fetch back into the
+#: owning index (snippets, metadata); there is no global doc id in a
+#: federation.
+RESULT_SCHEMA = ("query_id int, rank int, shard int, doc_id long, "
+                 "score double, repo string, path string")
+
+
+def global_stats(shards, terms) -> dict:
+    """Combined corpus stats over the federation for ``terms`` — the
+    dict `Index.search_rows(stats=...)` takes."""
+    if not shards:
+        raise ValueError("no shards")
+    n = sum(s.n_docs for s in shards)
+    if n == 0:
+        raise ValueError("empty federation (every shard has n_docs=0)")
+    # sum_dl is integral (token counts); avgdl_i = sum_dl_i / n_i is
+    # within an ulp of it, so round() recovers the exact integer and
+    # the global avgdl equals a unified build's bit for bit
+    sum_dl = sum(round(s.avgdl * s.n_docs) for s in shards)
+    dfs: dict[str, int] = {}
+    uniq = sorted(set(terms))
+    for s in shards:
+        for t, df in s._lookup_terms(uniq).items():
+            dfs[t] = dfs.get(t, 0) + int(df)
+    return {"n_docs": int(n), "avgdl": sum_dl / n, "dfs": dfs}
+
+
+def search_rows_sharded(shards, queries: list[tuple[int, str, int]],
+                        mode: str = "or",
+                        filters: dict | None = None) -> list[tuple]:
+    """Top-k over the federation: [(query_id, rank, shard, doc_id,
+    score, repo, path)] sorted by (query_id, rank). ``shards`` is a
+    list of ``plans.query.Index``; ``mode``/``filters`` apply inside
+    every shard (each resolves facet values against its own
+    dictionary — shards must share the facet schema)."""
+    terms = [t for _, text, _ in queries for t in tokenize_py(text)]
+    stats = global_stats(shards, terms)
+    ks = {qid: k for qid, _, k in queries}
+    merged: dict[int, list] = {}
+    for si, idx in enumerate(shards):
+        for qid, _, did, score, repo, path in idx.search_rows(
+                queries, mode=mode, filters=filters, stats=stats):
+            merged.setdefault(qid, []).append((score, repo, path, si, did))
+    out = []
+    for qid in sorted(merged):
+        # (score desc, repo, path) == the unified index's
+        # (score desc, doc_id) — see module docstring
+        rows = sorted(merged[qid],
+                      key=lambda r: (-r[0], r[1], r[2]))[:ks[qid]]
+        out.extend((qid, rk + 1, si, did, score, repo, path)
+                   for rk, (score, repo, path, si, did) in enumerate(rows))
+    return out
+
+
+def open_shards(spark, index_dirs: list[str], **index_opts) -> list:
+    """Convenience: Index objects over a list of shard dirs."""
+    from .query import Index
+    return [Index(spark, d, **index_opts) for d in index_dirs]
+
+
+def search_sharded(spark, index_dirs: list[str],
+                   queries: list[tuple[int, str, int]],
+                   mode: str = "or", filters: dict | None = None):
+    """DataFrame form of ``search_rows_sharded`` over shard dirs."""
+    rows = search_rows_sharded(open_shards(spark, index_dirs), queries,
+                               mode=mode, filters=filters)
+    return spark.createDataFrame(rows, RESULT_SCHEMA)

@@ -13,7 +13,13 @@ import argparse
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--index")
+    g.add_argument("--shards", metavar="DIR,DIR[,...]",
+                   help="federated search over a comma list of shard "
+                        "index dirs with exact global-stats BM25 "
+                        "(plans/sharded.py); supports --mode/--filter, "
+                        "not --phrase/--facet-counts/--snippets")
     ap.add_argument("--query", default=None)
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--queries", default=None,
@@ -55,7 +61,7 @@ def main() -> None:
     from donkey_spark.plans.query import Index
 
     spark = SparkSession.builder.appName("donkey_query").getOrCreate()
-    idx = Index(spark, a.index)
+    idx = Index(spark, a.index) if a.index else None
     if a.query:
         batch = [(0, a.query, a.k)]
     else:
@@ -70,7 +76,13 @@ def main() -> None:
             c, v = f.split("=", 1)
             filters[c] = v.split(",") if "," in v else v
     filters = filters or None
-    if a.facet_counts:
+    if a.shards:
+        if a.phrase or a.facet_counts or a.snippets:
+            ap.error("--shards supports plain/filtered search only")
+        from donkey_spark.plans.sharded import search_sharded
+        res = search_sharded(spark, a.shards.split(","), batch,
+                             mode=a.mode, filters=filters)
+    elif a.facet_counts:
         if a.phrase or a.queries:
             ap.error("--facet-counts takes a single --query "
                      "(optionally --mode/--filter) and no --phrase")

@@ -154,3 +154,29 @@ def test_cli_facet_counts_snippets_upsert(cli_corpus):
     assert len(udf) == 10
     assert set(zip(udf["repo"], udf["path"])) == \
         set(zip(newv["repo"], newv["path"]))
+
+
+def test_cli_sharded_search(cli_corpus):
+    """--shards: federated global-stats search must equal --index over
+    the same (unified) corpus, modulo the shard/doc_id columns."""
+    base = cli_corpus
+    pdf = gen_corpus(120, seed=19)
+    pdf.iloc[::2].to_parquet(base / "half0.parquet", index=False)
+    pdf.iloc[1::2].to_parquet(base / "half1.parquet", index=False)
+    s0, s1, uni = (str(base / d) for d in ("sh0", "sh1", "shuni"))
+    _run(["scripts/build_index.py", "--corpus",
+          str(base / "half0.parquet"), "--out", s0])
+    _run(["scripts/build_index.py", "--corpus",
+          str(base / "half1.parquet"), "--out", s1])
+    _run(["scripts/build_index.py", "--corpus",
+          str(base / "corpus.parquet"), "--out", uni])
+    sres, ures = str(base / "sres"), str(base / "ures_sh")
+    _run(["scripts/query.py", "--shards", f"{s0},{s1}",
+          "--query", "def return", "-k", "8", "--out", sres])
+    _run(["scripts/query.py", "--index", uni,
+          "--query", "def return", "-k", "8", "--out", ures])
+    sh = pd.read_parquet(sres).sort_values("rank")
+    un = pd.read_parquet(ures).sort_values("rank")
+    assert list(zip(sh["repo"], sh["path"], sh["score"].round(6))) == \
+        list(zip(un["repo"], un["path"], un["score"].round(6)))
+    assert set(sh["shard"]) == {0, 1}       # both shards contributed

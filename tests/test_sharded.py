@@ -1,0 +1,160 @@
+"""Federated sharded search (plans/sharded.py): global-stats BM25 over
+shard indexes must reproduce a unified index's ranking EXACTLY —
+sharding is an operational choice, not a semantics change."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures.gen_corpus import gen_corpus
+
+QS = [(0, "def return", 10), (1, "class import self", 7),
+      (2, "return value", 12)]
+
+
+def _key(rows, unified=False):
+    """(qid, rank, repo, path, score@9) — the shard-layout-independent
+    identity of a result set."""
+    if unified:
+        return [(q, rk, repo, path, round(s, 9))
+                for q, rk, d, s, repo, path in rows]
+    return [(q, rk, repo, path, round(s, 9))
+            for q, rk, sh, d, s, repo, path in rows]
+
+
+@pytest.fixture(scope="module")
+def sh_setup(spark, tmp_path_factory):
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    base = tmp_path_factory.mktemp("shards")
+    pdf = gen_corpus(240, seed=43)
+    corpus = spark.createDataFrame(pdf)
+    build_index(spark, corpus, str(base / "uni"), range_size=64,
+                facets=("lang",))
+    parts = []
+    for i, lo in enumerate((0, 1, 2)):
+        shard_pdf = pdf[pdf.index % 3 == lo]
+        build_index(spark, spark.createDataFrame(shard_pdf),
+                    str(base / f"s{i}"), range_size=64, facets=("lang",))
+        parts.append(str(base / f"s{i}"))
+    return str(base / "uni"), parts, pdf
+
+
+def test_rank_identity_across_shard_counts(spark, sh_setup):
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import search_rows_sharded
+    uni_dir, parts, _ = sh_setup
+    uni = Index(spark, uni_dir)
+    for mode in ("or", "and"):
+        want = _key(uni.search_rows(QS, mode=mode), unified=True)
+        assert want                       # fixture sanity
+        # 3 shards, and a 2-way regrouping (shard 0+1 merged corpus is
+        # NOT buildable from dirs — instead take [s0, s1, s2] vs
+        # [s2, s0, s1]: ordering of shards must not matter either
+        shards = [Index(spark, d) for d in parts]
+        got3 = _key(search_rows_sharded(shards, QS, mode=mode))
+        assert got3 == want, mode
+        rot = [shards[2], shards[0], shards[1]]
+        assert _key(search_rows_sharded(rot, QS, mode=mode)) == want
+        # one shard carrying everything == the unified index
+        assert _key(search_rows_sharded([uni], QS, mode=mode)) == want
+
+
+def test_skewed_avgdl_shard_stays_exact(spark, tmp_path):
+    """The pruning-bound case: one shard holds only SHORT docs, so the
+    global avgdl exceeds its build avgdl and the stored block maxima
+    alone would under-bound tf_part — pot_scale must keep every skip
+    safe (kernels/wand.TermBlocks)."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import search_rows_sharded
+    pdf = gen_corpus(200, seed=47)
+    dl = pdf["content"].str.split().map(len)
+    short, long_ = pdf[dl <= dl.median()], pdf[dl > dl.median()]
+    spark_pdf = spark.createDataFrame
+    build_index(spark, spark_pdf(pdf), str(tmp_path / "uni"),
+                range_size=64)
+    build_index(spark, spark_pdf(short), str(tmp_path / "short"),
+                range_size=64)
+    build_index(spark, spark_pdf(long_), str(tmp_path / "long"),
+                range_size=64)
+    uni = Index(spark, str(tmp_path / "uni"))
+    shards = [Index(spark, str(tmp_path / "short")),
+              Index(spark, str(tmp_path / "long"))]
+    from donkey_spark.plans.sharded import global_stats
+    from donkey_spark.functions.tokenize import tokenize_py
+    stats = global_stats(shards,
+                         [t for _, s, _ in QS for t in tokenize_py(s)])
+    plan = shards[0]._plan_search(QS, "or", None, stats)
+    assert plan["pot_scale"] > 1.0        # the scale is actually live
+    for mode in ("or", "and"):
+        assert _key(search_rows_sharded(shards, QS, mode=mode)) == \
+            _key(uni.search_rows(QS, mode=mode), unified=True), mode
+
+
+def test_sharded_filters_and_tombstones(spark, sh_setup):
+    from donkey_spark.plans.delete import delete_docs
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import search_rows_sharded
+    uni_dir, parts, pdf = sh_setup
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d) for d in parts]
+    langs = sorted(set(pdf["lang"]))[:2]
+    for filt in ({"lang": langs[0]}, {"lang": langs},
+                 {"lang": {"not": [langs[0]]}}):
+        want = _key(uni.search_rows(QS, filters=filt), unified=True)
+        assert want
+        assert _key(search_rows_sharded(shards, QS,
+                                        filters=filt)) == want, filt
+
+    # tombstone the unified top hit IN ITS SHARD; the same key deleted
+    # from the unified index must yield the same survivor ranking
+    top = uni.search_rows([QS[0]])[0]
+    key_row = pdf[(pdf["repo"] == top[4]) & (pdf["path"] == top[5])]
+    keys = spark.createDataFrame(key_row[["repo", "path", "commit"]])
+    delete_docs(spark, uni_dir, keys)
+    for d in parts:
+        delete_docs(spark, d, keys)       # no-op in 2 of 3 shards
+    uni2 = Index(spark, uni_dir)
+    shards2 = [Index(spark, d) for d in parts]
+    want = _key(uni2.search_rows(QS), unified=True)
+    got = _key(search_rows_sharded(shards2, QS))
+    assert got == want
+    assert all((top[4], top[5]) != (r[2], r[3]) for r in got)
+
+
+def test_sharded_distributed_path_agrees(spark, sh_setup):
+    """local_bytes=0 forces every shard through the distributed scorer —
+    stats injection must hold on both code paths."""
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import search_rows_sharded
+    uni_dir, parts, _ = sh_setup
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d, local_bytes=0) for d in parts]
+    assert _key(search_rows_sharded(shards, QS)) == \
+        _key(uni.search_rows(QS), unified=True)
+
+
+def test_own_stats_injection_is_bit_identical(spark, sh_setup):
+    """stats == the index's own stats must reproduce plain search at
+    full float precision (the pot_scale=1 / local-df degenerate case)."""
+    from donkey_spark.functions.tokenize import tokenize_py
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import global_stats
+    uni_dir, _, _ = sh_setup
+    uni = Index(spark, uni_dir)
+    stats = global_stats(
+        [uni], [t for _, s, _ in QS for t in tokenize_py(s)])
+    assert uni.search_rows(QS, stats=stats) == uni.search_rows(QS)
+
+
+def test_sharded_validation(spark, sh_setup):
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import (global_stats,
+                                            search_rows_sharded)
+    uni_dir, _, _ = sh_setup
+    uni = Index(spark, uni_dir)
+    with pytest.raises(ValueError, match="no shards"):
+        search_rows_sharded([], QS)
+    with pytest.raises(ValueError, match="stats override"):
+        uni.search_rows(QS, stats={"n_docs": 1})
+    assert global_stats([uni], ["zz_not_a_term"])["dfs"] == {}
