@@ -116,3 +116,28 @@ def search_sharded(spark, index_dirs: list[str],
     rows = search_rows_sharded(open_shards(spark, index_dirs), queries,
                                mode=mode, filters=filters)
     return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+
+def facet_counts_sharded(shards, text: str, facet, mode: str = "or",
+                         filters: dict | None = None):
+    """Facet histogram over the federation's match set — the search-UI
+    companion to `search_rows_sharded`. Unlike ranking, counting needs
+    NO global stats: shards partition the corpus and the match
+    predicate (term presence, facet filters, tombstones) is evaluated
+    entirely inside each shard, so the per-shard histograms
+    (plans/facet_counts.py — each a bounded O(salts × values) result)
+    sum EXACTLY. The merge is a values-sized groupBy, corpus- and
+    shard-count-independent."""
+    if not shards:
+        raise ValueError("no shards")
+    from pyspark.sql import functions as F
+
+    from .facet_counts import facet_counts
+    parts = [facet_counts(s, text, facet, mode=mode, filters=filters)
+             for s in shards]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    keys = [c for c in out.columns if c != "n_docs"]
+    return out.groupBy(*keys).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"))

@@ -158,3 +158,23 @@ def test_sharded_validation(spark, sh_setup):
     with pytest.raises(ValueError, match="stats override"):
         uni.search_rows(QS, stats={"n_docs": 1})
     assert global_stats([uni], ["zz_not_a_term"])["dfs"] == {}
+
+
+def test_sharded_facet_counts_sum_exactly(spark, sh_setup):
+    from donkey_spark.plans.facet_counts import facet_counts
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import facet_counts_sharded
+    uni_dir, parts, pdf = sh_setup
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d) for d in parts]
+    text = "def return"
+    lang0 = sorted(set(pdf["lang"]))[0]
+    for mode, filt in (("or", None), ("and", None),
+                       ("or", {"lang": {"not": [lang0]}})):
+        want = {r["value"]: r["n_docs"] for r in
+                facet_counts(uni, text, "lang", mode=mode,
+                             filters=filt).collect()}
+        got = {r["value"]: r["n_docs"] for r in
+               facet_counts_sharded(shards, text, "lang", mode=mode,
+                                    filters=filt).collect()}
+        assert got == want and sum(got.values()) > 0, (mode, filt)
