@@ -143,32 +143,10 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
         .write.mode("overwrite")
         .parquet(f"{index_dir}/manifest_stream/epoch={epoch}"))
 
-    # meta stats RECOMPUTED from base + journal (not incremented):
-    # converges from any torn state — a crash between the journal and
-    # meta writes, or a refresh whose previous count meta never saw
-    from ..streaming.ingest import _base_state
-    base = _base_state(spark, index_dir)
-    j = (journal_df(spark, index_dir)
-         .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
-              F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s"),
-              F.coalesce(F.sum("n_postings"), F.lit(0)).alias("p"))
-         .collect()[0])
-    meta = dict(m)
-    if column not in facets:
-        meta["facets"] = ",".join(facets + (column,))
-    meta["n_docs"] = base["n"] + int(j["n"])
-    meta["avgdl"] = ((base["dl"] + float(j["s"])) / meta["n_docs"]
-                     if meta["n_docs"] else 0.0)
-    meta["n_postings"] = base["p"] + int(j["p"])
-    (spark.createDataFrame([tuple(meta.values())],
-                           ", ".join(f"{k} {_META_TYPES[k]}" for k in meta))
-        .write.mode("overwrite").parquet(f"{index_dir}/meta"))
+    # meta commit: stats RECOMPUTED from base + journal (never
+    # incremented), through the ONE shared reconcile helper — converges
+    # from any torn state (a crash between the journal and meta writes,
+    # or a refresh whose previous count meta never saw)
+    from ..streaming.ingest import reconcile_meta
+    reconcile_meta(spark, index_dir, add_facets=(column,))
     return {"column": column, "n_postings": n_post, "n_values": n_vals}
-
-
-_META_TYPES = {
-    "version": "int", "n_docs": "long", "avgdl": "double",
-    "n_postings": "long", "range_size": "long", "block_size": "int",
-    "codec": "string", "n_buckets": "int", "n_chunks": "int",
-    "facets": "string",
-}

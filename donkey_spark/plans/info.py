@@ -67,11 +67,14 @@ def index_info(spark: SparkSession, index_dir: str) -> dict:
     if j is not None:
         rows = j.select("epoch", "status").collect()
         out["journal"] = {
-            # the epoch namespaces: stream checkpoints >= 0, upserts at
-            # even negatives, facet backfills at odd negatives
-            "stream_epochs": sum(1 for r in rows if int(r["epoch"]) >= 0),
-            "upserts": sum(1 for r in rows if int(r["epoch"]) < 0
-                           and int(r["epoch"]) % 2 == 0),
+            # classify by the status each writer stamps — epoch parity
+            # alone misreads legacy facet rows at even negatives (and
+            # legacy upserts, stamped "stream" at positive epochs, are
+            # indistinguishable from stream epochs by design)
+            "stream_epochs": sum(1 for r in rows
+                                 if str(r["status"]) == "stream"),
+            "upserts": sum(1 for r in rows
+                           if str(r["status"]) == "upsert"),
             "facet_backfills": sum(
                 1 for r in rows
                 if str(r["status"]).startswith("facet:")),

@@ -509,13 +509,53 @@ class Index:
                     + sum(dfs[t] for t in facet_terms)) * _BYTES_PER_POSTING
         use_local = 0 < est_work <= self.local_bytes
         avgdl_eff = float(stats["avgdl"]) if stats else self.avgdl
+        # potentials must be scaled against the LOWEST avgdl any chunk's
+        # block maxima were computed at — not meta's current avgdl: on a
+        # stream-/upsert-fed index, later epochs can raise meta avgdl
+        # above an older chunk's write-time value, and unscaled maxima
+        # would then under-bound tf_part (an unsafe block skip — r5
+        # second review). Batch-only indexes have one write avgdl ==
+        # meta avgdl, so the scale stays exactly 1.0 there.
+        min_wavg = self._min_write_avgdl()
         return {"qplan": qplan, "idf_map": idf_map, "dfs": dfs,
                 "needed": needed, "buckets": buckets,
                 "required": required, "facet_terms": facet_terms,
                 "est_work": est_work, "use_local": use_local,
                 "parsed": parsed, "avgdl": avgdl_eff,
-                "pot_scale": (max(1.0, avgdl_eff / self.avgdl)
-                              if self.avgdl > 0 else 1.0)}
+                "pot_scale": (max(1.0, avgdl_eff / min_wavg)
+                              if min_wavg > 0 else 1.0)}
+
+    def _min_write_avgdl(self) -> float:
+        """Lower bound on the avgdl any content chunk's block maxima
+        were computed with (memoized; one tiny journal read on epoch-fed
+        indexes, a single existence probe otherwise). Every chunk's
+        write avgdl is a convex combination of the batch base average
+        and the per-epoch averages applied before it (build uses ONE
+        global avgdl for all batch chunks; each epoch uses the running
+        cumulative), so min(base avg, per-epoch avgs) bounds them all.
+        Facet-backfill chunks are excluded (n_docs=0 journal rows):
+        presence postings are mask-decoded, never potential-pruned."""
+        cached = getattr(self, "_min_wavg", None)
+        if cached is not None:
+            return cached
+        from ..streaming.ingest import journal_df
+        j = journal_df(self.spark, self.dir)
+        cands = []
+        jn = jdl = 0
+        if j is not None:
+            for r in j.select("n_docs", "sum_dl").collect():
+                n, dl = int(r["n_docs"]), int(r["sum_dl"])
+                if n > 0:
+                    cands.append(dl / n)
+                    jn += n
+                    jdl += dl
+        base_n = self.n_docs - jn
+        # total sum_dl is integral, so round() recovers it exactly
+        base_dl = round(self.avgdl * self.n_docs) - jdl
+        if base_n > 0:
+            cands.append(base_dl / base_n)
+        self._min_wavg = min(cands) if cands else self.avgdl
+        return self._min_wavg
 
     def explain_search(self, queries: list[tuple[int, str, int]],
                        mode: str = "or",

@@ -46,7 +46,24 @@ natural sharding invariant replace-by-key upserts already require).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from ..functions.tokenize import tokenize_py
+
+#: driver threads for the per-shard fan-out — Spark schedules jobs from
+#: concurrent driver threads independently (FAIR/FIFO pools), and the
+#: driver-local pyarrow path releases the GIL in IO/numpy, so shard
+#: plans genuinely overlap (r5 second review: the serial loop made
+#: federation latency linear in shard count)
+_MAX_FANOUT = 8
+
+
+def _fanout(fn, shards):
+    if len(shards) <= 1:
+        return [fn(s) for s in shards]
+    with ThreadPoolExecutor(
+            max_workers=min(len(shards), _MAX_FANOUT)) as ex:
+        return list(ex.map(fn, shards))
 
 #: result row: (query_id, rank, shard, doc_id, score, repo, path) —
 #: shard index + shard-LOCAL doc id let callers fetch back into the
@@ -70,8 +87,8 @@ def global_stats(shards, terms) -> dict:
     sum_dl = sum(round(s.avgdl * s.n_docs) for s in shards)
     dfs: dict[str, int] = {}
     uniq = sorted(set(terms))
-    for s in shards:
-        for t, df in s._lookup_terms(uniq).items():
+    for probed in _fanout(lambda s: s._lookup_terms(uniq), shards):
+        for t, df in probed.items():
             dfs[t] = dfs.get(t, 0) + int(df)
     return {"n_docs": int(n), "avgdl": sum_dl / n, "dfs": dfs}
 
@@ -88,9 +105,12 @@ def search_rows_sharded(shards, queries: list[tuple[int, str, int]],
     stats = global_stats(shards, terms)
     ks = {qid: k for qid, _, k in queries}
     merged: dict[int, list] = {}
-    for si, idx in enumerate(shards):
-        for qid, _, did, score, repo, path in idx.search_rows(
-                queries, mode=mode, filters=filters, stats=stats):
+    per_shard = _fanout(
+        lambda idx: idx.search_rows(queries, mode=mode,
+                                    filters=filters, stats=stats),
+        shards)
+    for si, rows in enumerate(per_shard):
+        for qid, _, did, score, repo, path in rows:
             merged.setdefault(qid, []).append((score, repo, path, si, did))
     out = []
     for qid in sorted(merged):

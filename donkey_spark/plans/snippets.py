@@ -73,21 +73,26 @@ def search_snippets(index, corpus: DataFrame,
     # (repo, path)-only join would duplicate hits and render snippets
     # from superseded content (r5 review). The commit comes from the
     # index's own docs table, filtered on the ≤ Σk hit ids (pushdown).
-    ids = sorted({r[2] for r in rows})
-    versions = (spark.read.parquet(f"{index.dir}/docs")
-                .where(F.col("doc_id").isin(ids))     # parquet pushdown
-                .select("doc_id", "commit"))
-    hits = hits.join(versions, "doc_id", "left")
+    # A corpus WITHOUT a commit column (a plain content store that only
+    # ever holds current versions) keeps the (repo, path) join.
+    join_keys = ["repo", "path"]
+    if "commit" in corpus.columns:
+        join_keys = ["repo", "path", "commit"]
+        ids = sorted({r[2] for r in rows})
+        versions = (spark.read.parquet(f"{index.dir}/docs")
+                    .where(F.col("doc_id").isin(ids))  # parquet pushdown
+                    .select("doc_id", "commit"))
+        hits = hits.join(versions, "doc_id", "left")
     repos = sorted({r[4] for r in rows})
     paths = sorted({r[5] for r in rows})
     content = (corpus
                .where(F.col("repo").isin(repos)
                       & F.col("path").isin(paths))   # parquet pushdown
-               .select("repo", "path", "commit", "content"))
+               .select(*join_keys, "content"))
     # left join keeps hits whose source file vanished (NULL content);
     # both sides are O(Σk) rows after the pushdown, so the join is
     # trivially broadcastable whichever side the planner picks
-    joined = hits.join(content, ["repo", "path", "commit"], "left")
+    joined = hits.join(content, join_keys, "left")
 
     w = window
 

@@ -83,41 +83,6 @@ def _gc_torn_chunks(spark: SparkSession, index_dir: str,
     return torn
 
 
-def _reconcile_meta(spark: SparkSession, index_dir: str) -> None:
-    """Recompute meta's (n_docs, avgdl, n_postings) from the batch base
-    + the FULL journal and overwrite meta if stale — closes the crash
-    window between an epoch's journal write (its commit point) and its
-    meta write, which replay otherwise skips past forever."""
-    from ..streaming.ingest import _base_state, journal_df
-    base = _base_state(spark, index_dir)
-    n, dl, p = base["n"], base["dl"], base["p"]
-    journal = journal_df(spark, index_dir)
-    if journal is not None:
-        j = (journal
-             .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
-                  F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s"),
-                  F.coalesce(F.sum("n_postings"), F.lit(0)).alias("p"))
-             .collect()[0])
-        n += int(j["n"])
-        dl += float(j["s"])
-        p += int(j["p"])
-    m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
-    if (int(m["n_docs"]) == n and int(m["n_postings"]) == p
-            and n > 0 and abs(float(m["avgdl"]) - dl / n) < 1e-9):
-        return
-    from ..config import N_BUCKETS
-    from .positions import meta_version
-    (spark.createDataFrame(
-        [(meta_version(base["positions"]), n,
-          (dl / n) if n else 0.0, p,
-          int(base["rsize"]), int(m["block_size"]), m["codec"],
-          int(N_BUCKETS), -1, ",".join(base["facets"]))],
-        "version int, n_docs long, avgdl double, n_postings long, "
-        "range_size long, block_size int, codec string, n_buckets int, "
-        "n_chunks int, facets string")
-        .write.mode("overwrite").parquet(f"{index_dir}/meta"))
-
-
 def upsert_docs(spark: SparkSession, index_dir: str,
                 new_docs: DataFrame) -> dict:
     """Replace documents by (repo, path). ``new_docs`` is corpus-schema
@@ -174,6 +139,11 @@ def upsert_docs(spark: SparkSession, index_dir: str,
         k = 1 + max((int(c[1:]) for c in
                      chunk_dirs(spark, f"{index_dir}/docs")
                      if _is_upsert_chunk(c)), default=0)
+        # legacy facet-backfill rows (pre-parity allocation) may occupy
+        # even negatives — never overwrite a journal row another writer
+        # owns (r5 second review)
+        while _upsert_epoch(k) in journaled:
+            k += 1
         epoch = _upsert_epoch(k)
         _append_epoch(fresh, epoch, index_dir,
                       codec=m["codec"], block_size=int(m["block_size"]),
@@ -181,7 +151,8 @@ def upsert_docs(spark: SparkSession, index_dir: str,
     else:
         # nothing to append — but a previous run may have died between
         # its journal write and its meta write; make meta catch up
-        _reconcile_meta(spark, index_dir)
+        from ..streaming.ingest import reconcile_meta
+        reconcile_meta(spark, index_dir)
     fresh.unpersist()
 
     # tombstone every older version of an upserted file — computed from

@@ -99,6 +99,64 @@ def _is_stream_chunk(c: str) -> bool:
     return c.startswith("stream") and c[6:].isdigit()
 
 
+#: the ONE meta schema — every writer goes through write_meta (r5
+#: second review: three hand-built copies had already diverged in
+#: n_chunks handling)
+META_DDL = ("version int, n_docs long, avgdl double, n_postings long, "
+            "range_size long, block_size int, codec string, "
+            "n_buckets int, n_chunks int, facets string")
+
+
+def write_meta(spark: SparkSession, index_dir: str, *, version: int,
+               n_docs: int, avgdl: float, n_postings: int,
+               range_size: int, block_size: int, codec: str,
+               facets, n_chunks: int = -1) -> None:
+    """Overwrite the 1-row meta table (n_chunks=-1 = epoch-fed, the
+    batch build records its real chunk plan)."""
+    from ..config import N_BUCKETS
+    (spark.createDataFrame(
+        [(int(version), int(n_docs), float(avgdl), int(n_postings),
+          int(range_size), int(block_size), codec, int(N_BUCKETS),
+          int(n_chunks), ",".join(facets))], META_DDL)
+        .write.mode("overwrite").parquet(f"{index_dir}/meta"))
+
+
+def reconcile_meta(spark: SparkSession, index_dir: str,
+                   add_facets: tuple = ()) -> None:
+    """Recompute meta's running stats (n_docs, avgdl, n_postings) from
+    the batch base + the FULL journal and overwrite meta when stale —
+    the journal row is each epoch's commit point and meta is written
+    after it, so a crash between the two leaves meta behind; every
+    replaying writer (upsert, facet backfill) converges meta through
+    this ONE helper. ``add_facets`` appends columns to the facet list
+    (the facet backfill's meta commit)."""
+    base = _base_state(spark, index_dir)
+    n, dl, p = base["n"], base["dl"], base["p"]
+    j = journal_df(spark, index_dir)
+    if j is not None:
+        agg = (j.agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+                     F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s"),
+                     F.coalesce(F.sum("n_postings"), F.lit(0)).alias("p"))
+               .collect()[0])
+        n += int(agg["n"])
+        dl += float(agg["s"])
+        p += int(agg["p"])
+    m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
+    facets = tuple(base["facets"]) + tuple(
+        f for f in add_facets if f and f not in base["facets"])
+    avgdl = (dl / n) if n else 0.0
+    if (int(m["n_docs"]) == n and int(m["n_postings"]) == p
+            and abs(float(m["avgdl"]) - avgdl) < 1e-9
+            and (m.get("facets") or "") == ",".join(facets)):
+        return
+    from ..plans.positions import meta_version
+    write_meta(spark, index_dir,
+               version=meta_version(base["positions"]), n_docs=n,
+               avgdl=avgdl, n_postings=p, range_size=int(base["rsize"]),
+               block_size=int(m["block_size"]), codec=m["codec"],
+               facets=facets, n_chunks=int(m.get("n_chunks", -1)))
+
+
 def journal_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """The manifest_stream journal as a DataFrame, or None when it does
     not exist OR holds no epoch partitions — an empty root dir (left by
@@ -396,17 +454,13 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         "status string, n_docs long, sum_dl long, n_postings long")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/manifest_stream/epoch={int(epoch_id)}"))
-    from ..config import N_BUCKETS
     from ..plans.positions import meta_version
-    (spark.createDataFrame(
-        [(meta_version(base["positions"]), n_docs, float(avgdl_new),
-          postings_before + epoch_postings,
-          int(rsize), int(block_size), codec, int(N_BUCKETS), -1,
-          ",".join(base["facets"]))],
-        "version int, n_docs long, avgdl double, n_postings long, "
-        "range_size long, block_size int, codec string, n_buckets int, "
-        "n_chunks int, facets string")
-        .write.mode("overwrite").parquet(f"{index_dir}/meta"))
+    write_meta(spark, index_dir,
+               version=meta_version(base["positions"]), n_docs=n_docs,
+               avgdl=float(avgdl_new),
+               n_postings=postings_before + epoch_postings,
+               range_size=int(rsize), block_size=int(block_size),
+               codec=codec, facets=base["facets"])
     rows.unpersist()
 
 

@@ -264,3 +264,76 @@ def test_upsert_coexists_with_stream_epochs(spark, tmp_path):
     docs = spark.read.parquet(f"{out}/docs")
     assert docs.groupBy("doc_id").count() \
                .where(F.col("count") > 1).count() == 0
+
+
+def test_epoch_raised_avgdl_keeps_pruning_safe(spark, tmp_path):
+    """r5 second review: block maxima are computed at each chunk's
+    WRITE-time avgdl. An upsert of long docs raises meta avgdl above
+    the batch chunk's write value, so unscaled potentials would
+    under-bound tf_part and could skip a block holding a true top-k
+    doc. pot_scale must come from the minimum write avgdl — and the
+    engine must match a from-scratch python oracle over the union."""
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle_bm25 import OracleIndex
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    pdf = gen_corpus(220, seed=59)
+    dl = pdf["content"].str.split().map(len)
+    short = pdf[dl <= dl.median()].reset_index(drop=True)
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(short), out, range_size=64)
+    # pure-insert upsert of LONG docs (no tombstones → frozen-stats
+    # complications stay out; engine stats == oracle's global stats)
+    long_ = pdf[dl > dl.median()].reset_index(drop=True).copy()
+    long_["repo"] = "longrepo"
+    long_["path"] = [f"l/{i}.py" for i in range(len(long_))]
+    from donkey_spark.plans.upsert import upsert_docs
+    info = upsert_docs(spark, out, spark.createDataFrame(long_))
+    assert info["n_tombstones"] == 0
+
+    idx = Index(spark, out)
+    qs = [(0, "def return value", 5), (1, "class import", 5),
+          (2, "return", 3)]
+    plan = idx._plan_search(qs, "or", None)
+    assert plan["pot_scale"] > 1.0          # the guard is live
+    docs = {r["doc_id"]: (r["repo"], r["path"]) for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    content = {(r["repo"], r["path"]): r["content"] for _, r in
+               short.iterrows()}
+    content.update({(r["repo"], r["path"]): r["content"] for _, r in
+                    long_.iterrows()})
+    oracle = OracleIndex([(d, content[key]) for d, key in docs.items()])
+    for local_bytes in (64 << 20, 0):
+        idx2 = Index(spark, out, local_bytes=local_bytes)
+        for qid, text, k in qs:
+            got = [(r[1], r[2], round(r[3], 9)) for r in
+                   idx2.search_rows([(qid, text, k)])]
+            want = [(rk, d, round(s, 9)) for rk, d, s in
+                    oracle.search(text, k)]
+            assert got == want, (qid, local_bytes)
+
+
+def test_upsert_skips_legacy_even_facet_journal_rows(spark, up_setup):
+    """r5 second review: legacy facet-backfill rows (pre-parity
+    allocation) can sit at even negative epochs — an upsert must never
+    overwrite another writer's journal row."""
+    from donkey_spark.plans.info import index_info
+    from donkey_spark.plans.upsert import upsert_docs
+    out, pdf, _ = up_setup
+    # simulate the legacy layout: a facet row at epoch=-2
+    spark.createDataFrame(
+        [("facet:legacy", 0, 0, 0)],
+        "status string, n_docs long, sum_dl long, n_postings long") \
+        .write.mode("overwrite") \
+        .parquet(f"{out}/manifest_stream/epoch=-2")
+
+    info = upsert_docs(spark, out, _patched(spark, pdf))
+    assert info["epoch"] == -4              # bumped past the legacy row
+    journal = spark.read.parquet(f"{out}/manifest_stream")
+    rows = {int(r["epoch"]): r["status"] for r in journal.collect()}
+    assert rows[-2] == "facet:legacy"       # preserved
+    assert rows[-4] == "upsert"
+    rep = index_info(spark, out)["journal"]
+    assert rep == {"stream_epochs": 0, "upserts": 1,
+                   "facet_backfills": 1}
