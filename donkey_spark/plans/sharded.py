@@ -50,19 +50,25 @@ from concurrent.futures import ThreadPoolExecutor
 
 from ..functions.tokenize import tokenize_py
 
-#: driver threads for the per-shard fan-out — Spark schedules jobs from
-#: concurrent driver threads independently (FAIR/FIFO pools), and the
-#: driver-local pyarrow path releases the GIL in IO/numpy, so shard
-#: plans genuinely overlap (r5 second review: the serial loop made
-#: federation latency linear in shard count)
-_MAX_FANOUT = 8
+#: driver threads for the per-shard fan-out. 0 (the default) = serial:
+#: MEASURED on the single-host serving path, threads LOSE — the
+#: 20-query batch over a 4-shard 250k federation ran 2.9s serial vs
+#: 5.9s (persistent pool) / 6.9s (per-call pool) threaded, because the
+#: per-shard work is driver-local numpy/pyarrow scoring that contends
+#: on the GIL and the memory bus instead of overlapping (same host
+#: pathology as the extractor A/B — BENCH/BASELINE.md §Sharded). Set
+#: >0 only when shards genuinely overlap: remote/cluster-dispatched
+#: shard plans (independent Spark jobs from concurrent driver threads,
+#: FAIR pools) or shards served by other processes; a real federation
+#: fans out across HOSTS, where this loop is a network scatter-gather.
+FANOUT_THREADS = 0
 
 
 def _fanout(fn, shards):
-    if len(shards) <= 1:
+    if FANOUT_THREADS <= 0 or len(shards) <= 1:
         return [fn(s) for s in shards]
     with ThreadPoolExecutor(
-            max_workers=min(len(shards), _MAX_FANOUT)) as ex:
+            max_workers=min(len(shards), FANOUT_THREADS)) as ex:
         return list(ex.map(fn, shards))
 
 #: result row: (query_id, rank, shard, doc_id, score, repo, path) —
