@@ -113,8 +113,10 @@ _SHARD_CACHE: dict[str, list[str]] = {}
 def contract_shard_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
     """Two shard indexes over a deterministic split of the documents
     corpus (raw doc number parity, derived from the path — engine-
-    independent), for the federated-search pair. The oracle never sees
-    the split: sharding must be invisible to results."""
+    independent), for the federated-search pairs. Positional (format
+    v3) so the same shard cache serves both the ranked and the phrase
+    federation. The oracle never sees the split: sharding must be
+    invisible to results."""
     if sf_dir not in _SHARD_CACHE:
         from .plans.build import build_index
         corpus = documents_as_corpus(spark, sf_dir)
@@ -124,7 +126,8 @@ def contract_shard_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
             out = os.path.join(
                 tempfile.gettempdir(),
                 f"donkey_shard{i}_" + sf_dir.strip("/").replace("/", "_"))
-            build_index(spark, corpus.where(part == i), out)
+            build_index(spark, corpus.where(part == i), out,
+                        positions=True)
             dirs.append(out)
         _SHARD_CACHE[sf_dir] = dirs
     return _SHARD_CACHE[sf_dir]
@@ -537,6 +540,30 @@ def q_bm25_topk_and(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_phrase_sharded(spark, sf_dir):
+    """r5 §2.14 T21 — federated PHRASE search: the same two positional
+    shard indexes, each running candidate-rank + position-verify with
+    the federation's global stats injected
+    (plans/sharded.search_phrase_sharded), merged on (score, repo,
+    path) — compared against the SAME unified-corpus DuckDB phrase
+    oracle as bm25_phrase_topk, with doc_id mapped to its (repo, path)
+    key. Sharding must be invisible to phrase results too."""
+    from .plans.query import Index
+    from .plans.sharded import search_phrase_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = []
+    for qid, text, k in BM25_PHRASE_QUERIES:
+        hits = search_phrase_sharded(shards, text, k=k, query_id=qid)
+        # rank on the ROUNDED score like every BM25 pair; tie-break
+        # (repo, path) == the unified doc_id order by construction
+        hits.sort(key=lambda r: (-round(r[4], 6), r[5], r[6]))
+        rows.extend((qid, rank, round(r[4], 6), r[5], r[6])
+                    for rank, r in enumerate(hits, start=1))
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, score double, "
+              "repo string, path string")
+
+
 def q_bm25_phrase_topk(spark, sf_dir):
     """r5 §2.14 — exact-phrase top-k over the positional index (format
     v3): conjunctive BM25 candidates position-verified against the
@@ -714,6 +741,36 @@ def q_lsh_ann_topk_filtered(spark, sf_dir):
     return ann_topk(spark, _ANN_CACHE[sf_dir], _probe_vec(spark, sf_dir),
                     k=10, n_tables=ANN_TABLES, n_planes=ANN_PLANES,
                     filters={"label": [1, 2, 3]})
+
+
+_ANN_SHARD_CACHE: dict[str, list[str]] = {}
+
+
+def q_lsh_ann_topk_sharded(spark, sf_dir):
+    """r5 §2.14 T21 — federated ANN: the embeddings table split by
+    vec_id parity into TWO bucket-table shards, probed through
+    plans/sharded.ann_topk_sharded. The twin is the SAME unified
+    DuckDB oracle as lsh_ann_topk, because the sha-seeded planes are
+    deterministic: every shard hashes into the same bucket space, so
+    the federated candidate union IS the unified index's candidate set
+    and the results are bit-equal — not merely statistically close."""
+    from .pipeline.similarity import build_ann_index
+    from .plans.sharded import ann_topk_sharded
+    if sf_dir not in _ANN_SHARD_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dirs = []
+        for i in range(2):
+            out = os.path.join(
+                tempfile.gettempdir(),
+                f"donkey_annsh{i}_" + sf_dir.strip("/").replace("/", "_"))
+            build_ann_index(emb.where(F.col("vec_id") % 2 == i), out,
+                            n_tables=ANN_TABLES, n_planes=ANN_PLANES,
+                            meta_cols=("label",))
+            dirs.append(out)
+        _ANN_SHARD_CACHE[sf_dir] = dirs
+    return ann_topk_sharded(spark, _ANN_SHARD_CACHE[sf_dir],
+                            _probe_vec(spark, sf_dir), k=10,
+                            n_tables=ANN_TABLES, n_planes=ANN_PLANES)
 
 
 IVF_LISTS, IVF_ITERS, IVF_NPROBE = 8, 1, 3
@@ -1449,12 +1506,13 @@ FROM ranked WHERE rank <= k
 
 _BM25_ORACLE = _bm25_oracle_sql(BM25_QUERIES)
 
-#: the sharded pair's twin IS the unified oracle — sharding is invisible
-#: — with the dense doc_id mapped back to its (repo, path) key (the only
-#: document identity a federation has)
-_BM25_SHARDED_ORACLE = f"""
+def _sharded_wrap(base_oracle: str) -> str:
+    """A federated pair's twin IS the corresponding unified oracle —
+    sharding is invisible — with the dense doc_id mapped back to its
+    (repo, path) key (the only document identity a federation has)."""
+    return f"""
 WITH base AS (
-{_BM25_ORACLE}
+{base_oracle}
 ), keys AS (
   SELECT row_number() OVER (ORDER BY source,
            'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS d,
@@ -1465,8 +1523,12 @@ WITH base AS (
 SELECT base.query_id, base.rank, base.score, keys.repo, keys.path
 FROM base JOIN keys ON keys.d = base.doc_id
 """
+
+
+_BM25_SHARDED_ORACLE = _sharded_wrap(_BM25_ORACLE)
 _BM25_AND_ORACLE = _bm25_oracle_sql(BM25_AND_QUERIES, conjunctive=True)
 _BM25_PHRASE_ORACLE = _bm25_oracle_sql(BM25_PHRASE_QUERIES, phrase=True)
+_BM25_PHRASE_SHARDED_ORACLE = _sharded_wrap(_BM25_PHRASE_ORACLE)
 _BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
                                         deleted_pred="doc_id % 7 = 0")
 #: facet value the filtered-search pair pins (present at every sf)
@@ -1964,11 +2026,15 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_sharded": _BM25_SHARDED_ORACLE,
     "bm25_topk_and": _BM25_AND_ORACLE,
     "bm25_phrase_topk": _BM25_PHRASE_ORACLE,
+    "bm25_phrase_sharded": _BM25_PHRASE_SHARDED_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "bm25_topk_filtered_or": _BM25_FILTERED_OR_ORACLE,
     "bm25_topk_filtered_not": _BM25_FILTERED_NOT_ORACLE,
     "lsh_ann_topk": _ann_oracle_sql(),
+    # federated ANN ≡ unified (deterministic planes ⇒ shared bucket
+    # space): the twin IS the unified oracle, unchanged
+    "lsh_ann_topk_sharded": _ann_oracle_sql(),
     # tombstone visibility on the ANN path: same planes/buckets, the
     # deleted ids (vec_id % 5 == 0) dropped from candidates only
     "lsh_ann_topk_deleted": _ann_oracle_sql(keep_pred="vec_id % 5 != 0"),
@@ -2138,6 +2204,7 @@ QUERIES = {
     "bm25_topk_sharded": q_bm25_topk_sharded,
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_phrase_topk": q_bm25_phrase_topk,
+    "bm25_phrase_sharded": q_bm25_phrase_sharded,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_filtered_or": q_bm25_topk_filtered_or,
     "bm25_topk_filtered_not": q_bm25_topk_filtered_not,
@@ -2160,6 +2227,7 @@ QUERIES = {
     "simhash": q_simhash,
     "winnow_fingerprints": q_winnow_fingerprints,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "lsh_ann_topk_sharded": q_lsh_ann_topk_sharded,
     "lsh_ann_topk_deleted": q_lsh_ann_topk_deleted,
     "lsh_ann_topk_filtered": q_lsh_ann_topk_filtered,
     "ivf_ann_topk": q_ivf_ann_topk,

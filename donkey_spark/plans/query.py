@@ -829,7 +829,8 @@ class Index:
 
     def search_phrase(self, text: str, k: int = 10,
                       query_id: int = 0, slop: int = 0,
-                      start_candidates: int = 64) -> list[tuple]:
+                      start_candidates: int = 64,
+                      stats: dict | None = None) -> list[tuple]:
         """Exact-phrase top-k (format version 3, plans/positions.py):
         best-first conjunctive BM25 candidates, position-verified on the
         bounded candidate set, re-ranked 1..k. Rows match search_rows:
@@ -843,7 +844,12 @@ class Index:
 
         The candidate width doubles geometrically until k hits verify or
         the AND match set is exhausted — verification cost stays
-        O(candidates x phrase terms), corpus-size-independent."""
+        O(candidates x phrase terms), corpus-size-independent.
+
+        ``stats`` carries federation-global corpus stats exactly as on
+        search_rows (plans/sharded.py injects them); position
+        verification is stats-free, so only the candidate ranking
+        changes."""
         from ..functions.tokenize import tokenize_py
         from .positions import verify_phrase
         if self.version < 3:
@@ -857,11 +863,11 @@ class Index:
             return []
         if len(seq) == 1:        # degenerate phrase: plain top-k
             return [(query_id, *r[1:]) for r in
-                    self.search_rows([(query_id, text, k)])]
+                    self.search_rows([(query_id, text, k)], stats=stats)]
         m = max(start_candidates, 2 * k)
         while True:
             cand = self.search_rows([(query_id, " ".join(seq), m)],
-                                    mode="and")
+                                    mode="and", stats=stats)
             matched = verify_phrase(self, [r[2] for r in cand], seq,
                                     slop=slop)
             hits = [r for r in cand if r[2] in matched]

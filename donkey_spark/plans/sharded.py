@@ -144,6 +144,80 @@ def search_sharded(spark, index_dirs: list[str],
     return spark.createDataFrame(rows, RESULT_SCHEMA)
 
 
+def search_phrase_sharded(shards, text: str, k: int = 10,
+                          slop: int = 0, query_id: int = 0) -> list[tuple]:
+    """Exact-phrase top-k over the federation — rows shaped like
+    `search_rows_sharded` ((query_id, rank, shard, doc_id, score, repo,
+    path)). Same two phases as ranked search: global stats over the
+    phrase's terms, then every (positional, format-v3) shard runs its
+    own candidate-rank + position-verify loop with the global stats
+    injected (`Index.search_phrase(stats=...)`). Position verification
+    is entirely shard-local — a phrase matches inside ONE document —
+    so, like ranking, any global phrase top-k member is in its shard's
+    phrase top-k and the ≤ shards·k merge is exact; scores are the
+    AND-mode BM25 of the phrase's distinct terms under global stats,
+    identical to a unified positional index's (tested rank-identical in
+    tests/test_sharded.py)."""
+    terms = tokenize_py(text)
+    stats = global_stats(shards, terms)
+    merged: list = []
+    for si, rows in enumerate(_fanout(
+            lambda idx: idx.search_phrase(text, k, query_id=query_id,
+                                          slop=slop, stats=stats),
+            shards)):
+        merged.extend((score, repo, path, si, did)
+                      for _, _, did, score, repo, path in rows)
+    merged.sort(key=lambda r: (-r[0], r[1], r[2]))
+    return [(query_id, rk + 1, si, did, score, repo, path)
+            for rk, (score, repo, path, si, did)
+            in enumerate(merged[:k])]
+
+
+def ann_topk_sharded(spark, index_dirs: list[str], probe: list[float],
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_tables: int = 8,
+                     n_planes: int = 6, multiprobe: int = 0,
+                     exclude=None, tombstones_from: list | None = None,
+                     filters: dict | None = None,
+                     metadata=None):
+    """LSH-ANN top-k over a federation of bucket-table shards — the
+    vector twin of `search_rows_sharded`, needing NO stats phase at
+    all: cosine is corpus-independent, and the sha-seeded hyperplanes
+    are deterministic (pipeline/similarity._planes), so every shard
+    hashes into the SAME bucket space. A federated probe therefore
+    reads the probe's n_tables·(1+multiprobe) bucket dirs in each
+    shard, and the union of per-shard candidates IS the unified
+    index's candidate set — the merged top-k is not merely exact over
+    the union, it is bit-equal to one index built over all vectors
+    (asserted in tests/test_sharded.py). Merge = union of the ≤
+    shards·k per-shard (id, cosine) frames → one TakeOrderedAndProject.
+
+    ``tombstones_from`` is per-shard (list aligned with
+    ``index_dirs``, or None); ``exclude``/``filters``/``metadata``
+    apply uniformly. Vector ids must be unique across the federation
+    (same invariant as (repo, path) for document shards)."""
+    if not index_dirs:
+        raise ValueError("no shards")
+    ts = tombstones_from or [None] * len(index_dirs)
+    if len(ts) != len(index_dirs):
+        raise ValueError(
+            f"tombstones_from has {len(ts)} entries for "
+            f"{len(index_dirs)} shards — must align")
+    from pyspark.sql import functions as F
+
+    from ..pipeline.similarity import ann_topk
+    parts = [ann_topk(spark, d, probe, k, id_col=id_col, vec_col=vec_col,
+                      n_tables=n_tables, n_planes=n_planes,
+                      multiprobe=multiprobe, exclude=exclude,
+                      tombstones_from=t, filters=filters,
+                      metadata=metadata)
+             for d, t in zip(index_dirs, ts)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def facet_counts_sharded(shards, text: str, facet, mode: str = "or",
                          filters: dict | None = None):
     """Facet histogram over the federation's match set — the search-UI

@@ -18,8 +18,8 @@ def main() -> None:
     g.add_argument("--shards", metavar="DIR,DIR[,...]",
                    help="federated search over a comma list of shard "
                         "index dirs with exact global-stats BM25 "
-                        "(plans/sharded.py); supports --mode/--filter, "
-                        "not --phrase/--facet-counts/--snippets")
+                        "(plans/sharded.py); composes with --mode/"
+                        "--filter/--phrase/--facet-counts/--snippets")
     ap.add_argument("--query", default=None)
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--queries", default=None,
@@ -77,11 +77,35 @@ def main() -> None:
             filters[c] = v.split(",") if "," in v else v
     filters = filters or None
     if a.shards:
-        if a.phrase or a.facet_counts or a.snippets:
-            ap.error("--shards supports plain/filtered search only")
-        from donkey_spark.plans.sharded import search_sharded
-        res = search_sharded(spark, a.shards.split(","), batch,
-                             mode=a.mode, filters=filters)
+        from donkey_spark.plans.sharded import (RESULT_SCHEMA,
+                                                facet_counts_sharded,
+                                                open_shards,
+                                                search_phrase_sharded,
+                                                search_sharded)
+        if a.phrase:
+            if a.queries or filters:
+                ap.error("--phrase takes a single --query and no "
+                         "--filter")
+            res = spark.createDataFrame(
+                search_phrase_sharded(open_shards(spark,
+                                                  a.shards.split(",")),
+                                      a.query, k=a.k, slop=a.slop),
+                RESULT_SCHEMA)
+        elif a.facet_counts:
+            if a.queries:
+                ap.error("--facet-counts takes a single --query")
+            res = facet_counts_sharded(
+                open_shards(spark, a.shards.split(",")), a.query,
+                a.facet_counts, mode=a.mode, filters=filters)
+        elif a.snippets:
+            from donkey_spark.plans.snippets import search_snippets_sharded
+            res = search_snippets_sharded(
+                open_shards(spark, a.shards.split(",")),
+                spark.read.parquet(a.snippets), batch,
+                window=a.window, mode=a.mode, filters=filters)
+        else:
+            res = search_sharded(spark, a.shards.split(","), batch,
+                                 mode=a.mode, filters=filters)
     elif a.facet_counts:
         if a.phrase or a.queries:
             ap.error("--facet-counts takes a single --query "

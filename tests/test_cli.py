@@ -165,11 +165,11 @@ def test_cli_sharded_search(cli_corpus):
     pdf.iloc[1::2].to_parquet(base / "half1.parquet", index=False)
     s0, s1, uni = (str(base / d) for d in ("sh0", "sh1", "shuni"))
     _run(["scripts/build_index.py", "--corpus",
-          str(base / "half0.parquet"), "--out", s0])
+          str(base / "half0.parquet"), "--out", s0, "--positions"])
     _run(["scripts/build_index.py", "--corpus",
-          str(base / "half1.parquet"), "--out", s1])
+          str(base / "half1.parquet"), "--out", s1, "--positions"])
     _run(["scripts/build_index.py", "--corpus",
-          str(base / "corpus.parquet"), "--out", uni])
+          str(base / "corpus.parquet"), "--out", uni, "--positions"])
     sres, ures = str(base / "sres"), str(base / "ures_sh")
     _run(["scripts/query.py", "--shards", f"{s0},{s1}",
           "--query", "def return", "-k", "8", "--out", sres])
@@ -180,3 +180,28 @@ def test_cli_sharded_search(cli_corpus):
     assert list(zip(sh["repo"], sh["path"], sh["score"].round(6))) == \
         list(zip(un["repo"], un["path"], un["score"].round(6)))
     assert set(sh["shard"]) == {0, 1}       # both shards contributed
+
+    # --phrase composes with --shards (positional shards, global stats)
+    pres, pures = str(base / "pres"), str(base / "pures")
+    _run(["scripts/query.py", "--shards", f"{s0},{s1}",
+          "--query", "def return", "--phrase", "-k", "8", "--out", pres])
+    _run(["scripts/query.py", "--index", uni,
+          "--query", "def return", "--phrase", "-k", "8", "--out", pures])
+    ph = pd.read_parquet(pres).sort_values("rank")
+    un_ph = pd.read_parquet(pures).sort_values("rank")
+    assert len(ph) > 0
+    assert list(zip(ph["repo"], ph["path"], ph["score"].round(6))) == \
+        list(zip(un_ph["repo"], un_ph["path"], un_ph["score"].round(6)))
+
+    # --snippets composes with --shards (content fetched per hit)
+    snres, snures = str(base / "snres"), str(base / "snures")
+    _run(["scripts/query.py", "--shards", f"{s0},{s1}",
+          "--query", "def return", "-k", "5",
+          "--snippets", str(base / "corpus.parquet"), "--out", snres])
+    _run(["scripts/query.py", "--index", uni,
+          "--query", "def return", "-k", "5",
+          "--snippets", str(base / "corpus.parquet"), "--out", snures])
+    sn = pd.read_parquet(snres).sort_values("rank")
+    un_sn = pd.read_parquet(snures).sort_values("rank")
+    assert list(zip(sn["repo"], sn["path"], sn["snippet"])) == \
+        list(zip(un_sn["repo"], un_sn["path"], un_sn["snippet"]))

@@ -178,3 +178,136 @@ def test_sharded_facet_counts_sum_exactly(spark, sh_setup):
                facet_counts_sharded(shards, text, "lang", mode=mode,
                                     filters=filt).collect()}
         assert got == want and sum(got.values()) > 0, (mode, filt)
+
+
+@pytest.fixture(scope="module")
+def ph_setup(spark, tmp_path_factory):
+    """Positional (format v3) unified index + 3-way shard split of the
+    same corpus, for the federated phrase tests."""
+    from donkey_spark.plans.build import build_index
+    base = tmp_path_factory.mktemp("phshards")
+    pdf = gen_corpus(240, seed=53)
+    build_index(spark, spark.createDataFrame(pdf), str(base / "uni"),
+                range_size=64, positions=True)
+    parts = []
+    for i in range(3):
+        build_index(spark, spark.createDataFrame(pdf[pdf.index % 3 == i]),
+                    str(base / f"s{i}"), range_size=64, positions=True)
+        parts.append(str(base / f"s{i}"))
+    return str(base / "uni"), parts, pdf
+
+
+def test_phrase_federation_matches_unified(spark, ph_setup):
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import search_phrase_sharded
+    uni_dir, parts, _ = ph_setup
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d) for d in parts]
+    for text, slop in (("def return", 0), ("def return", 2),
+                       ("def", 0)):
+        want = [(q, rk, repo, path, round(s, 9)) for q, rk, d, s, repo,
+                path in uni.search_phrase(text, k=10, slop=slop)]
+        assert want, (text, slop)               # fixture sanity
+        got = _key(search_phrase_sharded(shards, text, k=10, slop=slop))
+        assert got == want, (text, slop)
+        rot = [shards[1], shards[2], shards[0]]
+        assert _key(search_phrase_sharded(rot, text, k=10,
+                                          slop=slop)) == want
+
+
+def test_phrase_federation_requires_positional_shards(spark, ph_setup,
+                                                      sh_setup):
+    """A v2 shard in the federation fails fast with the same rebuild
+    hint a direct phrase query gives."""
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import search_phrase_sharded
+    _, pos_parts, _ = ph_setup
+    _, v2_parts, _ = sh_setup
+    mixed = [Index(spark, pos_parts[0]), Index(spark, v2_parts[0])]
+    with pytest.raises(ValueError, match="positions=True"):
+        search_phrase_sharded(mixed, "def return", k=5)
+
+
+def test_ann_federation_is_bit_equal_to_unified(spark, tmp_path):
+    """Deterministic planes ⇒ every shard hashes into the SAME bucket
+    space, so the federated probe's candidate union IS the unified
+    index's candidate set — results must be identical rows, not merely
+    close."""
+    import numpy as np
+
+    from donkey_spark.pipeline.similarity import ann_topk, build_ann_index
+    from donkey_spark.plans.sharded import ann_topk_sharded
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((400, 16)).astype("float64")
+    rows = [(int(i), [float(x) for x in vecs[i]], int(i % 3))
+            for i in range(len(vecs))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    knobs = dict(n_tables=4, n_planes=4)
+    build_ann_index(df, str(tmp_path / "uni"), meta_cols=("label",),
+                    **knobs)
+    dirs = []
+    for i in range(2):
+        d = str(tmp_path / f"s{i}")
+        build_ann_index(df.where(F.col("vec_id") % 2 == i), d,
+                        meta_cols=("label",), **knobs)
+        dirs.append(d)
+    probes = [[float(x) for x in vecs[j]] for j in (5, 77, 311)]
+    for probe in probes:
+        for extra in ({}, {"multiprobe": 1},
+                      {"filters": {"label": [0, 2]}}):
+            want = ann_topk(spark, str(tmp_path / "uni"), probe, k=10,
+                            **knobs, **extra).collect()
+            got = ann_topk_sharded(spark, dirs, probe, k=10,
+                                   **knobs, **extra).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want], \
+                extra
+            assert len(want) > 0
+
+
+def test_ann_federation_validation(spark, tmp_path):
+    from donkey_spark.plans.sharded import ann_topk_sharded
+    with pytest.raises(ValueError, match="no shards"):
+        ann_topk_sharded(spark, [], [0.0] * 16, k=5)
+    with pytest.raises(ValueError, match="must align"):
+        ann_topk_sharded(spark, ["a", "b"], [0.0] * 16, k=5,
+                         tombstones_from=["x"])
+
+
+def test_sharded_snippets_match_unified(spark, sh_setup):
+    """Federated snippets must be the unified function's rows exactly
+    (plus the shard column): same ranking, same matched-term choice
+    (global dfs == unified dfs), same snippet text, same NULL-commit
+    handling."""
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.snippets import (search_snippets,
+                                             search_snippets_sharded)
+    uni_dir, parts, pdf = sh_setup
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d) for d in parts]
+    corpus = spark.createDataFrame(pdf)
+    for corp in (corpus, corpus.drop("commit")):
+        # identity = (qid, rank, score, repo, path, term, pos, snippet):
+        # a federation's doc_id is shard-LOCAL, so it is dropped from
+        # both sides (the unified id and the shard id legitimately
+        # differ for the same document)
+        want = sorted((r[0], r[1], *r[3:]) for r in
+                      search_snippets(uni, corp, QS, window=3).collect())
+        assert want and any(r[-1] is not None for r in want)
+        got = sorted((r[0], r[1], *r[4:]) for r in
+                     search_snippets_sharded(shards, corp, QS,
+                                             window=3).collect())
+        assert got == want
+
+
+def test_sharded_snippets_validation_and_empty(spark, sh_setup):
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.snippets import search_snippets_sharded
+    uni_dir, parts, pdf = sh_setup
+    corpus = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="no shards"):
+        search_snippets_sharded([], corpus, QS)
+    shards = [Index(spark, d) for d in parts]
+    out = search_snippets_sharded(shards, corpus,
+                                  [(0, "zz_not_a_term", 5)])
+    assert out.count() == 0 and "shard" in out.columns
