@@ -534,7 +534,21 @@ class Index:
         global avgdl for all batch chunks; each epoch uses the running
         cumulative), so min(base avg, per-epoch avgs) bounds them all.
         Facet-backfill chunks are excluded (n_docs=0 journal rows):
-        presence postings are mask-decoded, never potential-pruned."""
+        presence postings are mask-decoded, never potential-pruned.
+
+        Meta can LAG the journal (a crash between an epoch's journal
+        row — its commit point — and its meta write), so the derived
+        batch base is an estimate. It stays SAFE: meta always equals
+        base + a PREFIX of journal rows, and every epoch avg is an
+        exact candidate, so (a) if the true minimum is an epoch avg it
+        is already in the candidate set, and (b) if the true minimum is
+        the batch avg, the missing suffix's epochs all average above it
+        and subtracting their mass can only pull the estimate DOWN —
+        min(candidates) ≤ the true minimum either way, i.e. pot_scale
+        only ever over-scales in the torn window (looser pruning, never
+        an unsafe skip). The one unusable case — the subtraction going
+        non-positive — recomputes the batch base exactly from the docs
+        table's batch chunks instead of guessing (r5 third review)."""
         cached = getattr(self, "_min_wavg", None)
         if cached is not None:
             return cached
@@ -552,8 +566,18 @@ class Index:
         base_n = self.n_docs - jn
         # total sum_dl is integral, so round() recovers it exactly
         base_dl = round(self.avgdl * self.n_docs) - jdl
-        if base_n > 0:
+        if base_n > 0 and base_dl > 0:
             cands.append(base_dl / base_n)
+        elif base_n != 0 or base_dl != 0:
+            # inconsistent estimate = meta is mid-crash-window stale;
+            # recover the exact batch base (bounded agg over the docs
+            # table's non-epoch chunks — the same job streaming runs
+            # once per run). base_n == base_dl == 0 is the legitimate
+            # pure-epoch-fed index: no batch candidate to add.
+            from ..streaming.ingest import _base_state
+            b = _base_state(self.spark, self.dir)
+            if b["n"] > 0:
+                cands.append(b["dl"] / b["n"])
         self._min_wavg = min(cands) if cands else self.avgdl
         return self._min_wavg
 

@@ -36,13 +36,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize_py
+from .sharded import RESULT_SCHEMA as _SHARDED_ROW_SCHEMA
 
+_ANNOTATION_COLS = ", matched_term string, pos int, snippet string"
 _OUT_SCHEMA = ("query_id int, rank int, doc_id long, score double, "
-               "repo string, path string, matched_term string, "
-               "pos int, snippet string")
-_OUT_SCHEMA_SHARDED = ("query_id int, rank int, shard int, doc_id long, "
-                       "score double, repo string, path string, "
-                       "matched_term string, pos int, snippet string")
+               "repo string, path string" + _ANNOTATION_COLS)
+#: the federated rows ARE sharded.RESULT_SCHEMA + the annotations —
+#: derived, not re-spelled, so the two cannot drift (third review)
+_OUT_SCHEMA_SHARDED = _SHARDED_ROW_SCHEMA + _ANNOTATION_COLS
 
 
 def _sel_order(queries, dfs: dict) -> dict:
@@ -178,9 +179,7 @@ def search_snippets_sharded(shards, corpus: DataFrame,
     sel_order = _sel_order(queries,
                            global_stats(shards, all_terms)["dfs"])
 
-    hits = spark.createDataFrame(
-        rows, "query_id int, rank int, shard int, doc_id long, "
-              "score double, repo string, path string")
+    hits = spark.createDataFrame(rows, _SHARDED_ROW_SCHEMA)
     join_keys = ["repo", "path"]
     if "commit" in corpus.columns:
         join_keys = ["repo", "path", "commit"]

@@ -63,17 +63,22 @@ def _upsert_epoch(k: int) -> int:
 
 
 def _gc_torn_chunks(spark: SparkSession, index_dir: str,
-                    journaled: set[int]) -> list[str]:
+                    upsert_epochs: set[int]) -> list[str]:
     """Delete every u<k> chunk dir whose journal row never committed —
     a torn previous upsert. Its docs rows would otherwise (a) make the
     replay skip the append forever and (b) collide with the doc ids the
     redo will assign (the torn chunk is invisible to id allocation
-    precisely because it is unjournaled)."""
+    precisely because it is unjournaled). ``upsert_epochs`` must hold
+    only the epochs whose journal row carries status == "upsert" — a
+    legacy facet-backfill row parked at the same even negative does NOT
+    commit a u-chunk (second review: epoch membership alone would have
+    kept a torn chunk alive behind such a row, leaving its documents in
+    docs but never in segments — present yet unsearchable, forever)."""
     from ..fsutil import chunk_dirs, fs_exists, hadoop_fs
     from ..streaming.ingest import _is_upsert_chunk
     torn = [c for c in chunk_dirs(spark, f"{index_dir}/docs")
             if _is_upsert_chunk(c)
-            and _upsert_epoch(int(c[1:])) not in journaled]
+            and _upsert_epoch(int(c[1:])) not in upsert_epochs]
     for c in torn:
         for tbl in _CHUNKED_TABLES:
             d = f"{index_dir}/{tbl}/chunk={c}"
@@ -122,10 +127,14 @@ def upsert_docs(spark: SparkSession, index_dir: str,
             + ", ".join(f"({r['repo']}, {r['path']})" for r in dup))
 
     journal = journal_df(spark, index_dir)
-    journaled: set[int] = set() if journal is None else {
-        int(r["epoch"])
-        for r in journal.select("epoch").distinct().collect()}
-    _gc_torn_chunks(spark, index_dir, journaled)
+    by_epoch: dict[int, str] = {} if journal is None else {
+        int(r["epoch"]): str(r["status"])
+        for r in journal.select("epoch", "status").collect()}
+    journaled = set(by_epoch)
+    # a u-chunk is committed ONLY by its own "upsert" row — a legacy
+    # facet row at the same even negative must not shield a torn chunk
+    _gc_torn_chunks(spark, index_dir,
+                    {e for e, s in by_epoch.items() if s == "upsert"})
 
     docs = spark.read.parquet(f"{index_dir}/docs")
     # idempotent replay: rows whose version triple is already in the

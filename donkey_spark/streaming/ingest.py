@@ -55,8 +55,9 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
     # epochs append chunk=* dictionary partials — refuse to mix them into
     # a pre-chunked (flat bucket=*) dictionary root (memoized per run)
     _check_dictionary_layout(spark, index_dir)
+    from ..config import N_BUCKETS
     base = {"n": 0, "dl": 0.0, "p": 0, "rsize": None, "facets": (),
-            "positions": False}
+            "positions": False, "n_buckets": int(N_BUCKETS)}
     if fs_exists(spark, f"{index_dir}/docs"):
         # exclude every JOURNALED chunk (stream<e> epochs AND u<k> upsert
         # epochs — plans/upsert.py): their docs/dl are carried by their
@@ -88,6 +89,11 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
         # facets, so filtered queries stay correct across the stream
         base["facets"] = tuple(f for f in (m.get("facets") or "").split(",")
                                if f)
+        # the bucket count is a LAYOUT property fixed at build time —
+        # meta rewrites must carry the index's own value, never the
+        # current config constant (third review: a changed constant
+        # would silently re-route term probes into the wrong dirs)
+        base["n_buckets"] = int(m["n_buckets"])
     return base
 
 
@@ -110,13 +116,16 @@ META_DDL = ("version int, n_docs long, avgdl double, n_postings long, "
 def write_meta(spark: SparkSession, index_dir: str, *, version: int,
                n_docs: int, avgdl: float, n_postings: int,
                range_size: int, block_size: int, codec: str,
-               facets, n_chunks: int = -1) -> None:
+               facets, n_buckets: int, n_chunks: int = -1) -> None:
     """Overwrite the 1-row meta table (n_chunks=-1 = epoch-fed, the
-    batch build records its real chunk plan)."""
-    from ..config import N_BUCKETS
+    batch build records its real chunk plan). ``n_buckets`` is the
+    INDEX'S OWN bucket count (a layout property fixed at build time) —
+    callers pass the existing meta's value, never config.N_BUCKETS
+    (third review: stamping the constant would re-route every term
+    probe into the wrong dirs if the constant ever changes)."""
     (spark.createDataFrame(
         [(int(version), int(n_docs), float(avgdl), int(n_postings),
-          int(range_size), int(block_size), codec, int(N_BUCKETS),
+          int(range_size), int(block_size), codec, int(n_buckets),
           int(n_chunks), ",".join(facets))], META_DDL)
         .write.mode("overwrite").parquet(f"{index_dir}/meta"))
 
@@ -154,7 +163,8 @@ def reconcile_meta(spark: SparkSession, index_dir: str,
                version=meta_version(base["positions"]), n_docs=n,
                avgdl=avgdl, n_postings=p, range_size=int(base["rsize"]),
                block_size=int(m["block_size"]), codec=m["codec"],
-               facets=facets, n_chunks=int(m.get("n_chunks", -1)))
+               facets=facets, n_buckets=int(m["n_buckets"]),
+               n_chunks=int(m.get("n_chunks", -1)))
 
 
 def journal_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
@@ -460,7 +470,8 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
                avgdl=float(avgdl_new),
                n_postings=postings_before + epoch_postings,
                range_size=int(rsize), block_size=int(block_size),
-               codec=codec, facets=base["facets"])
+               codec=codec, facets=base["facets"],
+               n_buckets=int(base["n_buckets"]))
     rows.unpersist()
 
 

@@ -83,9 +83,9 @@ def main() -> None:
                                                 search_phrase_sharded,
                                                 search_sharded)
         if a.phrase:
-            if a.queries or filters:
+            if a.queries or filters or a.facet_counts or a.snippets:
                 ap.error("--phrase takes a single --query and no "
-                         "--filter")
+                         "--filter/--facet-counts/--snippets")
             res = spark.createDataFrame(
                 search_phrase_sharded(open_shards(spark,
                                                   a.shards.split(",")),

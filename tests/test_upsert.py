@@ -337,3 +337,102 @@ def test_upsert_skips_legacy_even_facet_journal_rows(spark, up_setup):
     rep = index_info(spark, out)["journal"]
     assert rep == {"stream_epochs": 0, "upserts": 1,
                    "facet_backfills": 1}
+
+
+def test_torn_chunk_behind_legacy_facet_row_is_gcd(spark, up_setup):
+    """r5 third review: a torn u-chunk whose epoch slot is occupied by
+    a LEGACY facet-backfill journal row must still be GC'd and redone —
+    epoch membership alone would classify it committed, leaving its
+    docs rows forever skipping the replay while its postings never
+    landed (documents present but unsearchable)."""
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.upsert import upsert_docs
+    out, pdf, _ = up_setup
+    patched = _patched(spark, pdf)
+    n_patch = patched.count()
+    shutil.copytree(f"{out}/meta", f"{out}_meta_save")
+    upsert_docs(spark, out, patched)
+    # torn state: u1 chunks on disk, its journal row missing — AND a
+    # legacy facet row parked at u1's epoch (-2)
+    shutil.rmtree(f"{out}/manifest_stream/epoch=-2")
+    shutil.rmtree(f"{out}/meta")
+    shutil.move(f"{out}_meta_save", f"{out}/meta")
+    spark.createDataFrame(
+        [("facet:legacy", 0, 0, 0)],
+        "status string, n_docs long, sum_dl long, n_postings long") \
+        .write.mode("overwrite") \
+        .parquet(f"{out}/manifest_stream/epoch=-2")
+
+    info = upsert_docs(spark, out, patched)
+    assert info["n_appended"] == n_patch       # redone, not skipped
+    assert info["epoch"] == -4                 # allocated PAST the row
+    idx = Index(spark, out)
+    hits = idx.search_rows([(0, "upserted_marker", 10 * n_patch)])
+    assert len(hits) == n_patch                # searchable, no dups
+    docs = spark.read.parquet(f"{out}/docs")
+    assert docs.groupBy("doc_id").count() \
+               .where(F.col("count") > 1).count() == 0
+
+
+def test_stale_meta_keeps_pruning_safe(spark, tmp_path):
+    """r5 third review: in the journal-ahead-of-meta crash window the
+    meta-derived batch base can go non-positive (the epoch appended
+    more docs than meta knows about). The pruning bound must then
+    recover the EXACT batch average instead of silently dropping the
+    candidate — which would under-scale the batch chunks' block maxima
+    and skip true top-k docs."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.upsert import upsert_docs
+    pdf = gen_corpus(220, seed=61)
+    dl = pdf["content"].str.split().map(len)
+    # SMALL short-doc base, LARGE long-doc epoch: jn > meta n_docs once
+    # meta goes stale, so the naive base estimate is negative
+    short = pdf[dl <= dl.quantile(0.25)].reset_index(drop=True)
+    long_ = pdf[dl > dl.quantile(0.25)].reset_index(drop=True).copy()
+    long_["repo"] = "longrepo"
+    long_["path"] = [f"l/{i}.py" for i in range(len(long_))]
+    assert len(long_) > len(short)
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(short), out, range_size=64)
+    shutil.copytree(f"{out}/meta", f"{out}_meta_save")
+    upsert_docs(spark, out, spark.createDataFrame(long_))
+    # crash window: journal row committed, meta write lost
+    shutil.rmtree(f"{out}/meta")
+    shutil.move(f"{out}_meta_save", f"{out}/meta")
+
+    idx = Index(spark, out)
+    from donkey_spark.functions.tokenize import tokenize_py
+    true_base = short["content"].map(
+        lambda c: len(tokenize_py(c))).sum() / len(short)
+    assert abs(idx._min_write_avgdl() - true_base) < 1e-9
+    # In this window READERS legitimately rank with the stale meta
+    # stats (meta IS the stats source until a writer reconciles it) —
+    # so the safety property is about PRUNING, not about which stats:
+    # the small-k result must equal the prefix of an unpruned full
+    # ranking under the same stats (k = everything ⇒ theta never rises
+    # ⇒ no block is ever skipped), on both scorer paths.
+    for local_bytes in (64 << 20, 0):
+        idx2 = Index(spark, out, local_bytes=local_bytes)
+        for qid, text, k in [(0, "def return value", 5),
+                             (1, "return", 4)]:
+            full = [(r[2], round(r[3], 9)) for r in
+                    idx2.search_rows([(qid, text, 10 ** 6)])]
+            got = [(r[2], round(r[3], 9)) for r in
+                   idx2.search_rows([(qid, text, k)])]
+            assert got == full[:k], (qid, local_bytes)
+
+
+def test_meta_rewrites_preserve_n_buckets(spark, up_setup, monkeypatch):
+    """r5 third review: n_buckets is a layout property fixed at build
+    time. A meta rewrite (epoch append, reconcile) must carry the
+    index's own value even if config.N_BUCKETS has since changed —
+    stamping the constant would re-route term probes into wrong dirs."""
+    from donkey_spark import config
+    from donkey_spark.plans.upsert import upsert_docs
+    out, pdf, _ = up_setup
+    built = spark.read.parquet(f"{out}/meta").collect()[0]["n_buckets"]
+    monkeypatch.setattr(config, "N_BUCKETS", built * 2)
+    upsert_docs(spark, out, _patched(spark, pdf))
+    after = spark.read.parquet(f"{out}/meta").collect()[0]["n_buckets"]
+    assert after == built
