@@ -798,6 +798,39 @@ def q_ivf_ann_topk(spark, sf_dir):
                     k=10, nprobe=IVF_NPROBE)
 
 
+_IVF_SHARD_CACHE: dict[str, list[str]] = {}
+
+
+def q_ivf_ann_topk_sharded(spark, sf_dir):
+    """r5 §2.14 T21 — federated IVF ANN: the embeddings split by vec_id
+    parity into TWO inverted-list shards built with the SAME frozen
+    quantizer (the unified index's trained centroids — the operational
+    shared-quantizer regime), probed through
+    plans/sharded.ivf_topk_sharded. The twin is the SAME unified DuckDB
+    IVF oracle: with one quantizer every shard partitions the same
+    centroid space, so the federated candidate union IS the unified
+    candidate set and results are bit-equal."""
+    from .pipeline.ivf import build_ivf_index, read_centroids
+    from .plans.sharded import ivf_topk_sharded
+    q_ivf_ann_topk(spark, sf_dir)          # ensure the unified cache
+    if sf_dir not in _IVF_SHARD_CACHE:
+        cents = read_centroids(spark, _IVF_CACHE[sf_dir])
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dirs = []
+        for i in range(2):
+            out = os.path.join(
+                tempfile.gettempdir(),
+                f"donkey_ivfsh{i}_" + sf_dir.strip("/").replace("/", "_"))
+            build_ivf_index(emb.where(F.col("vec_id") % 2 == i), out,
+                            n_lists=IVF_LISTS, meta_cols=("label",),
+                            centroids=cents)
+            dirs.append(out)
+        _IVF_SHARD_CACHE[sf_dir] = dirs
+    return ivf_topk_sharded(spark, _IVF_SHARD_CACHE[sf_dir],
+                            _probe_vec(spark, sf_dir), k=10,
+                            nprobe=IVF_NPROBE)
+
+
 def _ivf_oracle_sql(n_lists: int = IVF_LISTS, n_iters: int = IVF_ITERS,
                     nprobe: int = IVF_NPROBE, k: int = 10) -> str:
     """DuckDB twin of the IVF probe, from first principles: seeds = the
@@ -2041,6 +2074,9 @@ SELECT 2::INTEGER AS n_epochs,
     "lsh_ann_topk_filtered": _ann_oracle_sql(
         meta_pred="em.label IN (1, 2, 3)"),
     "ivf_ann_topk": _ivf_oracle_sql(),
+    # shared-quantizer federation ≡ unified: the twin IS the unified
+    # IVF oracle, unchanged
+    "ivf_ann_topk_sharded": _ivf_oracle_sql(),
     "hybrid_topk": _hybrid_oracle_sql(),
     "more_like_this": _mlt_oracle_sql(),
     "facet_counts": _facet_counts_oracle_sql(),
@@ -2231,6 +2267,7 @@ QUERIES = {
     "lsh_ann_topk_deleted": q_lsh_ann_topk_deleted,
     "lsh_ann_topk_filtered": q_lsh_ann_topk_filtered,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "ivf_ann_topk_sharded": q_ivf_ann_topk_sharded,
     "hybrid_topk": q_hybrid_topk,
     "more_like_this": q_more_like_this,
     "facet_counts": q_facet_counts,

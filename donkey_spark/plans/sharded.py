@@ -218,6 +218,52 @@ def ann_topk_sharded(spark, index_dirs: list[str], probe: list[float],
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def ivf_topk_sharded(spark, index_dirs: list[str], probe: list[float],
+                     k: int = 10, nprobe: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude=None, tombstones_from: list | None = None,
+                     filters: dict | None = None, metadata=None):
+    """IVF-ANN top-k over a federation of inverted-list shards — the
+    data-DEPENDENT twin of `ann_topk_sharded`, exact under ONE extra
+    operational requirement: every shard was built with the SAME frozen
+    quantizer (`build_ivf_index(..., centroids=)` from one training
+    run — the standard regime anyway, since `append_ivf_vectors`
+    already freezes centroids). Then each shard's lists partition the
+    same centroid space, a probe opens the SAME nprobe list ids in
+    every shard, and the federated candidate union IS the unified
+    index's candidate set — results bit-equal to one index over all
+    vectors, exactly like the LSH federation. The shared-quantizer
+    precondition is VERIFIED (k·dim driver floats per shard, 9-decimal
+    canonical form), not assumed: silently merging rankings from
+    different quantizers would be wrong with no error."""
+    if not index_dirs:
+        raise ValueError("no shards")
+    ts = tombstones_from or [None] * len(index_dirs)
+    if len(ts) != len(index_dirs):
+        raise ValueError(
+            f"tombstones_from has {len(ts)} entries for "
+            f"{len(index_dirs)} shards — must align")
+    from pyspark.sql import functions as F
+
+    from ..pipeline.ivf import ivf_topk, read_centroids
+    cents = [read_centroids(spark, d) for d in index_dirs]
+    for i, c in enumerate(cents[1:], start=1):
+        if c.shape != cents[0].shape or not (c == cents[0]).all():
+            raise ValueError(
+                f"ivf_topk_sharded: shard {i} ({index_dirs[i]}) has a "
+                f"different quantizer than shard 0 — shards must be "
+                f"built with the same centroids= (one training run)")
+    parts = [ivf_topk(spark, d, probe, k, nprobe=nprobe, id_col=id_col,
+                      vec_col=vec_col, exclude=exclude,
+                      tombstones_from=t, filters=filters,
+                      metadata=metadata)
+             for d, t in zip(index_dirs, ts)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def facet_counts_sharded(shards, text: str, facet, mode: str = "or",
                          filters: dict | None = None):
     """Facet histogram over the federation's match set — the search-UI

@@ -311,3 +311,47 @@ def test_sharded_snippets_validation_and_empty(spark, sh_setup):
     out = search_snippets_sharded(shards, corpus,
                                   [(0, "zz_not_a_term", 5)])
     assert out.count() == 0 and "shard" in out.columns
+
+
+def test_ivf_federation_shared_quantizer_is_bit_equal(spark, tmp_path):
+    """With ONE frozen quantizer across shards, every shard partitions
+    the same centroid space — the federated IVF probe must be bit-equal
+    to one index over all vectors. A shard trained separately must be
+    refused, not silently merged."""
+    import numpy as np
+
+    from donkey_spark.pipeline.ivf import build_ivf_index, ivf_topk
+    from donkey_spark.plans.sharded import ivf_topk_sharded
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 12)).astype("float64")
+    rows = [(int(i), [float(x) for x in vecs[i]], int(i % 2))
+            for i in range(len(vecs))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    cents = build_ivf_index(df, str(tmp_path / "uni"), n_lists=6,
+                            n_iters=1, meta_cols=("label",))
+    dirs = []
+    for i in range(2):
+        d = str(tmp_path / f"s{i}")
+        build_ivf_index(df.where(F.col("vec_id") % 2 == i), d,
+                        n_lists=6, meta_cols=("label",), centroids=cents)
+        dirs.append(d)
+    for j in (3, 141):
+        probe = [float(x) for x in vecs[j]]
+        for extra in ({"nprobe": 2}, {"nprobe": 6},
+                      {"nprobe": 3, "filters": {"label": [1]}}):
+            want = ivf_topk(spark, str(tmp_path / "uni"), probe, k=8,
+                            **extra).collect()
+            got = ivf_topk_sharded(spark, dirs, probe, k=8,
+                                   **extra).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want], \
+                (j, extra)
+            assert len(want) > 0
+
+    # separately-trained shard (different quantizer) must be refused
+    rogue = str(tmp_path / "rogue")
+    build_ivf_index(df.where(F.col("vec_id") % 2 == 1), rogue,
+                    n_lists=6, n_iters=1, meta_cols=("label",))
+    with pytest.raises(ValueError, match="different quantizer"):
+        ivf_topk_sharded(spark, [dirs[0], rogue],
+                         [float(x) for x in vecs[0]], k=5)
