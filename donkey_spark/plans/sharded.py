@@ -144,6 +144,48 @@ def search_sharded(spark, index_dirs: list[str],
     return spark.createDataFrame(rows, RESULT_SCHEMA)
 
 
+def search_rows_mixed_sharded(shards, specs: list[tuple]) -> list[tuple]:
+    """The federation twin of `Index.search_rows_mixed` — one serving
+    batch with PER-QUERY modes/filters over shard indexes. ``specs`` =
+    [(query_id, text, k, mode, filters)] (mode/filters may be None →
+    "or" / unfiltered; mode "phrase" routes through
+    `search_phrase_sharded` and takes no filters). Queries sharing a
+    (mode, filters) signature run as ONE `search_rows_sharded` call, so
+    the per-shard stats probes, filter masks and decode caches amortize
+    within each group exactly as they do on a single index — and the
+    per-shard dictionary memos amortize across groups. Rows are the
+    7-column federated shape sorted by (query_id, rank); query_ids must
+    be unique across the batch."""
+    import json
+    from collections import defaultdict
+    qids = [s[0] for s in specs]
+    if len(set(qids)) != len(qids):
+        dup = sorted({q for q in qids if qids.count(q) > 1})
+        raise ValueError(
+            f"search_rows_mixed_sharded: duplicate query_ids {dup} — "
+            f"results from different sub-batches would interleave under "
+            f"the same id; give every spec a unique query_id")
+    groups: dict[tuple, list] = defaultdict(list)
+    for qid, text, k, mode, filt in specs:
+        sig = (mode or "or",
+               json.dumps(filt, sort_keys=True, default=list)
+               if filt else "")
+        groups[sig].append((qid, text, k, filt))
+    out: list[tuple] = []
+    for (mode, _), qs in groups.items():
+        if mode == "phrase":
+            for q, t, kk, filt in qs:
+                if filt:
+                    raise ValueError("phrase specs do not take filters")
+                out.extend(search_phrase_sharded(shards, t, k=kk,
+                                                 query_id=q))
+        else:
+            out.extend(search_rows_sharded(
+                shards, [(q, t, k) for q, t, k, _ in qs],
+                mode=mode, filters=qs[0][3]))
+    return sorted(out)
+
+
 def search_phrase_sharded(shards, text: str, k: int = 10,
                           slop: int = 0, query_id: int = 0) -> list[tuple]:
     """Exact-phrase top-k over the federation — rows shaped like

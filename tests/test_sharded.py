@@ -355,3 +355,42 @@ def test_ivf_federation_shared_quantizer_is_bit_equal(spark, tmp_path):
     with pytest.raises(ValueError, match="different quantizer"):
         ivf_topk_sharded(spark, [dirs[0], rogue],
                          [float(x) for x in vecs[0]], k=5)
+
+
+def test_sharded_mixed_batch_matches_unified(spark, sh_setup, ph_setup):
+    """The federated mixed batch must reproduce the unified mixed batch
+    group for group: or/and/filtered specs on the faceted federation,
+    phrase specs on the positional one."""
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import search_rows_mixed_sharded
+    uni_dir, parts, pdf = sh_setup
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d) for d in parts]
+    lang0 = sorted(set(pdf["lang"]))[0]
+    specs = [(0, "def return", 6, None, None),
+             (1, "class import self", 5, "and", None),
+             (2, "def return", 6, "or", {"lang": lang0}),
+             (3, "return value", 5, "or", {"lang": {"not": [lang0]}})]
+    want = [(q, rk, repo, path, round(s, 9)) for q, rk, d, s, repo, path
+            in uni.search_rows_mixed(specs)]
+    assert want
+    got = _key(search_rows_mixed_sharded(shards, specs))
+    assert got == want
+
+    # phrase specs route through the positional federation
+    p_uni_dir, p_parts, _ = ph_setup
+    p_uni = Index(spark, p_uni_dir)
+    p_shards = [Index(spark, d) for d in p_parts]
+    pspecs = [(0, "def return", 5, "phrase", None),
+              (1, "def return", 8, None, None)]
+    want = [(q, rk, repo, path, round(s, 9)) for q, rk, d, s, repo, path
+            in p_uni.search_rows_mixed(pspecs)]
+    assert want
+    assert _key(search_rows_mixed_sharded(p_shards, pspecs)) == want
+
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        search_rows_mixed_sharded(shards, [(0, "a", 1, None, None),
+                                           (0, "b", 1, None, None)])
+    with pytest.raises(ValueError, match="do not take filters"):
+        search_rows_mixed_sharded(
+            p_shards, [(0, "def return", 5, "phrase", {"lang": "py"})])
