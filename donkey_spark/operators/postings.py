@@ -399,7 +399,8 @@ def build_segments(doc_terms: DataFrame, avgdl: float, range_size: int,
     return dt.mapInArrow(encode_stream, SEGMENT_SCHEMA)
 
 
-def merge_segments(segments: DataFrame) -> DataFrame:
+def merge_segments(segments: DataFrame,
+                   n_buckets: int = N_BUCKETS) -> DataFrame:
     """Op 23: merge per-salt runs into the global per-term posting list.
 
     Doc-range salts are contiguous, disjoint and ordered, so the merged
@@ -410,18 +411,25 @@ def merge_segments(segments: DataFrame) -> DataFrame:
     parallelism (BASELINE.md index determinism). A legacy-style merge that
     re-encodes overlapping runs is deliberately unnecessary by construction.
     """
-    return segments.withColumn("bucket", term_bucket_col(F.col("term")))
+    return segments.withColumn("bucket",
+                               term_bucket_col(F.col("term"), n_buckets))
 
 
-def dictionary_from_segments(segments: DataFrame) -> DataFrame:
+def dictionary_from_segments(segments: DataFrame,
+                             n_buckets: int = N_BUCKETS) -> DataFrame:
     """Term dictionary (df, cf, n_blocks, max tf-part) aggregated from block
-    metadata — block-granular, no second pass over postings."""
+    metadata — block-granular, no second pass over postings.
+
+    ``n_buckets``: the INDEX'S bucket count — epoch writers must pass
+    the value from meta, not rely on the config default (a changed
+    constant would route new postings into dirs readers never probe)."""
     return (segments.groupBy("term")
             .agg(F.sum("n_docs").alias("df"),
                  F.sum("sum_tf").alias("cf"),
                  F.count("*").cast("int").alias("n_blocks"),
                  F.max("block_max_tfpart").alias("max_tfpart"))
-            .withColumn("bucket", term_bucket_col(F.col("term"))))
+            .withColumn("bucket",
+                        term_bucket_col(F.col("term"), n_buckets)))
 
 
 def segments_digest(segments: DataFrame) -> tuple[int, int]:

@@ -55,6 +55,20 @@ def _normalize(c: np.ndarray) -> np.ndarray:
     return np.round(c / n, CENTROID_ROUND)
 
 
+def _accept_quantizer(centroids) -> np.ndarray:
+    """Caller-supplied centroids. An already-canonical quantizer (unit
+    rows — e.g. another index's ``read_centroids`` output, the shared-
+    quantizer federation regime) is used VERBATIM: re-normalizing a
+    9-decimal-rounded unit vector divides by a norm ≠ 1 by up to a few
+    1e-9 and the re-round can flip last-digit components, silently
+    breaking the cross-index bit-equality `ivf_topk_sharded` verifies
+    (r5 fourth review). Anything not unit-norm is canonicalized."""
+    c = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    if c.ndim == 2 and np.abs((c * c).sum(axis=1) - 1.0).max() <= 1e-6:
+        return c
+    return _normalize(c)
+
+
 def seed_centroids(vectors: DataFrame, n_lists: int,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> np.ndarray:
@@ -188,7 +202,7 @@ def build_ivf_index(vectors: DataFrame, out_dir: str,
     Returns the trained centroids."""
     spark = vectors.sparkSession
     cents = train_ivf_centroids(vectors, n_lists, n_iters, id_col, vec_col) \
-        if centroids is None else _normalize(np.asarray(centroids, float))
+        if centroids is None else _accept_quantizer(centroids)
     keep = [id_col, vec_col, *meta_cols]
     rows = assign_rows(vectors.select(*keep), cents, vec_col)
     (rows.repartition(F.col("list"))
@@ -257,13 +271,19 @@ def ivf_topk(spark, index_dir: str, probe: list[float], k: int = 10,
              vec_col: str = "embedding", exclude=None,
              tombstones_from: str | None = None,
              filters: dict | None = None,
-             metadata: DataFrame | None = None) -> DataFrame:
+             metadata: DataFrame | None = None,
+             centroids: np.ndarray | None = None) -> DataFrame:
     """Partition-pruned probe: score k centroids on the driver, scan
     only the ``nprobe`` chosen ``list=`` dirs, exact cosine top-k over
     the candidates. ``filters``/``exclude``/``tombstones_from`` compose
     exactly as on ``ann_topk``. At nprobe == n_lists this is exact
-    brute-force search (every vector lives in exactly one list)."""
-    cents = read_centroids(spark, index_dir)
+    brute-force search (every vector lives in exactly one list).
+    ``centroids`` skips the stored-quantizer read when the caller
+    already holds it (the federation reads it once per shard for its
+    shared-quantizer check — passing it back halves the probe's fixed
+    driver cost)."""
+    cents = read_centroids(spark, index_dir) \
+        if centroids is None else centroids
     lists = probe_lists(cents, probe, nprobe)
     cand = (spark.read.parquet(_lists_dir(index_dir))
             .where(F.col("list").isin(lists)))       # dir pruning

@@ -103,14 +103,15 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
     obs = Observation(chunk)
     seg = merge_segments(build_segments(
         dt, float(m["avgdl"]), int(m["range_size"]),
-        codec=m["codec"], block_size=int(m["block_size"])))
+        codec=m["codec"], block_size=int(m["block_size"])),
+        n_buckets=int(m["n_buckets"]))
     seg = seg.observe(obs, F.coalesce(F.sum("n_docs"), F.lit(0)).alias("p"))
     (seg.write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{index_dir}/segments/chunk={chunk}"))
     n_post = int(obs.get["p"])
 
     seg_chunk = spark.read.parquet(f"{index_dir}/segments/chunk={chunk}")
-    (dictionary_from_segments(seg_chunk)
+    (dictionary_from_segments(seg_chunk, n_buckets=int(m["n_buckets"]))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{index_dir}/dictionary/chunk={chunk}"))
     n_vals = seg_chunk.select("term").distinct().count()

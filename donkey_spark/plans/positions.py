@@ -52,7 +52,7 @@ POSITIONS_VERSION = 3
 
 def write_positions(spark: SparkSession, docs_content: DataFrame,
                     out_dir: str, cap: int = MAX_TOKENS_PER_DOC,
-                    chunk: str = "batch") -> None:
+                    chunk: str = "batch", n_buckets: int | None = None) -> None:
     """Write a positions side-table CHUNK from (doc_id, content) rows.
 
     Layout mirrors docs/segments: ``positions/chunk=<c>/bucket=<b>`` —
@@ -92,14 +92,18 @@ def write_positions(spark: SparkSession, docs_content: DataFrame,
             yield pd.DataFrame({"doc_id": out_d, "term": out_t,
                                 "positions": out_p})
 
+    from ..config import N_BUCKETS
     from ..operators.postings import term_bucket_col
+    # epoch writers pass the INDEX'S bucket count from meta; the config
+    # default is only for the batch build, which defines the layout
+    n_buckets = int(N_BUCKETS if n_buckets is None else n_buckets)
     pos = docs_content.mapInPandas(
         extract, "doc_id long, term string, positions array<int>")
     # doc_id as the third sort key: within a hot term's run of row
     # groups the doc_id min/max stats become tight, so the probe's
     # doc_id pushdown prunes row groups instead of reading the term's
     # whole occurrence list (r5 review)
-    (pos.withColumn("bucket", term_bucket_col(F.col("term")))
+    (pos.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
         .sortWithinPartitions("bucket", "term", "doc_id")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{out_dir}/positions/chunk={chunk}"))

@@ -288,6 +288,35 @@ def _query_session(spark: SparkSession,
         return spark           # splits then follow the session setting
 
 
+def group_mixed_specs(specs: list[tuple], caller: str) -> dict:
+    """Validate + group a mixed serving batch — the ONE definition of
+    the per-query spec grammar, shared by `Index.search_rows_mixed` and
+    the federation's `search_rows_mixed_sharded` (fourth review: two
+    verbatim copies would silently desynchronize the surfaces).
+
+    ``specs`` = [(query_id, text, k, mode, filters)]; returns
+    {(mode, filters_signature): [(qid, text, k, filters)]} with
+    query-id uniqueness and phrase-takes-no-filters enforced."""
+    import json
+    from collections import defaultdict
+    qids = [s[0] for s in specs]
+    if len(set(qids)) != len(qids):
+        dup = sorted({q for q in qids if qids.count(q) > 1})
+        raise ValueError(
+            f"{caller}: duplicate query_ids {dup} — results from "
+            f"different sub-batches would interleave under the same id; "
+            f"give every spec a unique query_id")
+    groups: dict[tuple, list] = defaultdict(list)
+    for qid, text, k, mode, filt in specs:
+        if (mode or "or") == "phrase" and filt:
+            raise ValueError("phrase specs do not take filters")
+        sig = (mode or "or",
+               json.dumps(filt, sort_keys=True, default=list)
+               if filt else "")
+        groups[sig].append((qid, text, k, filt))
+    return groups
+
+
 class Index:
     """Reader over a built index directory (plans/build.py layout)."""
 
@@ -773,29 +802,13 @@ class Index:
         and the Index-level dictionary memo amortizes across groups —
         then results merge back sorted by (query_id, rank). query_ids
         must be unique across the whole batch."""
-        import json
-        from collections import defaultdict
-        qids = [s[0] for s in specs]
-        if len(set(qids)) != len(qids):
-            dup = sorted({q for q in qids if qids.count(q) > 1})
-            raise ValueError(
-                f"search_rows_mixed: duplicate query_ids {dup} — results "
-                f"from different sub-batches would interleave under the "
-                f"same id; give every spec a unique query_id")
-        groups: dict[tuple, list] = defaultdict(list)
-        for qid, text, k, mode, filt in specs:
-            sig = (mode or "or",
-                   json.dumps(filt, sort_keys=True, default=list)
-                   if filt else "")
-            groups[sig].append((qid, text, k, filt))
         out: list[tuple] = []
-        for (mode, _), qs in groups.items():
-            if mode == "phrase":      # r5: exact-phrase specs (format v3;
-                for q, t, kk, filt in qs:   # filters not supported here)
-                    if filt:
-                        raise ValueError(
-                            "phrase specs do not take filters")
-                    out.extend(self.search_phrase(t, k=kk, query_id=q))
+        for (mode, _), qs in group_mixed_specs(
+                specs, "search_rows_mixed").items():
+            if mode == "phrase":      # r5: exact-phrase specs (format v3)
+                out.extend(r for q, t, kk, _ in qs
+                           for r in self.search_phrase(t, k=kk,
+                                                       query_id=q))
             else:
                 out.extend(self.search_rows(
                     [(q, t, k) for q, t, k, _ in qs],

@@ -156,29 +156,14 @@ def search_rows_mixed_sharded(shards, specs: list[tuple]) -> list[tuple]:
     per-shard dictionary memos amortize across groups. Rows are the
     7-column federated shape sorted by (query_id, rank); query_ids must
     be unique across the batch."""
-    import json
-    from collections import defaultdict
-    qids = [s[0] for s in specs]
-    if len(set(qids)) != len(qids):
-        dup = sorted({q for q in qids if qids.count(q) > 1})
-        raise ValueError(
-            f"search_rows_mixed_sharded: duplicate query_ids {dup} — "
-            f"results from different sub-batches would interleave under "
-            f"the same id; give every spec a unique query_id")
-    groups: dict[tuple, list] = defaultdict(list)
-    for qid, text, k, mode, filt in specs:
-        sig = (mode or "or",
-               json.dumps(filt, sort_keys=True, default=list)
-               if filt else "")
-        groups[sig].append((qid, text, k, filt))
+    from .query import group_mixed_specs
     out: list[tuple] = []
-    for (mode, _), qs in groups.items():
+    for (mode, _), qs in group_mixed_specs(
+            specs, "search_rows_mixed_sharded").items():
         if mode == "phrase":
-            for q, t, kk, filt in qs:
-                if filt:
-                    raise ValueError("phrase specs do not take filters")
-                out.extend(search_phrase_sharded(shards, t, k=kk,
-                                                 query_id=q))
+            out.extend(r for q, t, kk, _ in qs
+                       for r in search_phrase_sharded(shards, t, k=kk,
+                                                      query_id=q))
         else:
             out.extend(search_rows_sharded(
                 shards, [(q, t, k) for q, t, k, _ in qs],
@@ -298,7 +283,7 @@ def ivf_topk_sharded(spark, index_dirs: list[str], probe: list[float],
     parts = [ivf_topk(spark, d, probe, k, nprobe=nprobe, id_col=id_col,
                       vec_col=vec_col, exclude=exclude,
                       tombstones_from=t, filters=filters,
-                      metadata=metadata)
+                      metadata=metadata, centroids=cents[0])
              for d, t in zip(index_dirs, ts)]
     out = parts[0]
     for p in parts[1:]:

@@ -416,7 +416,8 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
           .select("doc_id", "dl", F.col("e.terms").alias("term"),
                   F.col("e.tfs").alias("tf")))
     seg = merge_segments(build_segments(dt, avgdl_new, rsize, codec=codec,
-                                        block_size=block_size))
+                                        block_size=block_size),
+                         n_buckets=int(base["n_buckets"]))
     # idempotent per epoch: every epoch-scoped artifact is an overwrite of
     # an epoch-keyed directory (segments chunk dir, docs chunk dir,
     # dictionary partial, manifest row), so re-delivery of a batch
@@ -437,14 +438,15 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         # epoch converges; phrase queries see streamed docs immediately
         from ..plans.positions import write_positions
         write_positions(spark, rows.select("doc_id", "content"),
-                        index_dir, chunk=this_chunk)
+                        index_dir, chunk=this_chunk,
+                        n_buckets=int(base["n_buckets"]))
     # per-epoch dictionary PARTIAL (readers sum df/cf per term across
     # chunk partials) — replaces the r2 full-dictionary rewrite that
     # rescanned every segment each epoch; read back this epoch's chunk
     # (already in page cache) rather than recompute the segment plan
     from ..operators.postings import dictionary_from_segments
     seg_chunk = spark.read.parquet(f"{index_dir}/segments/chunk={this_chunk}")
-    (dictionary_from_segments(seg_chunk)
+    (dictionary_from_segments(seg_chunk, n_buckets=int(base["n_buckets"]))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{index_dir}/dictionary/chunk={this_chunk}"))
     # cap probe cost: once enough committed stream partials accumulate,

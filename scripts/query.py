@@ -117,8 +117,9 @@ def main() -> None:
         res = facet_counts(idx, a.query, a.facet_counts, mode=a.mode,
                            filters=filters)
     elif a.phrase:
-        if a.queries or filters:
-            ap.error("--phrase takes a single --query and no --filter")
+        if a.queries or filters or a.snippets:
+            ap.error("--phrase takes a single --query and no "
+                     "--filter/--facet-counts/--snippets")
         from donkey_spark.plans.query import _RESULT_SCHEMA
         res = spark.createDataFrame(
             idx.search_phrase(a.query, k=a.k, slop=a.slop), _RESULT_SCHEMA)

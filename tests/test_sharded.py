@@ -348,6 +348,18 @@ def test_ivf_federation_shared_quantizer_is_bit_equal(spark, tmp_path):
                 (j, extra)
             assert len(want) > 0
 
+    # a shard built from a trained index's own stored quantizer must
+    # store it BIT-EQUAL (r5 fourth review: re-normalizing a rounded
+    # unit vector can flip 9th-decimal digits — canonical input is
+    # accepted verbatim, non-normalized input still canonicalizes)
+    from donkey_spark.pipeline.ivf import (_accept_quantizer, _normalize,
+                                           read_centroids)
+    stored = read_centroids(spark, str(tmp_path / "uni"))
+    assert np.array_equal(_accept_quantizer(stored), stored)
+    assert np.array_equal(read_centroids(spark, dirs[0]), stored)
+    assert np.array_equal(_accept_quantizer(stored * 3.0),
+                          _normalize(stored * 3.0))
+
     # separately-trained shard (different quantizer) must be refused
     rogue = str(tmp_path / "rogue")
     build_ivf_index(df.where(F.col("vec_id") % 2 == 1), rogue,

@@ -424,15 +424,30 @@ def test_stale_meta_keeps_pruning_safe(spark, tmp_path):
 
 
 def test_meta_rewrites_preserve_n_buckets(spark, up_setup, monkeypatch):
-    """r5 third review: n_buckets is a layout property fixed at build
-    time. A meta rewrite (epoch append, reconcile) must carry the
-    index's own value even if config.N_BUCKETS has since changed —
-    stamping the constant would re-route term probes into wrong dirs."""
+    """r5 third/fourth review: n_buckets is a layout property fixed at
+    build time. After config.N_BUCKETS changes, an epoch append must
+    (a) keep meta on the index's own value AND (b) write its segment /
+    dictionary chunks at that value's bucket assignment — stamping or
+    bucketing by the new constant would leave the appended documents
+    present in docs but unsearchable (readers probe crc32 % meta's
+    n_buckets). The constant is def-time bound in term_bucket_col's
+    default, so the 'recompiled with a new constant' world is simulated
+    by patching both the config attr and that default."""
     from donkey_spark import config
+    from donkey_spark.operators import postings
+    from donkey_spark.plans.query import Index
     from donkey_spark.plans.upsert import upsert_docs
     out, pdf, _ = up_setup
     built = spark.read.parquet(f"{out}/meta").collect()[0]["n_buckets"]
     monkeypatch.setattr(config, "N_BUCKETS", built * 2)
-    upsert_docs(spark, out, _patched(spark, pdf))
+    monkeypatch.setattr(postings.term_bucket_col, "__defaults__",
+                        (built * 2,))
+    patched = _patched(spark, pdf)
+    n_patch = patched.count()
+    upsert_docs(spark, out, patched)
     after = spark.read.parquet(f"{out}/meta").collect()[0]["n_buckets"]
     assert after == built
+    hits = Index(spark, out).search_rows(
+        [(0, "upserted_marker", 10 * n_patch)])
+    assert len(hits) == n_patch          # the epoch's postings are
+    # reachable through the reader's (meta-derived) bucket probe
