@@ -28,15 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (67 since
+    """One entry per implemented ◇ operator from SURVEY.md §2 (70 since
     r5 — adds the metadata-filtered ANN, exact-phrase, embedding- and
     simhash-near-dup pairs, the IVF coarse-quantizer ANN, hybrid
     BM25+ANN reciprocal-rank fusion, near-dup connected-component
     clusters, more-like-this, facet histograms (plain and filtered),
-    snippets, upsert, facet backfill, and the federated sharded
-    surfaces: ranked, phrase, LSH-ANN and shared-quantizer IVF search
-    over shard indexes; the ANN pairs certify the production
-    mapInArrow kernels), all oracle-backed."""
+    snippets, upsert, facet backfill, prefix/fuzzy dictionary-expansion
+    queries (unified AND federated — the oracle re-derives the
+    expansion ranking in SQL), and the federated sharded surfaces:
+    ranked, phrase, LSH-ANN and shared-quantizer IVF search over shard
+    indexes; the ANN pairs certify the production mapInArrow kernels),
+    all oracle-backed."""
     from donkey_spark.contract import QUERIES
     return dict(QUERIES)
 

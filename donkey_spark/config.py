@@ -39,6 +39,15 @@ DICT_MERGE_MIN_PARTIALS = 16
 #: scalable two-phase range assignment (operators/doc_ids.py) takes over
 #: so the whole backlog never sorts on one partition (r4 VERDICT)
 STREAM_ID_GATE_ROWS = 50_000
+#: query patterns (functions/patterns.py): a prefix/fuzzy atom expands
+#: to at most this many dictionary terms, ranked (df DESC, term ASC) —
+#: the deterministic analog of Lucene's top-terms rewrite
+MAX_TERM_EXPANSIONS = 64
+#: federation stats phase needs UNCAPPED per-shard candidate lists (a
+#: term just under one shard's cap can be over it globally); refuse
+#: pathological patterns (e.g. `a*` over a 10^8-term dictionary) past
+#: this many matches instead of silently flooding the driver
+MAX_EXPANSION_CANDIDATES = 100_000
 
 
 def default_range_size(n_docs: int) -> int:

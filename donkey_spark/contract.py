@@ -76,6 +76,35 @@ BM25_PHRASE_QUERIES: list[tuple[int, str, int]] = [
     (4, "spark zz_oov_token", 5),
 ]
 
+#: prefix-pattern query set (§2.14 T22). The cap of 3 BINDS on `s*`
+#: (six dictionary terms start with s), so the pair certifies the
+#: (df DESC, term ASC) expansion ranking itself — the winning three
+#: differ between scale factors because dfs are data-dependent. `qq*`
+#: matches nothing (the query degrades to its literal), `zz*` matches
+#: nothing at all (zero rows on both engines).
+BM25_PREFIX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "s* filter", 10),
+    (1, "c* order", 10),
+    (2, "gr* merge", 10),
+    (3, "qq* window", 10),
+    (4, "va* ke* big", 10),
+    (5, "zz* the", 5),
+]
+PREFIX_EXPANSION_CAP = 3
+
+#: fuzzy-pattern query set (§2.14 T22) — each ~D atom expands via edit
+#: distance over the dictionary (engine: banded DP / Spark levenshtein;
+#: oracle: DuckDB levenshtein). `dup~1` hits the rare tail term, and
+#: `zzzz~1` matches nothing (the query degrades to its literal).
+BM25_FUZZY_QUERIES: list[tuple[int, str, int]] = [
+    (0, "joun~1 filter", 10),
+    (1, "tabel~2 agg", 10),
+    (2, "dup~1 line", 10),
+    (3, "zzzz~1 window", 10),
+    (4, "vektor~2 strean~1", 10),
+    (5, "kei~1 rows~1 fast", 10),
+]
+
 _INDEX_CACHE: dict[str, str] = {}
 
 
@@ -358,6 +387,64 @@ def q_bm25_topk_sharded(spark, sf_dir):
     # re-rank on the ROUNDED score like every bm25 pair (tie-break
     # (repo, path) == the unified index's doc_id order, since dense ids
     # are assigned in key order)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "repo", "path"))
+
+
+def _rank_rows(spark, rows):
+    """Shared tail for rows-returning BM25 pairs: re-rank on the ROUNDED
+    score with doc_id tie-break (same contract as the flagship)."""
+    df = spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double, "
+              "repo string, path string")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
+def q_bm25_topk_prefix(spark, sf_dir):
+    """§2.14 T22 — prefix patterns (Lucene PrefixQuery analog): each
+    `foo*` atom expands against the index DICTIONARY to the matching
+    terms ranked (df DESC, term ASC), capped at 3 so the ranking binds,
+    then scores as a plain OR multi-term query (per-term idf). The
+    DuckDB twin re-derives the expansion from its own dfreq CTE —
+    ranking, cap, scoring and all (_pattern_qset_sql)."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    return _rank_rows(spark, idx.search_rows_pattern(
+        BM25_PREFIX_QUERIES, max_expansions=PREFIX_EXPANSION_CAP))
+
+
+def q_bm25_topk_fuzzy(spark, sf_dir):
+    """§2.14 T22 — fuzzy patterns (Lucene FuzzyQuery analog): `term~D`
+    expands to dictionary terms within edit distance D (≤2), via the
+    banded DP (driver-local path) or Spark's codegen levenshtein
+    (distributed path); the DuckDB twin uses ITS levenshtein over the
+    recomputed dfreq. Same rewrite-to-OR scoring as the prefix pair."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    return _rank_rows(spark, idx.search_rows_pattern(BM25_FUZZY_QUERIES))
+
+
+def q_bm25_topk_prefix_sharded(spark, sf_dir):
+    """§2.14 T22+T21 — prefix patterns over the FEDERATION: expansion
+    is computed over the UNION of the shards' dictionaries (uncapped
+    per-shard candidates, dfs summed across shards, ranked and capped
+    ONCE globally), so the federated rewrite — and therefore the
+    ranking — is identical to one index over the union; compared
+    against the SAME unified DuckDB prefix oracle, key-identified."""
+    from .plans.query import Index
+    from .plans.sharded import RESULT_SCHEMA, search_pattern_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = search_pattern_sharded(shards, BM25_PREFIX_QUERIES,
+                                  max_expansions=PREFIX_EXPANSION_CAP)
+    df = spark.createDataFrame(rows, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
     return (df.withColumn("rank", F.row_number().over(w))
@@ -1452,7 +1539,8 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
                      keep_sql: str | None = None,
                      phrase: bool = False,
                      pre_cte: str = "",
-                     ordered_sql: str = _ORDERED_SQL) -> str:
+                     ordered_sql: str = _ORDERED_SQL,
+                     qset_sql: str | None = None) -> str:
     """From-first-principles DuckDB BM25 over the documents view for the
     given query set; conjunctive=True keeps only docs matched by EVERY
     query term (HAVING count = per-query term count); deleted_pred (a
@@ -1477,6 +1565,11 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
     vals = ",\n  ".join(
         f"({qid}, '{t}', {k})"
         for qid, text, k in queries for t in sorted(set(tokenize_py(text))))
+    # pattern pairs derive qset IN SQL (expansion ranked over dfreq)
+    # instead of the literal VALUES — see _pattern_qset_sql
+    qset_block = qset_sql or f"""qset(query_id, term, k) AS (VALUES
+  {vals}
+)"""
     qn_cte = (", qn AS (SELECT query_id, count(*) AS nt FROM qset "
               "GROUP BY 1)" if conjunctive else "")
     qn_join = " JOIN qn ON qn.query_id = q.query_id" if conjunctive else ""
@@ -1510,9 +1603,7 @@ WITH {pre_cte}ordered AS (
                  / (SELECT count(*) FROM ordered) FROM dl2) AS avgdl
 ), dfreq AS (
   SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1
-), qset(query_id, term, k) AS (VALUES
-  {vals}
-){qn_cte}{phrase_cte}, scored AS (
+), {qset_block}{qn_cte}{phrase_cte}, scored AS (
   SELECT q.query_id, q.k, dt.d AS doc_id,
          sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
               * dt.tf * 2.2
@@ -1535,6 +1626,46 @@ WITH {pre_cte}ordered AS (
 SELECT query_id, rank::INT AS rank, doc_id, score
 FROM ranked WHERE rank <= k
 """
+
+
+def _pattern_qset_sql(queries: list[tuple[int, str, int]],
+                      cap: int) -> str:
+    """The qset override for pattern pairs (§2.14 T22): the oracle
+    derives each pattern's expansion IN SQL — matching terms from the
+    from-first-principles ``dfreq`` CTE, ranked (df DESC, term ASC),
+    capped at ``cap`` — and unions them with the literal tokens, so the
+    expansion RANKING itself (not just the scoring of a hand-fed term
+    list) is certified against DuckDB. ``levenshtein`` here is DuckDB's
+    built-in; the engine uses Spark's JVM ``levenshtein`` (distributed
+    path) or the banded DP in functions/patterns.py (local path) — all
+    three compute the same classic unit-cost edit distance."""
+    from .functions.patterns import parse_pattern_text
+    from .functions.tokenize import tokenize_py
+    lit_rows, pat_rows = [], []
+    for qid, text, k in queries:
+        lit_text, pats = parse_pattern_text(text)
+        lit_rows.extend(f"({qid}, '{t}', {k})"
+                        for t in sorted(set(tokenize_py(lit_text))))
+        pat_rows.extend(f"({qid}, '{kind[0]}', '{base}', {dist}, {k})"
+                        for kind, base, dist in pats)
+    assert lit_rows and pat_rows, "pattern pairs mix literals + patterns"
+    return f"""qlit(query_id, term, k) AS (VALUES
+  {",".join(lit_rows)}
+), qpat(query_id, kind, pat, dist, k) AS (VALUES
+  {",".join(pat_rows)}
+), qexp AS (
+  SELECT p.query_id, f.term, p.k,
+         row_number() OVER (
+           PARTITION BY p.query_id, p.kind, p.pat, p.dist
+           ORDER BY f.df DESC, f.term) AS rn
+  FROM qpat p JOIN dfreq f ON
+       (p.kind = 'p' AND starts_with(f.term, p.pat))
+    OR (p.kind = 'f' AND levenshtein(f.term, p.pat) <= p.dist)
+), qset AS (
+  SELECT query_id, term, k FROM qlit
+  UNION
+  SELECT query_id, term, k FROM qexp WHERE rn <= {cap}
+)"""
 
 
 _BM25_ORACLE = _bm25_oracle_sql(BM25_QUERIES)
@@ -1562,6 +1693,15 @@ _BM25_SHARDED_ORACLE = _sharded_wrap(_BM25_ORACLE)
 _BM25_AND_ORACLE = _bm25_oracle_sql(BM25_AND_QUERIES, conjunctive=True)
 _BM25_PHRASE_ORACLE = _bm25_oracle_sql(BM25_PHRASE_QUERIES, phrase=True)
 _BM25_PHRASE_SHARDED_ORACLE = _sharded_wrap(_BM25_PHRASE_ORACLE)
+_BM25_PREFIX_ORACLE = _bm25_oracle_sql(
+    BM25_PREFIX_QUERIES,
+    qset_sql=_pattern_qset_sql(BM25_PREFIX_QUERIES, PREFIX_EXPANSION_CAP))
+from .config import MAX_TERM_EXPANSIONS as _EXP_CAP  # noqa: E402
+
+_BM25_FUZZY_ORACLE = _bm25_oracle_sql(
+    BM25_FUZZY_QUERIES,
+    qset_sql=_pattern_qset_sql(BM25_FUZZY_QUERIES, _EXP_CAP))
+_BM25_PREFIX_SHARDED_ORACLE = _sharded_wrap(_BM25_PREFIX_ORACLE)
 _BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
                                         deleted_pred="doc_id % 7 = 0")
 #: facet value the filtered-search pair pins (present at every sf)
@@ -2060,6 +2200,9 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_and": _BM25_AND_ORACLE,
     "bm25_phrase_topk": _BM25_PHRASE_ORACLE,
     "bm25_phrase_sharded": _BM25_PHRASE_SHARDED_ORACLE,
+    "bm25_topk_prefix": _BM25_PREFIX_ORACLE,
+    "bm25_topk_fuzzy": _BM25_FUZZY_ORACLE,
+    "bm25_topk_prefix_sharded": _BM25_PREFIX_SHARDED_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "bm25_topk_filtered_or": _BM25_FILTERED_OR_ORACLE,
@@ -2241,6 +2384,9 @@ QUERIES = {
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_phrase_sharded": q_bm25_phrase_sharded,
+    "bm25_topk_prefix": q_bm25_topk_prefix,
+    "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
+    "bm25_topk_prefix_sharded": q_bm25_topk_prefix_sharded,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_filtered_or": q_bm25_topk_filtered_or,
     "bm25_topk_filtered_not": q_bm25_topk_filtered_not,

@@ -489,8 +489,13 @@ class Index:
                 kind, vals = normalize_filter_spec(c, v)
                 facet_groups.append((kind, [f"\x01{c}={x}" for x in vals]))
         facet_terms = [t for _, g in facet_groups for t in g]
-        parsed = {qid: (sorted(set(tokenize_py(text))), k)
-                  for qid, text, k in queries}
+        # a query's text may instead be a pre-resolved term LIST (the
+        # pattern-expansion and federation paths resolve terms before
+        # planning); strings go through the §T tokenizer as ever
+        parsed = {qid: (sorted(set(q)) if isinstance(q, (list, tuple,
+                                                         set, frozenset))
+                        else sorted(set(tokenize_py(q))), k)
+                  for qid, q, k in queries}
         all_terms = sorted({t for ts, _ in parsed.values() for t in ts}
                            | set(facet_terms))
         dfs = self._lookup_terms(all_terms)
@@ -809,11 +814,173 @@ class Index:
                 out.extend(r for q, t, kk, _ in qs
                            for r in self.search_phrase(t, k=kk,
                                                        query_id=q))
+            elif mode == "pattern":   # r5: prefix/fuzzy expansion specs
+                out.extend(self.search_rows_pattern(
+                    [(q, t, k) for q, t, k, _ in qs],
+                    filters=qs[0][3]))
             else:
                 out.extend(self.search_rows(
                     [(q, t, k) for q, t, k, _ in qs],
                     mode=mode, filters=qs[0][3]))
         return sorted(out)
+
+    # -- dictionary-expansion queries (prefix / fuzzy; §2.14 T22) ----------
+    def expand_pattern(self, kind: str, base: str, dist: int = 0,
+                       max_expansions: int | None = None
+                       ) -> list[tuple[str, int]]:
+        """Matching dictionary terms for one pattern atom, ranked
+        (df DESC, term ASC) and capped at ``max_expansions`` (None →
+        config.MAX_TERM_EXPANSIONS): ``("prefix", "va")`` matches every
+        term starting with ``va``; ``("fuzzy", "joun", 1)`` every term
+        within edit distance 1. Returns ``[(term, df)]`` with df summed
+        across dictionary chunks — exactly what ``_lookup_terms`` would
+        report for the same terms (the dfs are memoized so the ensuing
+        search never re-probes them).
+
+        Cost shape: a prefix is a TERM-RANGE scan of the dictionary —
+        pyarrow prunes row groups by term min/max stats on the local
+        path, Spark pushes the range predicate into the parquet scan on
+        the distributed path; it never touches segments. Fuzzy scans
+        the dictionary's term column (length-banded, then a banded DP /
+        codegen ``levenshtein``) — O(|dictionary|) work but on the
+        index's SMALLEST table, one Spark job at any corpus size."""
+        from ..config import MAX_TERM_EXPANSIONS
+        cap = MAX_TERM_EXPANSIONS if max_expansions is None else max_expansions
+        cand = self._expand_candidates(kind, base, dist)
+        ranked = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+        for t, df in ranked:
+            self._df_memo.setdefault(t, df)
+        return ranked
+
+    def _expand_candidates(self, kind: str, base: str,
+                           dist: int) -> dict[str, int]:
+        """UNCAPPED term → summed-df for one pattern (memoized per
+        Index; the federation's stats phase needs the full candidate
+        set — see plans/sharded.search_pattern_sharded). Guarded by
+        config.MAX_EXPANSION_CANDIDATES against patterns that match a
+        dictionary-sized term set."""
+        from ..config import MAX_EXPANSION_CANDIDATES as HARD
+        from ..functions.patterns import (levenshtein_py,
+                                          prefix_upper_bound)
+        if kind not in ("prefix", "fuzzy"):
+            raise ValueError(f"unknown pattern kind {kind!r}")
+        if not hasattr(self, "_exp_memo"):
+            self._exp_memo: dict[tuple, dict[str, int]] = {}
+        key = (kind, base, dist)
+        if key in self._exp_memo:
+            return self._exp_memo[key]
+        active = self._active_dict_chunks()
+        found: dict[str, int] = {}
+        if self.local_bytes > 0:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as ds
+            if kind == "prefix":
+                filt = ((ds.field("term") >= base)
+                        & (ds.field("term") < prefix_upper_bound(base)))
+                if active is not None:
+                    filt &= ds.field("chunk").isin(active)
+                tbl = self._pa_dataset("dictionary").to_table(
+                    columns=["term", "df"], filter=filt)
+                terms = tbl["term"].to_pylist()
+                dfs = tbl["df"].to_pylist()
+            else:
+                filt = (ds.field("chunk").isin(active)
+                        if active is not None else None)
+                tbl = self._pa_dataset("dictionary").to_table(
+                    columns=["term", "df"], filter=filt)
+                # length band first (vectorized), DP only on the slice
+                ln = pc.utf8_length(tbl["term"])
+                mask = pc.and_(pc.greater_equal(ln, len(base) - dist),
+                               pc.less_equal(ln, len(base) + dist))
+                tbl = tbl.filter(mask)
+                terms, dfs = [], []
+                for t, d in zip(tbl["term"].to_pylist(),
+                                tbl["df"].to_pylist()):
+                    if levenshtein_py(base, t, dist) <= dist:
+                        terms.append(t)
+                        dfs.append(d)
+            for t, d in zip(terms, dfs):
+                found[t] = found.get(t, 0) + int(d)
+                if len(found) > HARD:
+                    raise ValueError(
+                        f"pattern {base!r} ({kind}) matches more than "
+                        f"{HARD} dictionary terms; use a longer "
+                        f"prefix/smaller distance")
+        else:
+            d = self._dict
+            if active is not None:
+                d = d.where(F.col("chunk").isin(active))
+            if kind == "prefix":
+                d = d.where((F.col("term") >= base)
+                            & (F.col("term") < prefix_upper_bound(base)))
+            else:
+                d = d.where(
+                    F.length("term").between(len(base) - dist,
+                                             len(base) + dist)
+                    & (F.levenshtein(F.lit(base), F.col("term")) <= dist))
+            rows = (d.groupBy("term").agg(F.sum("df").alias("df"))
+                    .limit(HARD + 1).collect())
+            if len(rows) > HARD:
+                raise ValueError(
+                    f"pattern {base!r} ({kind}) matches more than "
+                    f"{HARD} dictionary terms; use a longer "
+                    f"prefix/smaller distance")
+            found = {r["term"]: int(r["df"]) for r in rows}
+        self._exp_memo[key] = found
+        return found
+
+    def resolve_pattern_terms(self, queries: list[tuple[int, str, int]],
+                              max_expansions: int | None = None,
+                              expansions: dict | None = None
+                              ) -> list[tuple[int, list[str], int]]:
+        """Rewrite pattern queries to term-list queries: each query's
+        terms = its literal tokens ∪ the capped expansion of each of
+        its pattern atoms. ``expansions`` overrides the per-pattern
+        expansion lists ({(kind, base, dist): [terms]}) — the
+        federation passes GLOBALLY-ranked expansions so every shard
+        rewrites identically."""
+        from ..functions.patterns import parse_pattern_text
+        resolved = []
+        for qid, text, k in queries:
+            lit_text, pats = parse_pattern_text(text)
+            terms = set(tokenize_py(lit_text))
+            for kind, base, dist in pats:
+                if expansions is not None:
+                    terms.update(expansions[(kind, base, dist)])
+                else:
+                    terms.update(t for t, _ in self.expand_pattern(
+                        kind, base, dist, max_expansions))
+            resolved.append((qid, sorted(terms), k))
+        return resolved
+
+    def search_rows_pattern(self, queries: list[tuple[int, str, int]],
+                            filters: dict | None = None,
+                            max_expansions: int | None = None,
+                            stats: dict | None = None,
+                            expansions: dict | None = None
+                            ) -> list[tuple]:
+        """`search_rows` for queries whose text may contain pattern
+        atoms — trailing-``*`` prefixes (``va*``) and fuzzy terms
+        (``joun~1``, ``tabel~2``). Each pattern expands against the
+        dictionary (df-ranked, capped — see ``expand_pattern``) and the
+        query runs as a plain disjunctive multi-term query over
+        literal ∪ expanded terms, each term scored with its own df
+        (Lucene's per-term-idf multi-term rewrite). Same row shape,
+        filters and tombstone semantics as ``search_rows``; OR mode
+        only (a pattern is itself a disjunction — nesting it under AND
+        needs disjunction groups the block-intersection kernel does
+        not model)."""
+        return self.search_rows(
+            self.resolve_pattern_terms(queries, max_expansions,
+                                       expansions),
+            mode="or", filters=filters, stats=stats)
+
+    def search_pattern(self, text: str, k: int = 10,
+                       filters: dict | None = None,
+                       max_expansions: int | None = None) -> list[tuple]:
+        """Single-query convenience over ``search_rows_pattern``."""
+        return self.search_rows_pattern([(0, text, k)], filters=filters,
+                                        max_expansions=max_expansions)
 
     def _pa_dataset(self, sub: str):
         """Memoized pyarrow dataset handles (file discovery is per-Index,

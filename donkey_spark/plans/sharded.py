@@ -109,24 +109,76 @@ def search_rows_sharded(shards, queries: list[tuple[int, str, int]],
     dictionary — shards must share the facet schema)."""
     terms = [t for _, text, _ in queries for t in tokenize_py(text)]
     stats = global_stats(shards, terms)
-    ks = {qid: k for qid, _, k in queries}
-    merged: dict[int, list] = {}
     per_shard = _fanout(
         lambda idx: idx.search_rows(queries, mode=mode,
                                     filters=filters, stats=stats),
         shards)
+    return _merge_ranked(per_shard, {qid: k for qid, _, k in queries})
+
+
+def _merge_ranked(per_shard: list[list[tuple]],
+                  ks: dict[int, int]) -> list[tuple]:
+    """Exact federation merge: ≤ shards·k rows per query, re-ranked on
+    (score desc, repo, path) — which equals the unified index's
+    (score desc, doc_id) tie-break by the dense-id construction."""
+    merged: dict[int, list] = {}
     for si, rows in enumerate(per_shard):
         for qid, _, did, score, repo, path in rows:
             merged.setdefault(qid, []).append((score, repo, path, si, did))
     out = []
     for qid in sorted(merged):
-        # (score desc, repo, path) == the unified index's
-        # (score desc, doc_id) — see module docstring
         rows = sorted(merged[qid],
                       key=lambda r: (-r[0], r[1], r[2]))[:ks[qid]]
         out.extend((qid, rk + 1, si, did, score, repo, path)
                    for rk, (score, repo, path, si, did) in enumerate(rows))
     return out
+
+
+def search_pattern_sharded(shards, queries: list[tuple[int, str, int]],
+                           filters: dict | None = None,
+                           max_expansions: int | None = None
+                           ) -> list[tuple]:
+    """Prefix/fuzzy pattern queries over the federation (§2.14 T22 —
+    `Index.search_rows_pattern`'s sharded twin). Expansion must be
+    GLOBAL to stay shard-count-invariant: each pattern's candidate set
+    is the UNCAPPED union of every shard's matches with dfs summed
+    across shards (a term just under one shard's df cap can be over it
+    globally), ranked (global df DESC, term ASC) and capped ONCE — then
+    every shard rewrites its queries with the SAME expansion lists and
+    ranks with the global stats, so results are identical to one index
+    over the union. Stats-phase cost: O(shards · matches-per-pattern)
+    driver rows, bounded by config.MAX_EXPANSION_CANDIDATES."""
+    from ..config import MAX_TERM_EXPANSIONS
+    from ..functions.patterns import parse_pattern_text
+    cap = MAX_TERM_EXPANSIONS if max_expansions is None else max_expansions
+    lit_terms: list[str] = []
+    pats: set[tuple] = set()
+    for _, text, _ in queries:
+        lit_text, qpats = parse_pattern_text(text)
+        lit_terms.extend(tokenize_py(lit_text))
+        pats.update(qpats)
+    # global candidate sets per pattern: Σ-shard dfs, ranked, capped
+    expansions: dict[tuple, list[str]] = {}
+    exp_dfs: dict[str, int] = {}
+    for key in sorted(pats):
+        cand: dict[str, int] = {}
+        for shard_cand in _fanout(
+                lambda s: s._expand_candidates(*key), shards):
+            for t, df in shard_cand.items():
+                cand[t] = cand.get(t, 0) + int(df)
+        ranked = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+        expansions[key] = [t for t, _ in ranked]
+        exp_dfs.update(ranked)
+    stats = global_stats(shards, lit_terms)
+    # expansion dfs are already global sums — inject them so no shard
+    # re-probes (or worse, ranks) with a local df
+    stats["dfs"].update(exp_dfs)
+    per_shard = _fanout(
+        lambda idx: idx.search_rows_pattern(queries, filters=filters,
+                                            stats=stats,
+                                            expansions=expansions),
+        shards)
+    return _merge_ranked(per_shard, {qid: k for qid, _, k in queries})
 
 
 def open_shards(spark, index_dirs: list[str], **index_opts) -> list:
@@ -164,6 +216,10 @@ def search_rows_mixed_sharded(shards, specs: list[tuple]) -> list[tuple]:
             out.extend(r for q, t, kk, _ in qs
                        for r in search_phrase_sharded(shards, t, k=kk,
                                                       query_id=q))
+        elif mode == "pattern":
+            out.extend(search_pattern_sharded(
+                shards, [(q, t, k) for q, t, k, _ in qs],
+                filters=qs[0][3]))
         else:
             out.extend(search_rows_sharded(
                 shards, [(q, t, k) for q, t, k, _ in qs],

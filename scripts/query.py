@@ -24,8 +24,16 @@ def main() -> None:
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--queries", default=None,
                     help="parquet with (query_id, query, k)")
-    ap.add_argument("--mode", default="or", choices=["or", "and"],
-                    help="'and' = docs must contain EVERY query term")
+    ap.add_argument("--mode", default="or", choices=["or", "and",
+                                                     "pattern"],
+                    help="'and' = docs must contain EVERY query term; "
+                         "'pattern' = query atoms may be prefix (va*) "
+                         "or fuzzy (joun~1) patterns, expanded against "
+                         "the dictionary (df-ranked, capped)")
+    ap.add_argument("--max-expansions", type=int, default=None,
+                    help="with --mode pattern: per-pattern dictionary "
+                         "expansion cap (default config.MAX_TERM_"
+                         "EXPANSIONS)")
     ap.add_argument("--phrase", action="store_true",
                     help="treat --query as an exact phrase (index must be "
                          "built with --positions); ranks the docs whose "
@@ -103,6 +111,13 @@ def main() -> None:
                 open_shards(spark, a.shards.split(",")),
                 spark.read.parquet(a.snippets), batch,
                 window=a.window, mode=a.mode, filters=filters)
+        elif a.mode == "pattern":
+            from donkey_spark.plans.sharded import search_pattern_sharded
+            res = spark.createDataFrame(
+                search_pattern_sharded(
+                    open_shards(spark, a.shards.split(",")), batch,
+                    filters=filters, max_expansions=a.max_expansions),
+                RESULT_SCHEMA)
         else:
             res = search_sharded(spark, a.shards.split(","), batch,
                                  mode=a.mode, filters=filters)
@@ -128,6 +143,12 @@ def main() -> None:
         corpus = spark.read.parquet(a.snippets)
         res = search_snippets(idx, corpus, batch, window=a.window,
                               mode=a.mode, filters=filters)
+    elif a.mode == "pattern":
+        from donkey_spark.plans.query import _RESULT_SCHEMA
+        res = spark.createDataFrame(
+            idx.search_rows_pattern(batch, filters=filters,
+                                    max_expansions=a.max_expansions),
+            _RESULT_SCHEMA)
     else:
         res = idx.search_batch(batch, mode=a.mode, filters=filters)
     if a.out:

@@ -1,0 +1,262 @@
+"""Dictionary-expansion queries (§2.14 T22): prefix (`foo*`) and fuzzy
+(`bar~1`) patterns must expand exactly (df-ranked, capped, brute-force-
+checkable), rewrite to plain OR queries, compose with filters and
+upserted chunks, and stay shard-count-invariant under the federation's
+GLOBAL expansion."""
+
+from collections import Counter
+
+import pytest
+
+from donkey_spark.functions.patterns import (levenshtein_py,
+                                             parse_pattern_text,
+                                             prefix_upper_bound)
+from donkey_spark.functions.tokenize import tokenize_py
+from fixtures.gen_corpus import gen_corpus
+
+
+def _vocab_df(pdf) -> Counter:
+    """Brute-force term -> document frequency over a corpus frame."""
+    c: Counter = Counter()
+    for content in pdf["content"]:
+        c.update(set(tokenize_py(content)))
+    return c
+
+
+def _brute_expand(vocab: Counter, kind, base, dist, cap):
+    if kind == "prefix":
+        m = [t for t in vocab if t.startswith(base)]
+    else:
+        m = [t for t in vocab if levenshtein_py(base, t, dist) <= dist]
+    return sorted(((t, vocab[t]) for t in m),
+                  key=lambda kv: (-kv[1], kv[0]))[:cap]
+
+
+@pytest.fixture(scope="module")
+def pat_setup(spark, tmp_path_factory):
+    from donkey_spark.plans.build import build_index
+    base = tmp_path_factory.mktemp("pattern")
+    pdf = gen_corpus(240, seed=47)
+    build_index(spark, spark.createDataFrame(pdf), str(base / "idx"),
+                range_size=64, facets=("lang",))
+    shard_dirs = []
+    for i in (0, 1, 2):
+        build_index(spark, spark.createDataFrame(pdf[pdf.index % 3 == i]),
+                    str(base / f"s{i}"), range_size=64, facets=("lang",))
+        shard_dirs.append(str(base / f"s{i}"))
+    return str(base / "idx"), shard_dirs, pdf
+
+
+# -- grammar ---------------------------------------------------------------
+
+def test_parse_pattern_text():
+    lit, pats = parse_pattern_text("Foo* bar BAZ~2 plain qux~0")
+    assert lit == "bar plain"
+    assert pats == [("prefix", "foo", 0), ("fuzzy", "baz", 2),
+                    ("fuzzy", "qux", 0)]
+    for bad in ("*foo", "fo*o", "foo**", "bar~3", "bar~", "~1", "a-b*"):
+        with pytest.raises(ValueError):
+            parse_pattern_text(f"ok {bad}")
+
+
+def test_prefix_upper_bound_brackets_exactly():
+    for p in ("s", "sca", "a_", "z9", "zz"):
+        hi = prefix_upper_bound(p)
+        assert p < p + "a" < hi          # prefixed strings fall inside
+        assert not (p[:-1] + chr(ord(p[-1]) + 1) + "a" < hi)
+
+
+# -- expansion exactness ----------------------------------------------------
+
+CASES = [("prefix", "re", 0), ("prefix", "s", 0), ("prefix", "de", 0),
+         ("fuzzy", "return", 1), ("fuzzy", "clasz", 1),
+         ("fuzzy", "window", 2), ("fuzzy", "def", 0)]
+
+
+def test_expansion_matches_bruteforce(spark, pat_setup):
+    from donkey_spark.plans.query import Index
+    idx_dir, _, pdf = pat_setup
+    vocab = _vocab_df(pdf)
+    idx = Index(spark, idx_dir)
+    dist_idx = Index(spark, idx_dir, local_bytes=0)
+    for kind, base, dist in CASES:
+        want_all = _brute_expand(vocab, kind, base, dist, cap=10**9)
+        assert idx.expand_pattern(kind, base, dist,
+                                  max_expansions=10**9) == want_all
+        # cap must keep the (df DESC, term ASC) head, on BOTH probe paths
+        assert idx.expand_pattern(kind, base, dist,
+                                  max_expansions=5) == want_all[:5]
+        assert dist_idx.expand_pattern(kind, base, dist,
+                                       max_expansions=5) == want_all[:5]
+    assert vocab["return"] >= 5          # fixture sanity: real expansions
+
+
+def test_pattern_search_is_the_or_rewrite(spark, pat_setup):
+    from donkey_spark.plans.query import Index
+    idx_dir, _, _ = pat_setup
+    idx = Index(spark, idx_dir)
+    qs = [(0, "re* filter", 10), (1, "clasz~1 import", 7)]
+    manual = []
+    for qid, text, k in qs:
+        lit, pats = parse_pattern_text(text)
+        terms = set(tokenize_py(lit))
+        for kind, base, dist in pats:
+            terms.update(t for t, _ in idx.expand_pattern(kind, base, dist))
+        manual.append((qid, sorted(terms), k))
+    assert idx.search_rows_pattern(qs) == idx.search_rows(manual)
+    got = idx.search_rows_pattern(qs)
+    assert got and {q for q, *_ in got} == {0, 1}
+
+
+def test_pattern_filters_compose(spark, pat_setup):
+    from donkey_spark.plans.query import Index
+    idx_dir, _, _ = pat_setup
+    idx = Index(spark, idx_dir)
+    qs = [(0, "re* scan", 10)]
+    flt = {"lang": ["py", "go"]}
+    got = idx.search_rows_pattern(qs, filters=flt)
+    assert got                            # fixture sanity
+    # filtered results = unfiltered scores restricted to matching docs
+    unf = {r[2]: r[3] for r in idx.search_rows_pattern(qs)}
+    docs = {r["doc_id"] for r in
+            idx._docs.where("lang in ('py','go')").collect()}
+    assert all(d in docs for _, _, d, *_ in got)
+    for _, _, d, s, *_ in got:
+        if d in unf:
+            assert s == unf[d]
+
+
+def test_empty_and_degraded_patterns(spark, pat_setup):
+    from donkey_spark.plans.query import Index
+    idx_dir, _, _ = pat_setup
+    idx = Index(spark, idx_dir)
+    assert idx.search_rows_pattern([(0, "zzqx*", 5)]) == []
+    # dead pattern + live literal degrades to the literal query
+    want = idx.search_rows([(1, "filter", 5)])
+    assert idx.search_rows_pattern([(1, "zzqx* filter", 5)]) == want
+
+
+def test_expansion_guard(spark, pat_setup, monkeypatch):
+    from donkey_spark.plans.query import Index
+    idx_dir, _, _ = pat_setup
+    monkeypatch.setattr("donkey_spark.config.MAX_EXPANSION_CANDIDATES", 3)
+    for lb in (64 << 20, 0):              # local + distributed probes
+        idx = Index(spark, idx_dir, local_bytes=lb)
+        with pytest.raises(ValueError, match="matches more than"):
+            idx.expand_pattern("prefix", "s")
+
+
+def test_upserted_chunk_dfs_sum(spark, pat_setup, tmp_path):
+    """Expansion dfs must SUM across dictionary chunks: after an upsert
+    rewrites docs (new epoch chunk + tombstones), a fresh reader's
+    expansion ranking reflects the union dictionary."""
+    import shutil
+
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.upsert import upsert_docs
+    idx_dir, _, pdf = pat_setup
+    from donkey_spark.fsutil import local_path
+    dst = str(tmp_path / "up")
+    shutil.copytree(local_path(idx_dir), dst)
+    new = pdf.head(3).copy()
+    new["commit"] = "d" * 40              # a new version is a new commit
+    new["content"] = "zzpattern_upserted zzpattern_upserted_too def"
+    stats = upsert_docs(spark, dst, spark.createDataFrame(new))
+    assert stats["n_appended"] == 3
+    idx = Index(spark, dst)
+    got = idx.expand_pattern("prefix", "zzpattern")
+    assert got == [("zzpattern_upserted", 3), ("zzpattern_upserted_too", 3)]
+    # live docs only: the pre-upsert df of `def` is frozen (tombstone
+    # contract) but the expansion's SUM must count the epoch's chunk too
+    vocab = _vocab_df(pdf)
+    assert dict(idx.expand_pattern("fuzzy", "def", 0)) == {
+        "def": vocab["def"] + 3}
+
+
+# -- federation --------------------------------------------------------------
+
+def test_sharded_pattern_matches_unified(spark, pat_setup):
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import search_pattern_sharded
+    idx_dir, shard_dirs, _ = pat_setup
+    uni = Index(spark, idx_dir)
+    shards = [Index(spark, d) for d in shard_dirs]
+    qs = [(0, "re* filter", 10), (1, "clasz~1 import", 7),
+          (2, "de*", 12)]
+    for cap in (3, 64):
+        want = [(q, rk, repo, path, round(s, 9)) for q, rk, d, s, repo, path
+                in uni.search_rows_pattern(qs, max_expansions=cap)]
+        assert want
+        got = search_pattern_sharded(shards, qs, max_expansions=cap)
+        assert [(q, rk, repo, path, round(s, 9))
+                for q, rk, sh, d, s, repo, path in got] == want
+        rot = [shards[2], shards[0], shards[1]]
+        got2 = search_pattern_sharded(rot, qs, max_expansions=cap)
+        assert [(q, rk, repo, path, round(s, 9))
+                for q, rk, sh, d, s, repo, path in got2] == want
+
+
+def test_sharded_expansion_cap_is_global(spark, tmp_path):
+    """The case a per-shard capped expansion gets WRONG: the globally
+    2nd-ranked term is below the cap inside every shard. Shard A dfs:
+    aaq_one 5, aaq_two 3; shard B: aaq_three 4, aaq_two 3. Global:
+    one 5, two 6 → cap-2 expansion = {two, one}; per-shard top-2
+    unions would admit aaq_three and (worse) rank `one` over `two`."""
+    import pandas as pd
+
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import search_pattern_sharded
+
+    def corpus(rows, repo):
+        return pd.DataFrame([{
+            "repo": repo, "path": f"f/{i}", "commit": "c" * 40,
+            "lang": "py", "content": txt} for i, txt in enumerate(rows)])
+
+    a = corpus(["aaq_one"] * 5 + ["aaq_two"] * 3 + ["pad token"], "r_a")
+    b = corpus(["aaq_three"] * 4 + ["aaq_two"] * 3 + ["pad token"], "r_b")
+    uni = pd.concat([a, b], ignore_index=True)
+    for name, frame in (("sa", a), ("sb", b), ("uni", uni)):
+        build_index(spark, spark.createDataFrame(frame),
+                    str(tmp_path / name), range_size=64)
+    uidx = Index(spark, str(tmp_path / "uni"))
+    exp = uidx.expand_pattern("prefix", "aaq", max_expansions=2)
+    assert [t for t, _ in exp] == ["aaq_two", "aaq_one"]   # the trap
+    qs = [(0, "aaq*", 20)]
+    want = [(q, rk, repo, path, round(s, 9)) for q, rk, d, s, repo, path
+            in uidx.search_rows_pattern(qs, max_expansions=2)]
+    shards = [Index(spark, str(tmp_path / "sa")),
+              Index(spark, str(tmp_path / "sb"))]
+    got = search_pattern_sharded(shards, qs, max_expansions=2)
+    assert [(q, rk, repo, path, round(s, 9))
+            for q, rk, sh, d, s, repo, path in got] == want
+    # aaq_three docs must NOT appear (their only term fell past the cap)
+    assert len(got) == 5 + 3 + 3          # one+two docs, never three
+
+
+def test_mixed_batch_routes_pattern_mode(spark, pat_setup):
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import (open_shards,
+                                            search_pattern_sharded,
+                                            search_rows_mixed_sharded,
+                                            search_rows_sharded)
+    idx_dir, shard_dirs, _ = pat_setup
+    idx = Index(spark, idx_dir)
+    specs = [(0, "re* filter", 5, "pattern", None),
+             (1, "def return", 5, None, None),
+             (2, "window~2", 5, "pattern", {"lang": ["py"]})]
+    got = idx.search_rows_mixed(specs)
+    want = sorted(
+        idx.search_rows_pattern([(0, "re* filter", 5)])
+        + idx.search_rows([(1, "def return", 5)])
+        + idx.search_rows_pattern([(2, "window~2", 5)],
+                                  filters={"lang": ["py"]}))
+    assert got == want and got
+    shards = open_shards(spark, shard_dirs)
+    gots = search_rows_mixed_sharded(shards, specs)
+    wants = sorted(
+        search_pattern_sharded(shards, [(0, "re* filter", 5)])
+        + search_rows_sharded(shards, [(1, "def return", 5)])
+        + search_pattern_sharded(shards, [(2, "window~2", 5)],
+                                 filters={"lang": ["py"]}))
+    assert gots == wants and gots
