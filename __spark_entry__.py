@@ -28,14 +28,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (70 since
+    """One entry per implemented ◇ operator from SURVEY.md §2 (72 since
     r5 — adds the metadata-filtered ANN, exact-phrase, embedding- and
     simhash-near-dup pairs, the IVF coarse-quantizer ANN, hybrid
     BM25+ANN reciprocal-rank fusion, near-dup connected-component
     clusters, more-like-this, facet histograms (plain and filtered),
     snippets, upsert, facet backfill, prefix/fuzzy dictionary-expansion
     queries (unified AND federated — the oracle re-derives the
-    expansion ranking in SQL), and the federated sharded surfaces:
+    expansion ranking in SQL), boolean AND/OR/NOT expressions (unified
+    AND federated — the oracle renders the SAME parsed tree as SQL
+    predicates), and the federated sharded surfaces:
     ranked, phrase, LSH-ANN and shared-quantizer IVF search over shard
     indexes; the ANN pairs certify the production mapInArrow kernels),
     all oracle-backed."""

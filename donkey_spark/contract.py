@@ -76,7 +76,7 @@ BM25_PHRASE_QUERIES: list[tuple[int, str, int]] = [
     (4, "spark zz_oov_token", 5),
 ]
 
-#: prefix-pattern query set (§2.14 T22). The cap of 3 BINDS on `s*`
+#: prefix-pattern query set (§2.14 T23). The cap of 3 BINDS on `s*`
 #: (six dictionary terms start with s), so the pair certifies the
 #: (df DESC, term ASC) expansion ranking itself — the winning three
 #: differ between scale factors because dfs are data-dependent. `qq*`
@@ -92,7 +92,21 @@ BM25_PREFIX_QUERIES: list[tuple[int, str, int]] = [
 ]
 PREFIX_EXPANSION_CAP = 3
 
-#: fuzzy-pattern query set (§2.14 T22) — each ~D atom expands via edit
+#: boolean-expression query set (§2.14 T24) — nesting, NOT over a
+#: group, NOT of an OOV term (matches everything → equals the plain
+#: positive query), an OOV positive inside OR (drops out of scoring),
+#: a provably-empty AND with an OOV conjunct, and a double negation.
+BM25_BOOL_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spark AND (join OR filter)", 10),
+    (1, "group AND NOT merge", 10),
+    (2, "(customer OR row) AND NOT (window OR stream)", 10),
+    (3, "spark AND NOT zz_oov_token", 10),
+    (4, "zz_oov_token OR batch", 10),
+    (5, "spark AND zz_oov_token", 5),
+    (6, "sort AND NOT NOT value", 10),
+]
+
+#: fuzzy-pattern query set (§2.14 T23) — each ~D atom expands via edit
 #: distance over the dictionary (engine: banded DP / Spark levenshtein;
 #: oracle: DuckDB levenshtein). `dup~1` hits the rare tail term, and
 #: `zzzz~1` matches nothing (the query degrades to its literal).
@@ -409,7 +423,7 @@ def _rank_rows(spark, rows):
 
 
 def q_bm25_topk_prefix(spark, sf_dir):
-    """§2.14 T22 — prefix patterns (Lucene PrefixQuery analog): each
+    """§2.14 T23 — prefix patterns (Lucene PrefixQuery analog): each
     `foo*` atom expands against the index DICTIONARY to the matching
     terms ranked (df DESC, term ASC), capped at 3 so the ranking binds,
     then scores as a plain OR multi-term query (per-term idf). The
@@ -422,7 +436,7 @@ def q_bm25_topk_prefix(spark, sf_dir):
 
 
 def q_bm25_topk_fuzzy(spark, sf_dir):
-    """§2.14 T22 — fuzzy patterns (Lucene FuzzyQuery analog): `term~D`
+    """§2.14 T23 — fuzzy patterns (Lucene FuzzyQuery analog): `term~D`
     expands to dictionary terms within edit distance D (≤2), via the
     banded DP (driver-local path) or Spark's codegen levenshtein
     (distributed path); the DuckDB twin uses ITS levenshtein over the
@@ -433,7 +447,7 @@ def q_bm25_topk_fuzzy(spark, sf_dir):
 
 
 def q_bm25_topk_prefix_sharded(spark, sf_dir):
-    """§2.14 T22+T21 — prefix patterns over the FEDERATION: expansion
+    """§2.14 T23+T21 — prefix patterns over the FEDERATION: expansion
     is computed over the UNION of the shards' dictionaries (uncapped
     per-shard candidates, dfs summed across shards, ranked and capped
     ONCE globally), so the federated rewrite — and therefore the
@@ -444,6 +458,38 @@ def q_bm25_topk_prefix_sharded(spark, sf_dir):
     shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
     rows = search_pattern_sharded(shards, BM25_PREFIX_QUERIES,
                                   max_expansions=PREFIX_EXPANSION_CAP)
+    df = spark.createDataFrame(rows, RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "repo", "path"))
+
+
+def q_bm25_topk_bool(spark, sf_dir):
+    """§2.14 T24 — boolean expressions (Lucene BooleanQuery analog):
+    nested AND/OR/NOT over terms; match set = the tree's presence
+    evaluation, score = the BM25 sum over the POSITIVE terms a matching
+    doc contains (MUST_NOT never scores). The DuckDB twin renders the
+    SAME parsed tree as a per-query SQL predicate over its own dt CTE
+    (tree_to_sql) and scores only the positive terms (_bool_qset_sql),
+    so the boolean semantics themselves are certified, not a hand-fed
+    doc list."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    return _rank_rows(spark, idx.search_rows_bool(BM25_BOOL_QUERIES))
+
+
+def q_bm25_topk_bool_sharded(spark, sf_dir):
+    """§2.14 T24+T21 — boolean expressions over the FEDERATION: trees
+    parse once, global stats span every tree term (NOT branches too),
+    matching stays shard-local, merge exact — compared against the SAME
+    unified DuckDB boolean oracle, key-identified."""
+    from .plans.query import Index
+    from .plans.sharded import RESULT_SCHEMA, search_bool_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = search_bool_sharded(shards, BM25_BOOL_QUERIES)
     df = spark.createDataFrame(rows, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
@@ -1630,7 +1676,7 @@ FROM ranked WHERE rank <= k
 
 def _pattern_qset_sql(queries: list[tuple[int, str, int]],
                       cap: int) -> str:
-    """The qset override for pattern pairs (§2.14 T22): the oracle
+    """The qset override for pattern pairs (§2.14 T23): the oracle
     derives each pattern's expansion IN SQL — matching terms from the
     from-first-principles ``dfreq`` CTE, ranked (df DESC, term ASC),
     capped at ``cap`` — and unions them with the literal tokens, so the
@@ -1668,6 +1714,36 @@ def _pattern_qset_sql(queries: list[tuple[int, str, int]],
 )"""
 
 
+def _bool_qset_sql(queries: list[tuple[int, str, int]]) -> str:
+    """The qset override for the boolean pair (§2.14 T24): only the
+    POSITIVE terms of each parsed tree score (the default full-text
+    tokenization would score the operator words and negated terms)."""
+    from .functions.boolquery import parse_bool_text, positive_terms
+    vals = ",\n  ".join(
+        f"({qid}, '{t}', {k})"
+        for qid, text, k in queries
+        for t in sorted(positive_terms(parse_bool_text(text))))
+    return f"""qset(query_id, term, k) AS (VALUES
+  {vals}
+)"""
+
+
+def _bool_keep_sql(queries: list[tuple[int, str, int]]) -> str:
+    """Per-query boolean match predicate over the scored candidates:
+    tree_to_sql renders THE SAME parsed tree the engine masks with,
+    presence = membership in the from-first-principles dt CTE. Applied
+    before ranking (ranked's WHERE), exactly like the facet pairs."""
+    from .functions.boolquery import parse_bool_text, tree_to_sql
+
+    def presence(t: str) -> str:
+        return f"scored.doc_id IN (SELECT d FROM dt WHERE term = '{t}')"
+
+    return "(" + "\n    OR ".join(
+        f"(scored.query_id = {qid} AND "
+        f"{tree_to_sql(parse_bool_text(text), presence)})"
+        for qid, text, _ in queries) + ")"
+
+
 _BM25_ORACLE = _bm25_oracle_sql(BM25_QUERIES)
 
 def _sharded_wrap(base_oracle: str) -> str:
@@ -1702,6 +1778,11 @@ _BM25_FUZZY_ORACLE = _bm25_oracle_sql(
     BM25_FUZZY_QUERIES,
     qset_sql=_pattern_qset_sql(BM25_FUZZY_QUERIES, _EXP_CAP))
 _BM25_PREFIX_SHARDED_ORACLE = _sharded_wrap(_BM25_PREFIX_ORACLE)
+_BM25_BOOL_ORACLE = _bm25_oracle_sql(
+    BM25_BOOL_QUERIES,
+    keep_sql=_bool_keep_sql(BM25_BOOL_QUERIES),
+    qset_sql=_bool_qset_sql(BM25_BOOL_QUERIES))
+_BM25_BOOL_SHARDED_ORACLE = _sharded_wrap(_BM25_BOOL_ORACLE)
 _BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
                                         deleted_pred="doc_id % 7 = 0")
 #: facet value the filtered-search pair pins (present at every sf)
@@ -2203,6 +2284,8 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_prefix": _BM25_PREFIX_ORACLE,
     "bm25_topk_fuzzy": _BM25_FUZZY_ORACLE,
     "bm25_topk_prefix_sharded": _BM25_PREFIX_SHARDED_ORACLE,
+    "bm25_topk_bool": _BM25_BOOL_ORACLE,
+    "bm25_topk_bool_sharded": _BM25_BOOL_SHARDED_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "bm25_topk_filtered_or": _BM25_FILTERED_OR_ORACLE,
@@ -2387,6 +2470,8 @@ QUERIES = {
     "bm25_topk_prefix": q_bm25_topk_prefix,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
     "bm25_topk_prefix_sharded": q_bm25_topk_prefix_sharded,
+    "bm25_topk_bool": q_bm25_topk_bool,
+    "bm25_topk_bool_sharded": q_bm25_topk_bool_sharded,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_filtered_or": q_bm25_topk_filtered_or,
     "bm25_topk_filtered_not": q_bm25_topk_filtered_not,

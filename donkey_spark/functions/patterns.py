@@ -2,7 +2,7 @@
 (``bar~1``) term matching, the Lucene PrefixQuery / FuzzyQuery analog
 (donkey itself has no term patterns — its features are opaque vectors —
 but every fulltext engine in the capability class ships them; SURVEY
-§2.14 T22).
+§2.14 T23).
 
 Semantics (binding, shared by the engine and the DuckDB oracle):
 

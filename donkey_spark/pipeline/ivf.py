@@ -62,10 +62,16 @@ def _accept_quantizer(centroids) -> np.ndarray:
     9-decimal-rounded unit vector divides by a norm ≠ 1 by up to a few
     1e-9 and the re-round can flip last-digit components, silently
     breaking the cross-index bit-equality `ivf_topk_sharded` verifies
-    (r5 fourth review). Anything not unit-norm is canonicalized."""
+    (r5 fourth review). Anything not unit-norm is canonicalized. A
+    canonical quantizer may contain ZERO rows (degenerate seeds —
+    _normalize keeps them zero), so the unit test is per-row with zero
+    admitted; otherwise one zero row would force a re-normalize of the
+    whole matrix and reintroduce the drift."""
     c = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
-    if c.ndim == 2 and np.abs((c * c).sum(axis=1) - 1.0).max() <= 1e-6:
-        return c
+    if c.ndim == 2:
+        n2 = (c * c).sum(axis=1)
+        if bool(np.all((np.abs(n2 - 1.0) <= 1e-6) | (n2 == 0.0))):
+            return c
     return _normalize(c)
 
 

@@ -59,9 +59,41 @@ _REC_COLS = ["first_doc_id", "max_doc_id", "block_max_tfpart", "n_docs",
              "docids_blob", "tfs_blob", "dls_blob"]
 
 
+def _eval_bool_mask(tree, by_term, base, size, avgdl, cache):
+    """Boolean-tree match mask over one doc range: presence masks from
+    the terms' decoded postings (shared _decode_parts cache — each
+    block decodes once per salt no matter how many queries or NOT
+    branches touch it), combined bottom-up with numpy boolean algebra.
+    A term with no blocks in this range has empty presence (its NOT is
+    all-True) — the out-of-dictionary rule, locally."""
+    import numpy as np
+
+    from ..kernels.wand import _decode_parts
+    kind = tree[0]
+    if kind == "term":
+        m = np.zeros(size, dtype=bool)
+        blocks = by_term.get(tree[1])
+        if blocks:
+            rids, _ = _decode_parts(blocks, "varint", avgdl, cache)
+            m[rids - base] = True
+        return m
+    if kind == "not":
+        m = _eval_bool_mask(tree[1], by_term, base, size, avgdl, cache)
+        np.logical_not(m, out=m)
+        return m
+    m = _eval_bool_mask(tree[1][0], by_term, base, size, avgdl, cache)
+    for c in tree[1][1:]:
+        cm = _eval_bool_mask(c, by_term, base, size, avgdl, cache)
+        if kind == "and":
+            m &= cm
+        else:
+            m |= cm
+    return m
+
+
 def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                        tombstones=None, required_groups=None,
-                       pot_scale: float = 1.0):
+                       pot_scale: float = 1.0, bool_trees=None):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results.
@@ -72,7 +104,12 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
     across columns): kind "any" — a doc must carry AT LEAST ONE term of
     the group (OR within a column's values, `lang IN (py, java)`);
     kind "not" — a doc must carry NONE (complement semantics: a doc
-    without the column passes)."""
+    without the column passes). ``bool_trees`` ({qid: parsed boolean
+    tree}, mode="bool"): each query's match set is its tree's per-range
+    mask (_eval_bool_mask) ANDed into ``allowed``; scoring runs the
+    ordinary disjunctive kernel over the query's POSITIVE terms —
+    guardedness (functions/boolquery.py) guarantees the mask never
+    admits a doc without one."""
     import numpy as np
 
     def score_group(salt: int, by_term: dict[str, list[dict]],
@@ -115,13 +152,27 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                     dead = None             # folded into the mask
                 if not allowed.any():
                     return [], [], []
+        # mask-eval decode cache: per salt when the batch has no
+        # prefill cache, so each block still decodes at most once here
+        bcache = cache if cache is not None else (
+            {} if bool_trees else None)
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in qplan:
             tbs = [TermBlocks(idf_map[t], by_term[t], pot_scale)
                    for t in terms if t in by_term]
             if not tbs:
                 continue
-            if mode == "and":
+            if mode == "bool":
+                m = _eval_bool_mask(bool_trees[qid], by_term, base,
+                                    base_mult, avgdl, bcache)
+                if allowed is not None:
+                    m &= allowed
+                if not m.any():
+                    continue
+                ids, sc = score_range_topk(base, base_mult, tbs, avgdl,
+                                           k, cache=cache, dead=dead,
+                                           allowed=m)
+            elif mode == "and":
                 ids, sc = score_range_topk_and(
                     base, base_mult, tbs, avgdl, k, len(terms),
                     cache=cache, dead=dead, allowed=allowed)
@@ -215,13 +266,14 @@ def _score_block_table(tbl, score_group, codec: str, avgdl: float,
 
 def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
                        tombstones=None, required_groups=None,
-                       pot_scale: float = 1.0):
+                       pot_scale: float = 1.0, bool_trees=None):
     """mapInArrow partition function for the distributed path: each
     partition holds complete salts (repartition("salt") upstream), blobs
     stay Arrow buffers end to end — no pandas object conversion of
     posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
     score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
-                                     tombstones, required_groups, pot_scale)
+                                     tombstones, required_groups, pot_scale,
+                                     bool_trees)
     prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
     def score_arrow(batches):
@@ -455,7 +507,8 @@ class Index:
     def _plan_search(self, queries: list[tuple[int, str, int]],
                      mode: str = "or",
                      filters: dict | None = None,
-                     stats: dict | None = None) -> dict | None:
+                     stats: dict | None = None,
+                     bool_trees: dict | None = None) -> dict | None:
         """The shared planning pass: parse → dictionary probe → facet
         resolution → per-query term plans → bucket pruning → the
         local-vs-distributed cost decision. Returns None when the plan
@@ -470,8 +523,18 @@ class Index:
         potentials are inflated by avgdl_global/avgdl_local when the
         global avgdl is larger (the stored block maxima were computed at
         build avgdl; tf_part's ratio is bounded by the avgdl ratio, so
-        the scaled potentials remain safe upper bounds)."""
-        if mode not in ("or", "and"):
+        the scaled potentials remain safe upper bounds).
+
+        ``bool_trees`` ({qid: parsed tree}, with mode="bool" — see
+        search_rows_bool): a query's SCAN terms are every term of its
+        tree (NOT branches decode presence too), its SCORING terms the
+        positive ones; the plan carries the trees to the scorer."""
+        if mode == "bool":
+            if bool_trees is None or set(bool_trees) != {
+                    qid for qid, _, _ in queries}:
+                raise ValueError("mode='bool' needs a parsed tree per "
+                                 "query (use search_rows_bool)")
+        elif mode not in ("or", "and"):
             raise ValueError(mode)
         if stats is not None and not {"n_docs", "avgdl", "dfs"} <= set(stats):
             raise ValueError(
@@ -491,11 +554,18 @@ class Index:
         facet_terms = [t for _, g in facet_groups for t in g]
         # a query's text may instead be a pre-resolved term LIST (the
         # pattern-expansion and federation paths resolve terms before
-        # planning); strings go through the §T tokenizer as ever
-        parsed = {qid: (sorted(set(q)) if isinstance(q, (list, tuple,
-                                                         set, frozenset))
-                        else sorted(set(tokenize_py(q))), k)
-                  for qid, q, k in queries}
+        # planning); strings go through the §T tokenizer as ever. A
+        # boolean query's probe/scan terms are its WHOLE tree's.
+        if mode == "bool":
+            from ..functions.boolquery import bool_terms
+            parsed = {qid: (sorted(bool_terms(bool_trees[qid])), k)
+                      for qid, _, k in queries}
+        else:
+            parsed = {qid: (sorted(set(q))
+                            if isinstance(q, (list, tuple,
+                                              set, frozenset))
+                            else sorted(set(tokenize_py(q))), k)
+                      for qid, q, k in queries}
         all_terms = sorted({t for ts, _ in parsed.values() for t in ts}
                            | set(facet_terms))
         dfs = self._lookup_terms(all_terms)
@@ -518,9 +588,19 @@ class Index:
         sdfs = stats["dfs"] if stats else {}
         idf_map = {t: float(bm25_idf(n_eff, sdfs.get(t, dfs[t])))
                    for t in live_terms}
-        qplan = [(qid, [t for t in ts if t in idf_map], k)
-                 for qid, (ts, k) in parsed.items()
-                 if mode == "or" or all(t in idf_map for t in ts)]
+        if mode == "bool":
+            # scoring terms = the tree's POSITIVE terms (guardedness:
+            # every match carries one); a query with no live positive
+            # term has a provably empty match set and drops
+            from ..functions.boolquery import positive_terms
+            qplan = [(qid,
+                      [t for t in sorted(positive_terms(bool_trees[qid]))
+                       if t in idf_map], k)
+                     for qid, (ts, k) in parsed.items()]
+        else:
+            qplan = [(qid, [t for t in ts if t in idf_map], k)
+                     for qid, (ts, k) in parsed.items()
+                     if mode == "or" or all(t in idf_map for t in ts)]
         qplan = [q for q in qplan if q[1]]
         # facets apply as a per-salt presence mask in BOTH modes — built
         # once per salt, never per query (see _make_group_scorer)
@@ -528,7 +608,15 @@ class Index:
         if not qplan:
             return None
 
-        needed = sorted({t for _, ts, _ in qplan for t in ts}
+        # a boolean query's scan/decode work spans ALL its live tree
+        # terms (NOT branches decode presence masks too), not just the
+        # scored positives
+        if mode == "bool":
+            work_terms = {qid: [t for t in parsed[qid][0] if t in dfs]
+                          for qid, _, _ in qplan}
+        else:
+            work_terms = {qid: ts for qid, ts, _ in qplan}
+        needed = sorted({t for ts in work_terms.values() for t in ts}
                         | set(facet_terms))
         buckets = sorted({term_bucket_py(t, self.n_buckets)
                           for t in needed})
@@ -538,7 +626,7 @@ class Index:
         # all cores. Go local only when the single-threaded work is small.
         # Facet postings decode once per salt (shared cache), so they
         # count once, not per query.
-        est_work = (sum(dfs[t] for _, ts, _ in qplan
+        est_work = (sum(dfs[t] for ts in work_terms.values()
                         for t in ts if t not in facet_terms)
                     + sum(dfs[t] for t in facet_terms)) * _BYTES_PER_POSTING
         use_local = 0 < est_work <= self.local_bytes
@@ -556,6 +644,8 @@ class Index:
                 "required": required, "facet_terms": facet_terms,
                 "est_work": est_work, "use_local": use_local,
                 "parsed": parsed, "avgdl": avgdl_eff,
+                "trees": ({qid: bool_trees[qid] for qid, _, _ in qplan}
+                          if mode == "bool" else None),
                 "pot_scale": (max(1.0, avgdl_eff / min_wavg)
                               if min_wavg > 0 else 1.0)}
 
@@ -634,8 +724,18 @@ class Index:
         * facet groups as resolved against the dictionary, the
           tombstone count, and whether the batch qualifies for the
           decode-cache prefill.
+
+        mode="bool" is explained too (trees parsed here, as
+        search_rows_bool would): ``terms`` are the SCORED positives and
+        each query gains ``mask_terms`` — the tree terms decoded only
+        for the presence mask (NOT branches).
         """
-        plan = self._plan_search(queries, mode, filters)
+        trees = None
+        if mode == "bool":
+            from ..functions.boolquery import parse_bool_text
+            trees = {qid: parse_bool_text(text)
+                     for qid, text, _ in queries}
+        plan = self._plan_search(queries, mode, filters, bool_trees=trees)
         base = {
             "mode": mode,
             "n_queries": len(queries),
@@ -657,6 +757,9 @@ class Index:
                            "idf": round(idf[t], 6)} for t in ts],
                 "dropped_oov": [t for t in want if t not in idf],
             }
+            if mode == "bool":
+                per_q[qid]["mask_terms"] = [
+                    t for t in want if t in idf and t not in ts]
         return {
             **base,
             "path": "local" if plan["use_local"] else "distributed",
@@ -673,7 +776,8 @@ class Index:
     def search_rows(self, queries: list[tuple[int, str, int]],
                     mode: str = "or",
                     filters: dict | None = None,
-                    stats: dict | None = None) -> list[tuple]:
+                    stats: dict | None = None,
+                    bool_trees: dict | None = None) -> list[tuple]:
         """queries: [(query_id, text, k)] -> fully-materialized result rows
         [(query_id, rank, doc_id, score, repo, path)] sorted by
         (query_id, rank) — the serving-layer surface (donkey's Hits
@@ -696,8 +800,11 @@ class Index:
         query's scores for the surviving docs.
 
         ``stats``: global corpus-stats override for federated sharded
-        search (see _plan_search / plans/sharded.py)."""
-        plan = self._plan_search(queries, mode, filters, stats)
+        search (see _plan_search / plans/sharded.py). ``bool_trees``:
+        internal — parsed trees for mode="bool"; use search_rows_bool,
+        which parses query texts and supplies them."""
+        plan = self._plan_search(queries, mode, filters, stats,
+                                 bool_trees=bool_trees)
         if plan is None:
             return []
         qplan, idf_map, dfs = plan["qplan"], plan["idf_map"], plan["dfs"]
@@ -714,7 +821,7 @@ class Index:
             scorer = _make_group_scorer(qplan, idf_map, mode,
                                         self.range_size, avgdl,
                                         self._tombstones, required,
-                                        pot_scale)
+                                        pot_scale, plan["trees"])
             cand = self._local_candidates(
                 needed, buckets, scorer,
                 prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES,
@@ -724,7 +831,7 @@ class Index:
                                              self.range_size, self.codec,
                                              avgdl,
                                              self._tombstones_bc, required,
-                                             pot_scale)
+                                             pot_scale, plan["trees"])
             seg = (self._seg
                    .where(F.col("bucket").isin(buckets)      # dir prune
                           & F.col("term").isin(needed))
@@ -798,6 +905,30 @@ class Index:
             self.search_rows(queries, mode, filters=filters),
             _RESULT_SCHEMA)
 
+    def search_rows_bool(self, queries: list[tuple[int, str, int]],
+                         filters: dict | None = None,
+                         stats: dict | None = None) -> list[tuple]:
+        """Boolean query expressions (§2.14 T24 — the Lucene
+        BooleanQuery surface): each query text is a nested AND/OR/NOT
+        expression over terms, e.g.
+        ``"spark AND (shuffle OR join) AND NOT java"``. Match set =
+        the boolean evaluation of term presence; score = the BM25 sum
+        over the query's POSITIVE terms a matching doc contains (NOT
+        constrains, never scores — Lucene MUST_NOT), so scores equal
+        the plain OR query's for the surviving docs. Operators are
+        UPPERCASE (lowercase "and"/"or"/"not" remain searchable
+        terms); purely-negative expressions are refused (see
+        functions/boolquery.py). Result rows/ordering and the
+        ``filters``/``stats`` forms are exactly search_rows'.
+
+        Cost shape: identical to an OR query over ALL the expression's
+        terms — one pruned scan, one mask + score pass per salt; the
+        boolean structure never adds a job, a join, or a shuffle."""
+        from ..functions.boolquery import parse_bool_text
+        trees = {qid: parse_bool_text(text) for qid, text, _ in queries}
+        return self.search_rows(queries, mode="bool", filters=filters,
+                                stats=stats, bool_trees=trees)
+
     def search_rows_mixed(self, specs: list[tuple]) -> list[tuple]:
         """Serving-loop surface for a batch with PER-QUERY modes/filters:
         ``specs`` = [(query_id, text, k, mode, filters)] (mode/filters
@@ -818,13 +949,17 @@ class Index:
                 out.extend(self.search_rows_pattern(
                     [(q, t, k) for q, t, k, _ in qs],
                     filters=qs[0][3]))
+            elif mode == "bool":      # r5: boolean expression specs
+                out.extend(self.search_rows_bool(
+                    [(q, t, k) for q, t, k, _ in qs],
+                    filters=qs[0][3]))
             else:
                 out.extend(self.search_rows(
                     [(q, t, k) for q, t, k, _ in qs],
                     mode=mode, filters=qs[0][3]))
         return sorted(out)
 
-    # -- dictionary-expansion queries (prefix / fuzzy; §2.14 T22) ----------
+    # -- dictionary-expansion queries (prefix / fuzzy; §2.14 T23) ----------
     def expand_pattern(self, kind: str, base: str, dist: int = 0,
                        max_expansions: int | None = None
                        ) -> list[tuple[str, int]]:
@@ -859,75 +994,113 @@ class Index:
         set — see plans/sharded.search_pattern_sharded). Guarded by
         config.MAX_EXPANSION_CANDIDATES against patterns that match a
         dictionary-sized term set."""
+        key = (kind, base, dist)
+        return self._expand_candidates_multi([key])[key]
+
+    def _expand_candidates_multi(self, keys: list[tuple]
+                                 ) -> dict[tuple, dict[str, int]]:
+        """Expand MANY patterns against the dictionary, sharing work:
+        prefixes stay individual term-range probes (row-group pruned),
+        but all fuzzy patterns share ONE term-column scan — the
+        federation's stats phase expands every pattern of a batch in a
+        single call per shard. Two hardening rules both scans enforce:
+
+        * corpus terms live in ``[0-9a-z_]+`` while facet presence
+          postings are ``\\x01``-prefixed (operators/facets.py), so a
+          ``term >= "0"`` bound keeps internal facet sentinels out of
+          the expansion space (a fuzzy pattern like ``lang_py~2`` is
+          within edit distance of ``\\x01lang=py``) AND is a parquet-
+          prunable range predicate;
+        * the local path reads the dictionary batch-at-a-time so the
+          MAX_EXPANSION_CANDIDATES guard fires BEFORE the driver
+          materializes an unbounded match set (``a*`` over a 10^8-term
+          dictionary refuses without first loading it)."""
         from ..config import MAX_EXPANSION_CANDIDATES as HARD
         from ..functions.patterns import (levenshtein_py,
                                           prefix_upper_bound)
-        if kind not in ("prefix", "fuzzy"):
-            raise ValueError(f"unknown pattern kind {kind!r}")
         if not hasattr(self, "_exp_memo"):
             self._exp_memo: dict[tuple, dict[str, int]] = {}
-        key = (kind, base, dist)
-        if key in self._exp_memo:
-            return self._exp_memo[key]
-        active = self._active_dict_chunks()
-        found: dict[str, int] = {}
-        if self.local_bytes > 0:
-            import pyarrow.compute as pc
-            import pyarrow.dataset as ds
-            if kind == "prefix":
-                filt = ((ds.field("term") >= base)
-                        & (ds.field("term") < prefix_upper_bound(base)))
-                if active is not None:
-                    filt &= ds.field("chunk").isin(active)
-                tbl = self._pa_dataset("dictionary").to_table(
-                    columns=["term", "df"], filter=filt)
-                terms = tbl["term"].to_pylist()
-                dfs = tbl["df"].to_pylist()
-            else:
-                filt = (ds.field("chunk").isin(active)
-                        if active is not None else None)
-                tbl = self._pa_dataset("dictionary").to_table(
-                    columns=["term", "df"], filter=filt)
-                # length band first (vectorized), DP only on the slice
-                ln = pc.utf8_length(tbl["term"])
-                mask = pc.and_(pc.greater_equal(ln, len(base) - dist),
-                               pc.less_equal(ln, len(base) + dist))
-                tbl = tbl.filter(mask)
-                terms, dfs = [], []
-                for t, d in zip(tbl["term"].to_pylist(),
-                                tbl["df"].to_pylist()):
-                    if levenshtein_py(base, t, dist) <= dist:
-                        terms.append(t)
-                        dfs.append(d)
-            for t, d in zip(terms, dfs):
-                found[t] = found.get(t, 0) + int(d)
-                if len(found) > HARD:
-                    raise ValueError(
-                        f"pattern {base!r} ({kind}) matches more than "
-                        f"{HARD} dictionary terms; use a longer "
-                        f"prefix/smaller distance")
-        else:
-            d = self._dict
-            if active is not None:
-                d = d.where(F.col("chunk").isin(active))
-            if kind == "prefix":
-                d = d.where((F.col("term") >= base)
-                            & (F.col("term") < prefix_upper_bound(base)))
-            else:
-                d = d.where(
-                    F.length("term").between(len(base) - dist,
-                                             len(base) + dist)
-                    & (F.levenshtein(F.lit(base), F.col("term")) <= dist))
-            rows = (d.groupBy("term").agg(F.sum("df").alias("df"))
-                    .limit(HARD + 1).collect())
-            if len(rows) > HARD:
+        todo: list[tuple] = []
+        for key in keys:
+            if key[0] not in ("prefix", "fuzzy"):
+                raise ValueError(f"unknown pattern kind {key[0]!r}")
+            if key not in self._exp_memo and key not in todo:
+                todo.append(key)
+
+        def _guard(found: dict, kind: str, base: str) -> None:
+            if len(found) > HARD:
                 raise ValueError(
                     f"pattern {base!r} ({kind}) matches more than "
                     f"{HARD} dictionary terms; use a longer "
                     f"prefix/smaller distance")
-            found = {r["term"]: int(r["df"]) for r in rows}
-        self._exp_memo[key] = found
-        return found
+
+        active = self._active_dict_chunks()
+        if todo and self.local_bytes > 0:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as ds
+            chunk_f = (ds.field("chunk").isin(active)
+                       if active is not None else None)
+            for kind, base, dist in [k for k in todo if k[0] == "prefix"]:
+                filt = ((ds.field("term") >= base)
+                        & (ds.field("term") < prefix_upper_bound(base)))
+                if chunk_f is not None:
+                    filt &= chunk_f
+                found: dict[str, int] = {}
+                for batch in self._pa_dataset("dictionary").scanner(
+                        columns=["term", "df"], filter=filt).to_batches():
+                    for t, d in zip(batch.column(0).to_pylist(),
+                                    batch.column(1).to_pylist()):
+                        found[t] = found.get(t, 0) + int(d)
+                    _guard(found, kind, base)
+                self._exp_memo[(kind, base, dist)] = found
+            fuzz = [k for k in todo if k[0] == "fuzzy"]
+            if fuzz:
+                filt = ds.field("term") >= "0"
+                if chunk_f is not None:
+                    filt &= chunk_f
+                hits: dict[tuple, dict[str, int]] = {k: {} for k in fuzz}
+                for batch in self._pa_dataset("dictionary").scanner(
+                        columns=["term", "df"], filter=filt).to_batches():
+                    terms = batch.column(0)
+                    ln = pc.utf8_length(terms)
+                    for key in fuzz:
+                        _, base, dist = key
+                        # length band first (vectorized), DP on the slice
+                        mask = pc.and_(
+                            pc.greater_equal(ln, len(base) - dist),
+                            pc.less_equal(ln, len(base) + dist))
+                        found = hits[key]
+                        for t, d in zip(
+                                pc.filter(terms, mask).to_pylist(),
+                                pc.filter(batch.column(1),
+                                          mask).to_pylist()):
+                            if levenshtein_py(base, t, dist) <= dist:
+                                found[t] = found.get(t, 0) + int(d)
+                        _guard(found, "fuzzy", base)
+                for key in fuzz:
+                    self._exp_memo[key] = hits[key]
+        elif todo:
+            for kind, base, dist in todo:
+                d = self._dict
+                if active is not None:
+                    d = d.where(F.col("chunk").isin(active))
+                if kind == "prefix":
+                    d = d.where((F.col("term") >= base)
+                                & (F.col("term")
+                                   < prefix_upper_bound(base)))
+                else:
+                    d = d.where(
+                        (F.col("term") >= "0")
+                        & F.length("term").between(len(base) - dist,
+                                                   len(base) + dist)
+                        & (F.levenshtein(F.lit(base),
+                                         F.col("term")) <= dist))
+                rows = (d.groupBy("term").agg(F.sum("df").alias("df"))
+                        .limit(HARD + 1).collect())
+                _guard(rows, kind, base)
+                self._exp_memo[(kind, base, dist)] = {
+                    r["term"]: int(r["df"]) for r in rows}
+        return {key: self._exp_memo[key] for key in keys}
 
     def resolve_pattern_terms(self, queries: list[tuple[int, str, int]],
                               max_expansions: int | None = None,

@@ -116,6 +116,28 @@ def search_rows_sharded(shards, queries: list[tuple[int, str, int]],
     return _merge_ranked(per_shard, {qid: k for qid, _, k in queries})
 
 
+def search_bool_sharded(shards, queries: list[tuple[int, str, int]],
+                        filters: dict | None = None) -> list[tuple]:
+    """Boolean expressions over the federation (§2.14 T24 —
+    `Index.search_rows_bool`'s sharded twin). Trees parse ONCE on the
+    driver; the stats phase probes ALL tree terms (NOT branches too —
+    a negated term's df never scores, but probing it is free and keeps
+    the phase one batch). Matching is shard-local by construction (a
+    doc's token set lives in its owning shard), scores are the global-
+    stats BM25 over positive terms, so the ≤ shards·k merge is exact
+    by the same argument as OR-mode: any global top-k matcher is in
+    its shard's top-k. Rows = the 7-column federated shape."""
+    from ..functions.boolquery import bool_terms, parse_bool_text
+    trees = {qid: parse_bool_text(text) for qid, text, _ in queries}
+    terms = [t for tr in trees.values() for t in bool_terms(tr)]
+    stats = global_stats(shards, terms)
+    per_shard = _fanout(
+        lambda idx: idx.search_rows(queries, mode="bool", filters=filters,
+                                    stats=stats, bool_trees=trees),
+        shards)
+    return _merge_ranked(per_shard, {qid: k for qid, _, k in queries})
+
+
 def _merge_ranked(per_shard: list[list[tuple]],
                   ks: dict[int, int]) -> list[tuple]:
     """Exact federation merge: ≤ shards·k rows per query, re-ranked on
@@ -138,7 +160,7 @@ def search_pattern_sharded(shards, queries: list[tuple[int, str, int]],
                            filters: dict | None = None,
                            max_expansions: int | None = None
                            ) -> list[tuple]:
-    """Prefix/fuzzy pattern queries over the federation (§2.14 T22 —
+    """Prefix/fuzzy pattern queries over the federation (§2.14 T23 —
     `Index.search_rows_pattern`'s sharded twin). Expansion must be
     GLOBAL to stay shard-count-invariant: each pattern's candidate set
     is the UNCAPPED union of every shard's matches with dfs summed
@@ -157,14 +179,20 @@ def search_pattern_sharded(shards, queries: list[tuple[int, str, int]],
         lit_text, qpats = parse_pattern_text(text)
         lit_terms.extend(tokenize_py(lit_text))
         pats.update(qpats)
-    # global candidate sets per pattern: Σ-shard dfs, ranked, capped
+    # global candidate sets per pattern: Σ-shard dfs, ranked, capped.
+    # ONE fanout expands every pattern of the batch per shard — all the
+    # batch's fuzzy patterns share a single dictionary scan inside
+    # _expand_candidates_multi, so stats-phase dictionary reads are
+    # O(shards), not O(shards · patterns).
+    keys = sorted(pats)
+    per_shard_cand = _fanout(
+        lambda s: s._expand_candidates_multi(keys), shards)
     expansions: dict[tuple, list[str]] = {}
     exp_dfs: dict[str, int] = {}
-    for key in sorted(pats):
+    for key in keys:
         cand: dict[str, int] = {}
-        for shard_cand in _fanout(
-                lambda s: s._expand_candidates(*key), shards):
-            for t, df in shard_cand.items():
+        for shard_cand in per_shard_cand:
+            for t, df in shard_cand[key].items():
                 cand[t] = cand.get(t, 0) + int(df)
         ranked = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
         expansions[key] = [t for t, _ in ranked]
@@ -218,6 +246,10 @@ def search_rows_mixed_sharded(shards, specs: list[tuple]) -> list[tuple]:
                                                       query_id=q))
         elif mode == "pattern":
             out.extend(search_pattern_sharded(
+                shards, [(q, t, k) for q, t, k, _ in qs],
+                filters=qs[0][3]))
+        elif mode == "bool":      # r5 T24: boolean expression specs
+            out.extend(search_bool_sharded(
                 shards, [(q, t, k) for q, t, k, _ in qs],
                 filters=qs[0][3]))
         else:

@@ -25,11 +25,15 @@ def main() -> None:
     ap.add_argument("--queries", default=None,
                     help="parquet with (query_id, query, k)")
     ap.add_argument("--mode", default="or", choices=["or", "and",
-                                                     "pattern"],
+                                                     "pattern", "bool"],
                     help="'and' = docs must contain EVERY query term; "
                          "'pattern' = query atoms may be prefix (va*) "
                          "or fuzzy (joun~1) patterns, expanded against "
-                         "the dictionary (df-ranked, capped)")
+                         "the dictionary (df-ranked, capped); 'bool' = "
+                         "the query is a nested boolean expression, "
+                         "e.g. 'spark AND (join OR filter) AND NOT go' "
+                         "(operators UPPERCASE; negations constrain, "
+                         "never score)")
     ap.add_argument("--max-expansions", type=int, default=None,
                     help="with --mode pattern: per-pattern dictionary "
                          "expansion cap (default config.MAX_TERM_"
@@ -64,6 +68,13 @@ def main() -> None:
     a = ap.parse_args()
     if not a.query and not a.queries:
         ap.error("need --query or --queries")
+    if (a.mode in ("pattern", "bool")
+            and (a.facet_counts or a.snippets or a.phrase)):
+        # the later elif chains dispatch on those flags first and would
+        # feed these modes into surfaces that reject them deep in the
+        # stack — refuse the combination at the argparse level instead
+        ap.error(f"--mode {a.mode} composes with --filter only, not "
+                 "--facet-counts/--snippets/--phrase")
 
     from pyspark.sql import SparkSession
     from donkey_spark.plans.query import Index
@@ -118,6 +129,13 @@ def main() -> None:
                     open_shards(spark, a.shards.split(",")), batch,
                     filters=filters, max_expansions=a.max_expansions),
                 RESULT_SCHEMA)
+        elif a.mode == "bool":
+            from donkey_spark.plans.sharded import search_bool_sharded
+            res = spark.createDataFrame(
+                search_bool_sharded(
+                    open_shards(spark, a.shards.split(",")), batch,
+                    filters=filters),
+                RESULT_SCHEMA)
         else:
             res = search_sharded(spark, a.shards.split(","), batch,
                                  mode=a.mode, filters=filters)
@@ -149,6 +167,10 @@ def main() -> None:
             idx.search_rows_pattern(batch, filters=filters,
                                     max_expansions=a.max_expansions),
             _RESULT_SCHEMA)
+    elif a.mode == "bool":
+        from donkey_spark.plans.query import _RESULT_SCHEMA
+        res = spark.createDataFrame(
+            idx.search_rows_bool(batch, filters=filters), _RESULT_SCHEMA)
     else:
         res = idx.search_batch(batch, mode=a.mode, filters=filters)
     if a.out:

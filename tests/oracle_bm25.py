@@ -91,3 +91,29 @@ class OracleIndex:
                          if hit[d] == len(terms)),
                         key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
+
+    def search_bool(self, text: str, k: int) -> list[tuple[int, int, float]]:
+        """Boolean-expression twin (§2.14 T24): match set = the parsed
+        tree evaluated set-wise over term presence; score = search()'s
+        plain BM25 sum over the tree's POSITIVE terms a matching doc
+        contains (negations constrain, never score)."""
+        from donkey_spark.functions.boolquery import (parse_bool_text,
+                                                      positive_terms)
+        tree = parse_bool_text(text)
+        match = self._tree_docs(tree)
+        full = self.search(" ".join(sorted(positive_terms(tree))),
+                           k=self.n_docs)
+        kept = [(d, s) for _, d, s in full if d in match][:k]
+        return [(r + 1, d, s) for r, (d, s) in enumerate(kept)]
+
+    def _tree_docs(self, tree) -> set[int]:
+        kind = tree[0]
+        if kind == "term":
+            return {d for d, _ in self.postings.get(tree[1], ())}
+        if kind == "not":
+            return set(self.dl) - self._tree_docs(tree[1])
+        out = self._tree_docs(tree[1][0])
+        for c in tree[1][1:]:
+            cd = self._tree_docs(c)
+            out = (out & cd) if kind == "and" else (out | cd)
+        return out

@@ -37,6 +37,25 @@ def cli_corpus(tmp_path_factory):
     return base
 
 
+def test_cli_pattern_mode_refuses_unsupported_combos():
+    """--mode pattern with --facet-counts/--snippets/--phrase must be
+    an argparse-level error (the dispatch chains check those flags
+    FIRST and would otherwise feed mode="pattern" into surfaces that
+    reject it deep in the stack). The guard sits before Spark starts,
+    so these exits are fast."""
+    for mode, q in (("pattern", "va*"), ("bool", "aa AND bb")):
+        for extra in (["--facet-counts", "lang"], ["--snippets", "/x"],
+                      ["--phrase"]):
+            out = subprocess.run(
+                [sys.executable, "scripts/query.py", "--index", "/nope",
+                 "--query", q, "--mode", mode] + extra,
+                capture_output=True, text=True, cwd=ROOT, timeout=60,
+                env=dict(os.environ, PYTHONPATH=ROOT))
+            assert out.returncode == 2
+            assert (f"--mode {mode} composes with --filter only"
+                    in out.stderr)
+
+
 def test_cli_build_query_delete_roundtrip(cli_corpus):
     base = cli_corpus
     idx = str(base / "idx")
@@ -63,6 +82,14 @@ def test_cli_build_query_delete_roundtrip(cli_corpus):
         _run(["scripts/query.py", "--index", idx, "--query", "def return",
               "-k", "3", "--out", res] + filt)
         assert set(pd.read_parquet(res).columns) >= {"doc_id", "score"}
+
+    # boolean-expression mode end to end (grammar/guardedness refusals
+    # are covered argparse-cheap above and in tests/test_boolquery.py)
+    _run(["scripts/query.py", "--index", idx, "--query",
+          "def AND (return OR class) AND NOT zz_oov", "-k", "3",
+          "--mode", "bool", "--out", res])
+    bdf = pd.read_parquet(res)
+    assert len(bdf) >= 1 and (bdf["score"] > 0).all()
 
     out = _run(["scripts/delete_docs.py", "--index", idx,
                 "--ids", f"{top_ids[0]},{top_ids[1]}"])

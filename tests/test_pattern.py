@@ -1,4 +1,4 @@
-"""Dictionary-expansion queries (§2.14 T22): prefix (`foo*`) and fuzzy
+"""Dictionary-expansion queries (§2.14 T23): prefix (`foo*`) and fuzzy
 (`bar~1`) patterns must expand exactly (df-ranked, capped, brute-force-
 checkable), rewrite to plain OR queries, compose with filters and
 upserted chunks, and stay shard-count-invariant under the federation's
@@ -89,6 +89,42 @@ def test_expansion_matches_bruteforce(spark, pat_setup):
         assert dist_idx.expand_pattern(kind, base, dist,
                                        max_expansions=5) == want_all[:5]
     assert vocab["return"] >= 5          # fixture sanity: real expansions
+
+
+def test_fuzzy_never_admits_facet_sentinels(spark, pat_setup):
+    """The dictionary also stores \\x01-prefixed facet PRESENCE terms
+    (operators/facets.py); a fuzzy pattern whose base is within edit
+    distance of one (``lang_py~2`` vs ``\\x01lang=py`` = distance 2,
+    inside the length band) must still expand over corpus terms only,
+    on BOTH probe paths — and agree with the brute force over the raw
+    corpus vocabulary, which contains no sentinels by construction."""
+    from donkey_spark.operators.facets import FACET_PREFIX
+    from donkey_spark.plans.query import Index
+    idx_dir, _, pdf = pat_setup
+    vocab = _vocab_df(pdf)
+    assert levenshtein_py("lang_py", f"{FACET_PREFIX}lang=py", 2) <= 2
+    want = _brute_expand(vocab, "fuzzy", "lang_py", 2, cap=10**9)
+    for lb in (64 << 20, 0):
+        got = Index(spark, idx_dir, local_bytes=lb).expand_pattern(
+            "fuzzy", "lang_py", 2, max_expansions=10**9)
+        assert not [t for t, _ in got if t.startswith(FACET_PREFIX)]
+        assert got == want
+
+
+def test_multi_expansion_equals_singles(spark, pat_setup):
+    """_expand_candidates_multi (one shared dictionary scan for all of
+    a batch's fuzzy patterns — the federation's stats phase) must
+    return exactly what per-pattern expansion returns, across mixed
+    prefix/fuzzy keys and on both probe paths."""
+    from donkey_spark.plans.query import Index
+    idx_dir, _, _ = pat_setup
+    keys = [(k, b, d) for k, b, d in CASES]
+    for lb in (64 << 20, 0):
+        ref = {key: Index(spark, idx_dir, local_bytes=lb)
+               ._expand_candidates(*key) for key in keys}
+        multi = Index(spark, idx_dir,
+                      local_bytes=lb)._expand_candidates_multi(keys)
+        assert multi == ref
 
 
 def test_pattern_search_is_the_or_rewrite(spark, pat_setup):

@@ -359,6 +359,13 @@ def test_ivf_federation_shared_quantizer_is_bit_equal(spark, tmp_path):
     assert np.array_equal(read_centroids(spark, dirs[0]), stored)
     assert np.array_equal(_accept_quantizer(stored * 3.0),
                           _normalize(stored * 3.0))
+    # a canonical quantizer with a ZERO row (degenerate seed —
+    # _normalize keeps zeros) must ALSO pass verbatim: the unit test is
+    # per-row, else one zero row re-normalizes the whole matrix and
+    # reintroduces the 9th-decimal drift on every other row
+    with_zero = stored.copy()
+    with_zero[1] = 0.0
+    assert np.array_equal(_accept_quantizer(with_zero), with_zero)
 
     # separately-trained shard (different quantizer) must be refused
     rogue = str(tmp_path / "rogue")
