@@ -583,6 +583,52 @@ def q_bm25_topk_filtered_not(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_topk_range(spark, sf_dir):
+    """§2.14 T25 — numeric range filter (the Lucene NumericRangeQuery /
+    points analog): a range-facet index copy (range_facets=("n_chars",)
+    with n_chars = length(content) — trie presence postings,
+    operators/ranges.py) runs the flagship set restricted to
+    n_chars ∈ [200, 400]. The DuckDB twin keeps docs by a plain
+    length(text) BETWEEN predicate at ranking, so the whole trie
+    pipeline — sortable mapping, per-level tags, range decomposition,
+    presence-mask OR — is certified against first-principles BETWEEN
+    semantics; survivor scores identical to the unfiltered query's."""
+    from .plans.build import build_index
+    from .plans.query import Index
+    out = tempfile.mkdtemp(prefix="donkey_range_")
+    build_index(spark, documents_as_corpus(spark, sf_dir)
+                .withColumn("n_chars", F.length("content")), out,
+                range_facets=("n_chars",))
+    res = Index(spark, out).search_batch(
+        BM25_QUERIES,
+        filters={"n_chars": {"range": [_RANGE_LO, _RANGE_HI]}})
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
+def q_bm25_topk_range_not(spark, sf_dir):
+    """§2.14 T25 — negated range (`{'not': {'range': [lo, hi]}}`): the
+    complement mask over the same trie nodes, open-ended twin predicate
+    NOT BETWEEN; shares the range pair's index copy shape."""
+    from .plans.build import build_index
+    from .plans.query import Index
+    out = tempfile.mkdtemp(prefix="donkey_range_not_")
+    build_index(spark, documents_as_corpus(spark, sf_dir)
+                .withColumn("n_chars", F.length("content")), out,
+                range_facets=("n_chars",))
+    res = Index(spark, out).search_batch(
+        BM25_QUERIES,
+        filters={"n_chars": {"not": {"range": [_RANGE_LO, _RANGE_HI]}}})
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
 def q_map_fns(spark, sf_dir):
     """op 15 — map functions: per-doc term→tf map via map_from_arrays,
     probed with element_at and sized with size (order-insensitive outputs,
@@ -1795,6 +1841,18 @@ _BM25_FILTERED_ORACLE = _bm25_oracle_sql(
                                 'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS did,
              lang FROM documents)
     WHERE lang = '{_FACET_LANG}')""")
+#: numeric range the T25 pairs pin — ~40% of docs at every sf, so both
+#: the keep and the complement bind
+_RANGE_LO, _RANGE_HI = 200, 400
+_RANGE_KEEP = f"""doc_id IN (
+    SELECT did FROM (
+      SELECT row_number() OVER (ORDER BY source,
+                                'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS did,
+             length(text) AS nc FROM documents)
+    WHERE nc BETWEEN {_RANGE_LO} AND {_RANGE_HI})"""
+_BM25_RANGE_ORACLE = _bm25_oracle_sql(BM25_QUERIES, keep_sql=_RANGE_KEEP)
+_BM25_RANGE_NOT_ORACLE = _bm25_oracle_sql(
+    BM25_QUERIES, keep_sql=f"NOT {_RANGE_KEEP}")
 #: OR-filter values for the multi-value pair (both present at every sf)
 _FACET_OR_LANGS = ("de", "fr")
 _BM25_FILTERED_OR_ORACLE = _bm25_oracle_sql(
@@ -2288,6 +2346,8 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_bool_sharded": _BM25_BOOL_SHARDED_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
+    "bm25_topk_range": _BM25_RANGE_ORACLE,
+    "bm25_topk_range_not": _BM25_RANGE_NOT_ORACLE,
     "bm25_topk_filtered_or": _BM25_FILTERED_OR_ORACLE,
     "bm25_topk_filtered_not": _BM25_FILTERED_NOT_ORACLE,
     "lsh_ann_topk": _ann_oracle_sql(),
@@ -2476,6 +2536,8 @@ QUERIES = {
     "bm25_topk_filtered_or": q_bm25_topk_filtered_or,
     "bm25_topk_filtered_not": q_bm25_topk_filtered_not,
     "bm25_topk_filtered": q_bm25_topk_filtered,
+    "bm25_topk_range": q_bm25_topk_range,
+    "bm25_topk_range_not": q_bm25_topk_range_not,
     "dictionary_stats": q_dictionary_stats,
     "scan_queries": q_scan_queries,
     # training-data pipeline ops

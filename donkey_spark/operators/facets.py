@@ -38,16 +38,41 @@ def normalize_filter_spec(col: str, spec) -> tuple[str, list]:
     (plans/query.py) and ANN metadata filters (pipeline/similarity.py)
     so the two surfaces can never drift (r5 review): returns
     (kind, values) where kind is 'any' (membership — a scalar or list,
-    OR within the column) or 'not' (`{'not': values}` — complement
-    INCLUDING null-valued rows). Raises on unknown dict keys and empty
-    value lists."""
+    OR within the column), 'not' (`{'not': values}` — complement
+    INCLUDING null-valued rows), 'range' (`{'range': [lo, hi]}` —
+    inclusive numeric interval, either end None for open; §2.14 T25),
+    or 'not_range' (`{'not': {'range': [lo, hi]}}` — complement
+    including nulls). Range values are (lo, hi) after normalization.
+    Raises on unknown dict keys, empty value lists, and inverted or
+    non-integral range bounds."""
+
+    def _range(rspec, kind):
+        if (not isinstance(rspec, (list, tuple)) or len(rspec) != 2
+                or not all(v is None or isinstance(v, int)
+                           and not isinstance(v, bool) for v in rspec)):
+            raise ValueError(
+                f"range filter for {col!r} must be [lo, hi] of "
+                f"int|None, got {rspec!r}")
+        lo, hi = rspec
+        if lo is not None and hi is not None and lo > hi:
+            raise ValueError(f"inverted range for {col!r}: {rspec!r}")
+        return kind, [lo, hi]
+
     kind = "any"
     if isinstance(spec, dict):
+        if set(spec) == {"range"}:
+            return _range(spec["range"], "range")
         if set(spec) != {"not"}:
             raise ValueError(
-                f"filter dict for {col!r} must be {{'not': values}}, "
-                f"got {sorted(spec)}")
+                f"filter dict for {col!r} must be {{'not': values}} or "
+                f"{{'range': [lo, hi]}}, got {sorted(spec)}")
         kind, spec = "not", spec["not"]
+        if isinstance(spec, dict):
+            if set(spec) == {"range"}:
+                return _range(spec["range"], "not_range")
+            raise ValueError(
+                f"negated filter dict for {col!r} must be "
+                f"{{'range': [lo, hi]}}, got {sorted(spec)}")
     if isinstance(spec, (str, bytes)):
         vals = [spec]
     else:

@@ -138,9 +138,23 @@ def _filter_pred(col: str, spec) -> Column:
     .normalize_filter_spec`` (one parser, two surfaces): membership for
     a scalar/list, ``{'not': [...]}`` → complement INCLUDING
     null-valued rows (matching the BM25 NOT twin's ``IS NULL OR NOT
-    IN``)."""
+    IN``), and numeric ranges ``{'range': [lo, hi]}`` (either end None
+    = open) / ``{'not': {'range': ...}}`` — here a plain BETWEEN over
+    the denormalized meta column (ANN candidates are already pruned and
+    bounded; the BM25 side needs the trie postings, this side does
+    not)."""
     from ..operators.facets import normalize_filter_spec
     kind, vals = normalize_filter_spec(col, spec)
+    if kind in ("range", "not_range"):
+        lo, hi = vals
+        pred = F.lit(True)
+        if lo is not None:
+            pred = F.col(col) >= F.lit(lo)
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        if kind == "not_range":
+            return F.col(col).isNull() | ~pred
+        return pred
     if kind == "not":
         return F.col(col).isNull() | ~F.col(col).isin(list(vals))
     return F.col(col).isin(list(vals))

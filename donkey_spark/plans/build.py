@@ -126,6 +126,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                 resume: bool = False, ref_hashes: DataFrame | None = None,
                 job_id: str = "job-0", extractor: str = "python",
                 facets: tuple[str, ...] = (),
+                range_facets: tuple[str, ...] = (),
                 positions: bool = False) -> dict:
     """Build the full inverted index; returns build info/metrics dict.
 
@@ -141,7 +142,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     posting-list intersection with NO side lookup, NO docs-table join,
     and NO change to BM25 stats (dl excludes facet terms; facet idf is
     forced to 0 at query time). The \\x01 prefix cannot collide with §T
-    tokens. Off by default (keeps indexes byte-identical to r2)."""
+    tokens. Off by default (keeps indexes byte-identical to r2).
+
+    ``range_facets``: INTEGRAL metadata columns indexed for numeric
+    range filters (`{'col': {'range': [lo, hi]}}`) as trie presence
+    terms — 64/RANGE_STEP tags per doc per column (operators/ranges.py,
+    the Lucene NumericRangeQuery design), so a range query is a bounded
+    OR of node postings regardless of the column's value cardinality.
+    Same co-located-posting properties as ``facets``; values are cast
+    to long (declare only integral columns)."""
     t0 = time.monotonic()
     if resume:
         # fail fast (before the expensive extract phase): resuming must
@@ -187,17 +196,24 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # extractors: 'python' (per-doc C regex + Counter — measured default on
     # this host) and 'arrow' (fully-vectorized LUT/dictionary-encode kernel,
     # kernels/exttok.py — the bet on bandwidth-healthy hardware).
+    # range-facet columns ride the same projection (cast long here so a
+    # bad column type fails the build, not every future query); the
+    # arrow extractor passes non-content columns through untouched
+    rcols = [F.col(c).cast("long").alias(c) for c in range_facets]
+    rddl = "".join(f"{c} long, " for c in range_facets)
     base = (deduped.join(ids, ["repo", "path", "commit"])
             .select("doc_id", "repo", "path", "commit", "lang",
-                    F.sha2(F.col("content"), 256).alias("sha256"), "content"))
+                    F.sha2(F.col("content"), 256).alias("sha256"),
+                    *rcols, "content"))
     if extractor == "arrow":
         docs_feat = base.mapInArrow(
             doc_features_arrow,
             "doc_id long, repo string, path string, commit string, "
-            "lang string, sha256 string, " + FEATURES_STRUCT_DDL)
+            "lang string, sha256 string, " + rddl + FEATURES_STRUCT_DDL)
     elif extractor == "python":
         docs_feat = base.select(
             "doc_id", "repo", "path", "commit", "lang", "sha256",
+            *range_facets,
             doc_features_udf(F.col("content")).alias("f"))
     else:
         raise ValueError(f"unknown extractor {extractor!r} "
@@ -270,8 +286,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         # partials-only exchange + vectorized merge — the shuffle moves
         # ~2.5 B/posting of compressed runs instead of 26 B/posting rows.
         from ..operators.facets import append_facet_terms
+        from ..operators.ranges import append_range_terms
         fterms, ftfs = append_facet_terms(F.col("f.terms"), F.col("f.tfs"),
                                           facets)
+        fterms, ftfs = append_range_terms(fterms, ftfs, range_facets)
         feat_cols = chunk.select("doc_id", F.col("f.dl").alias("dl"),
                                  fterms.alias("terms"), ftfs.alias("tfs"))
         partials = build_partial_postings(feat_cols, rsize)
@@ -342,16 +360,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                      .where(F.col("status") == "done")
                      .agg(F.coalesce(F.sum("n_postings"), F.lit(0)))
                      .collect()[0][0])
+    from ..operators.ranges import RANGE_STEP
     from .positions import meta_version
     meta = [(meta_version(positions), n_docs, float(avgdl),
              int(n_postings), int(rsize),
              int(block_size), codec, int(N_BUCKETS), int(n_chunks_eff),
-             ",".join(facets))]
+             ",".join(facets), ",".join(range_facets), int(RANGE_STEP))]
     _write_small(
         spark, meta,
         "version int, n_docs long, avgdl double, n_postings long, "
         "range_size long, block_size int, codec string, "
-        "n_buckets int, n_chunks int, facets string",
+        "n_buckets int, n_chunks int, facets string, "
+        "range_facets string, range_step int",
         f"{out_dir}/meta", "overwrite", "meta")
     docs_feat.unpersist()
     _mark("dictionary_meta")

@@ -56,7 +56,9 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
     # a pre-chunked (flat bucket=*) dictionary root (memoized per run)
     _check_dictionary_layout(spark, index_dir)
     from ..config import N_BUCKETS
+    from ..operators.ranges import RANGE_STEP
     base = {"n": 0, "dl": 0.0, "p": 0, "rsize": None, "facets": (),
+            "range_facets": (), "range_step": int(RANGE_STEP),
             "positions": False, "n_buckets": int(N_BUCKETS)}
     if fs_exists(spark, f"{index_dir}/docs"):
         # exclude every JOURNALED chunk (stream<e> epochs AND u<k> upsert
@@ -89,6 +91,12 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
         # facets, so filtered queries stay correct across the stream
         base["facets"] = tuple(f for f in (m.get("facets") or "").split(",")
                                if f)
+        # range facets (and the trie step — a LAYOUT property like
+        # n_buckets: epoch tags must split where the build's did) carry
+        # across the stream the same way
+        base["range_facets"] = tuple(
+            f for f in (m.get("range_facets") or "").split(",") if f)
+        base["range_step"] = int(m.get("range_step") or RANGE_STEP)
         # the bucket count is a LAYOUT property fixed at build time —
         # meta rewrites must carry the index's own value, never the
         # current config constant (third review: a changed constant
@@ -110,23 +118,28 @@ def _is_stream_chunk(c: str) -> bool:
 #: n_chunks handling)
 META_DDL = ("version int, n_docs long, avgdl double, n_postings long, "
             "range_size long, block_size int, codec string, "
-            "n_buckets int, n_chunks int, facets string")
+            "n_buckets int, n_chunks int, facets string, "
+            "range_facets string, range_step int")
 
 
 def write_meta(spark: SparkSession, index_dir: str, *, version: int,
                n_docs: int, avgdl: float, n_postings: int,
                range_size: int, block_size: int, codec: str,
-               facets, n_buckets: int, n_chunks: int = -1) -> None:
+               facets, n_buckets: int, n_chunks: int = -1,
+               range_facets=(), range_step: int | None = None) -> None:
     """Overwrite the 1-row meta table (n_chunks=-1 = epoch-fed, the
     batch build records its real chunk plan). ``n_buckets`` is the
     INDEX'S OWN bucket count (a layout property fixed at build time) —
     callers pass the existing meta's value, never config.N_BUCKETS
     (third review: stamping the constant would re-route every term
     probe into the wrong dirs if the constant ever changes)."""
+    from ..operators.ranges import RANGE_STEP
     (spark.createDataFrame(
         [(int(version), int(n_docs), float(avgdl), int(n_postings),
           int(range_size), int(block_size), codec, int(n_buckets),
-          int(n_chunks), ",".join(facets))], META_DDL)
+          int(n_chunks), ",".join(facets), ",".join(range_facets),
+          int(RANGE_STEP if range_step is None else range_step))],
+        META_DDL)
         .write.mode("overwrite").parquet(f"{index_dir}/meta"))
 
 
@@ -164,7 +177,9 @@ def reconcile_meta(spark: SparkSession, index_dir: str,
                avgdl=avgdl, n_postings=p, range_size=int(base["rsize"]),
                block_size=int(m["block_size"]), codec=m["codec"],
                facets=facets, n_buckets=int(m["n_buckets"]),
-               n_chunks=int(m.get("n_chunks", -1)))
+               n_chunks=int(m.get("n_chunks", -1)),
+               range_facets=base["range_facets"],
+               range_step=base["range_step"])
 
 
 def journal_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
@@ -368,6 +383,10 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         # the epoch's positions chunk needs (doc_id, content) AFTER id
         # assignment — carry content through (O(epoch) extra persist)
         feats.append("content")
+    # range-facet columns the batch carries ride the projection (same
+    # skip-if-absent rule as equality facets below — NULL semantics)
+    feats += [F.col(c).cast("long").alias(c)
+              for c in base["range_facets"] if c in batch_df.columns]
     if (batch_df.select("repo").limit(STREAM_ID_GATE_ROWS + 1).count()
             > STREAM_ID_GATE_ROWS):
         from ..operators.doc_ids import assign_doc_ids
@@ -410,6 +429,10 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     fpresent = tuple(f for f in base["facets"] if f in rows.columns)
     fterms, ftfs = append_facet_terms(F.col("f.terms"), F.col("f.tfs"),
                                       fpresent)
+    from ..operators.ranges import append_range_terms
+    rpresent = tuple(f for f in base["range_facets"] if f in rows.columns)
+    fterms, ftfs = append_range_terms(fterms, ftfs, rpresent,
+                                      step=int(base["range_step"]))
     dt = (rows.select("doc_id", F.col("f.dl").alias("dl"),
                       F.explode(F.arrays_zip(fterms.alias("terms"),
                                              ftfs.alias("tfs"))).alias("e"))
@@ -473,7 +496,9 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
                n_postings=postings_before + epoch_postings,
                range_size=int(rsize), block_size=int(block_size),
                codec=codec, facets=base["facets"],
-               n_buckets=int(base["n_buckets"]))
+               n_buckets=int(base["n_buckets"]),
+               range_facets=base["range_facets"],
+               range_step=base["range_step"])
     rows.unpersist()
 
 
@@ -521,6 +546,9 @@ def compact_index(spark: SparkSession, corpus: DataFrame,
         if "facets" not in build_opts:
             build_opts["facets"] = tuple(
                 f for f in (m.get("facets") or "").split(",") if f)
+        if "range_facets" not in build_opts:
+            build_opts["range_facets"] = tuple(
+                f for f in (m.get("range_facets") or "").split(",") if f)
         if "positions" not in build_opts:
             # a compaction keeps phrase support too (format version 3)
             from ..plans.positions import POSITIONS_VERSION
