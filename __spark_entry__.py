@@ -28,9 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (74 since
+    """One entry per implemented ◇ operator from SURVEY.md §2 (76 since
     r5 — adds numeric range facets (trie presence postings; BETWEEN and
-    NOT BETWEEN twins), the metadata-filtered ANN, exact-phrase, embedding- and
+    NOT BETWEEN twins, range-filtered facet counts, binned range
+    histograms), the metadata-filtered ANN, exact-phrase, embedding- and
     simhash-near-dup pairs, the IVF coarse-quantizer ANN, hybrid
     BM25+ANN reciprocal-rank fusion, near-dup connected-component
     clusters, more-like-this, facet histograms (plain and filtered),

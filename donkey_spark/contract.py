@@ -592,14 +592,10 @@ def q_bm25_topk_range(spark, sf_dir):
     length(text) BETWEEN predicate at ranking, so the whole trie
     pipeline — sortable mapping, per-level tags, range decomposition,
     presence-mask OR — is certified against first-principles BETWEEN
-    semantics; survivor scores identical to the unfiltered query's."""
-    from .plans.build import build_index
+    semantics; survivor scores identical to the unfiltered query's.
+    Runs on the shared facet index (facets + range_facets coexist)."""
     from .plans.query import Index
-    out = tempfile.mkdtemp(prefix="donkey_range_")
-    build_index(spark, documents_as_corpus(spark, sf_dir)
-                .withColumn("n_chars", F.length("content")), out,
-                range_facets=("n_chars",))
-    res = Index(spark, out).search_batch(
+    res = Index(spark, _facet_index_dir(spark, sf_dir)).search_batch(
         BM25_QUERIES,
         filters={"n_chars": {"range": [_RANGE_LO, _RANGE_HI]}})
     w = Window.partitionBy("query_id").orderBy(
@@ -612,14 +608,9 @@ def q_bm25_topk_range(spark, sf_dir):
 def q_bm25_topk_range_not(spark, sf_dir):
     """§2.14 T25 — negated range (`{'not': {'range': [lo, hi]}}`): the
     complement mask over the same trie nodes, open-ended twin predicate
-    NOT BETWEEN; shares the range pair's index copy shape."""
-    from .plans.build import build_index
+    NOT BETWEEN; shares the range pair's index."""
     from .plans.query import Index
-    out = tempfile.mkdtemp(prefix="donkey_range_not_")
-    build_index(spark, documents_as_corpus(spark, sf_dir)
-                .withColumn("n_chars", F.length("content")), out,
-                range_facets=("n_chars",))
-    res = Index(spark, out).search_batch(
+    res = Index(spark, _facet_index_dir(spark, sf_dir)).search_batch(
         BM25_QUERIES,
         filters={"n_chars": {"not": {"range": [_RANGE_LO, _RANGE_HI]}}})
     w = Window.partitionBy("query_id").orderBy(
@@ -1093,8 +1084,9 @@ def _facet_index_dir(spark, sf_dir) -> str:
         from .plans.build import build_index
         out = os.path.join(tempfile.gettempdir(),
                            "donkey_fidx_" + sf_dir.strip("/").replace("/", "_"))
-        build_index(spark, documents_as_corpus(spark, sf_dir), out,
-                    facets=("lang", "repo"))
+        build_index(spark, documents_as_corpus(spark, sf_dir)
+                    .withColumn("n_chars", F.length("content")), out,
+                    facets=("lang", "repo"), range_facets=("n_chars",))
         _FACET_IDX_CACHE[sf_dir] = out
     return _FACET_IDX_CACHE[sf_dir]
 
@@ -1131,6 +1123,28 @@ GROUP BY 1
 """
 
 
+def _range_counts_oracle_sql(text: str = "spark join filter",
+                             shift: int = 8) -> str:
+    """Binned-histogram twin: integer-division binning is exact against
+    the engine's biased trie tags because 2^shift divides 2^63 (so the
+    XOR-2^63 bias shifts every bin boundary by a whole number of bins)
+    and the tested column is non-negative."""
+    from .functions.tokenize import tokenize_py
+    vals = ", ".join(f"('{t}')" for t in sorted(set(tokenize_py(text))))
+    w = 1 << shift
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+), q(term) AS (VALUES {vals}),
+m AS (SELECT DISTINCT doc_id FROM toks JOIN q USING (term))
+SELECT (length(d.text) // {w}) * {w} AS bin_lo,
+       (length(d.text) // {w}) * {w} + {w - 1} AS bin_hi,
+       count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 def q_facet_counts_filtered(spark, sf_dir):
     """r5 §2.14 — faceted-navigation counts: the repo histogram of the
     flagship query's match set WITH lang='en' selected — the counts a
@@ -1143,6 +1157,37 @@ def q_facet_counts_filtered(spark, sf_dir):
     return facet_counts(Index(spark, _facet_index_dir(spark, sf_dir)),
                         "spark join filter", "repo",
                         filters={"lang": "en"})
+
+
+def q_facet_counts_range_filtered(spark, sf_dir):
+    """§2.14 T25 — faceted navigation with a RANGE selection active:
+    the lang histogram of the flagship query's match set restricted to
+    n_chars ∈ [lo, hi]. The range spec compiles through the SAME
+    operators/facets.resolve_filter_groups the scorer uses (trie node
+    tags → 'any' presence mask inside the counting kernel), so filtered
+    counts and filtered rankings can never disagree; the twin adds a
+    plain length(text) BETWEEN predicate."""
+    from .plans.facet_counts import facet_counts
+    from .plans.query import Index
+    return facet_counts(Index(spark, _facet_index_dir(spark, sf_dir)),
+                        "spark join filter", "lang",
+                        filters={"n_chars": {"range": [_RANGE_LO,
+                                                       _RANGE_HI]}})
+
+
+def q_range_counts(spark, sf_dir):
+    """§2.14 T25 — binned numeric histogram over the match set (the
+    search-UI size/date slider): counts per 256-wide n_chars bin for
+    the flagship query, read STRAIGHT from the trie's level-8 presence
+    tags (plans/facet_counts.range_counts) — every doc carries exactly
+    one tag per level, so the level's tags are disjoint complete bins
+    and no value enumeration happens. The twin bins with integer
+    division (valid against the biased encoding because 2^shift divides
+    2^63), certifying tag→bin arithmetic end to end."""
+    from .plans.facet_counts import range_counts
+    from .plans.query import Index
+    return range_counts(Index(spark, _facet_index_dir(spark, sf_dir)),
+                        "spark join filter", "n_chars", shift=8)
 
 
 #: upsert pair: every doc_id % 10 == 0 gets a new version whose content
@@ -2368,6 +2413,9 @@ SELECT 2::INTEGER AS n_epochs,
     "facet_counts": _facet_counts_oracle_sql(),
     "facet_counts_filtered": _facet_counts_oracle_sql(
         count_col="source", extra_pred="d.lang = 'en'"),
+    "facet_counts_range_filtered": _facet_counts_oracle_sql(
+        extra_pred=f"length(d.text) BETWEEN {_RANGE_LO} AND {_RANGE_HI}"),
+    "range_counts": _range_counts_oracle_sql(),
     "search_snippets": _snippets_oracle_sql(),
     "bm25_topk_upsert": _upsert_oracle_sql(),
     # backfilled facets must be indistinguishable from built-in ones:
@@ -2565,6 +2613,8 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "facet_counts": q_facet_counts,
     "facet_counts_filtered": q_facet_counts_filtered,
+    "facet_counts_range_filtered": q_facet_counts_range_filtered,
+    "range_counts": q_range_counts,
     "search_snippets": q_search_snippets,
     "bm25_topk_upsert": q_bm25_topk_upsert,
     "bm25_topk_facet_backfill": q_bm25_topk_facet_backfill,

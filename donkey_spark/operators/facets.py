@@ -83,3 +83,49 @@ def normalize_filter_spec(col: str, spec) -> tuple[str, list]:
     if not vals:
         raise ValueError(f"empty filter value list for {col!r}")
     return kind, vals
+
+
+def resolve_filter_groups(filters: dict, eq_facets: tuple[str, ...],
+                          range_facets: tuple[str, ...],
+                          step: int) -> list[tuple[str, list[str]]]:
+    """Filter dict -> [(mask_kind, [presence tags])] — the ONE
+    compilation from the user-facing filter grammar to dictionary
+    presence tags, shared by the scorer (plans/query.py) and the facet
+    histogram (plans/facet_counts.py) so filtered counts and filtered
+    rankings can never disagree on which docs a spec admits.
+
+    Equality specs become their `\\x01col=value` tags; range specs
+    decompose to trie node tags (operators/ranges.py) and ride the SAME
+    two mask kinds — 'any' (OR within the group, groups AND together)
+    and 'not' (complement INCLUDING docs without the column).
+    Validates column/spec pairing: a range spec on an equality facet
+    (or vice versa, or an unindexed column) raises."""
+    from .ranges import range_query_tags
+    unknown = sorted(set(filters) - set(eq_facets) - set(range_facets))
+    if unknown:
+        raise ValueError(
+            f"index has no facet(s) {unknown}; built with "
+            f"facets={tuple(eq_facets) or '()'} / range_facets="
+            f"{tuple(range_facets) or '()'} — rebuild with "
+            f"build_index(..., facets=(...), range_facets=(...))")
+    groups: list[tuple[str, list[str]]] = []
+    for c, v in sorted(filters.items()):
+        kind, vals = normalize_filter_spec(c, v)
+        if kind in ("range", "not_range"):
+            # a [lo, hi] filter decomposes to a BOUNDED set of trie
+            # node tags: range -> 'any' (OR over nodes), the negation
+            # -> 'not' — no new mask machinery
+            if c not in range_facets:
+                raise ValueError(
+                    f"column {c!r} is an equality facet, not a "
+                    f"range facet; rebuild with "
+                    f"build_index(..., range_facets=({c!r},))")
+            tags = range_query_tags(c, vals[0], vals[1], step=step)
+            groups.append(("any" if kind == "range" else "not", tags))
+            continue
+        if c not in eq_facets:
+            raise ValueError(
+                f"column {c!r} is a range facet; filter it with "
+                f"{{'range': [lo, hi]}} (or a negated range)")
+        groups.append((kind, [facet_term(c, x) for x in vals]))
+    return groups

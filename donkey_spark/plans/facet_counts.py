@@ -31,11 +31,9 @@ from ..operators.facets import FACET_PREFIX, facet_term
 from ..operators.postings import term_bucket_py
 
 
-def facet_values(index, facet: str) -> list[str]:
-    """Distinct indexed values of a facet column, from the dictionary's
-    presence tags (one dictionary scan — vocabulary-sized, not
-    corpus-sized)."""
-    prefix = f"{FACET_PREFIX}{facet}="
+def _tag_values(index, prefix: str) -> list[str]:
+    """Distinct dictionary-term suffixes under a presence-tag prefix
+    (one dictionary scan — vocabulary-sized, not corpus-sized)."""
     d = index._dict
     active = index._active_dict_chunks()
     if active is not None:
@@ -43,6 +41,12 @@ def facet_values(index, facet: str) -> list[str]:
     rows = (d.where(F.col("term").startswith(prefix))
             .select("term").distinct().collect())
     return sorted(r["term"][len(prefix):] for r in rows)
+
+
+def facet_values(index, facet: str) -> list[str]:
+    """Distinct indexed values of an equality-facet column, from the
+    dictionary's presence tags."""
+    return _tag_values(index, f"{FACET_PREFIX}{facet}=")
 
 
 def facet_counts(index, text: str, facet, mode: str = "or",
@@ -59,16 +63,26 @@ def facet_counts(index, text: str, facet, mode: str = "or",
     value-enumeration scan.
 
     ``filters=`` applies the SAME facet-filter grammar as search
-    (equality / OR list / {"not": [...]}): counts are taken over the
+    (equality / OR list / {"not": [...]} / {"range": [lo, hi]} and its
+    negation over range-facet columns): counts are taken over the
     FILTERED match set — faceted-navigation semantics, where the
     histogram of one column respects the selections active on the
     others. Filter masks intersect inside the same per-salt kernel
     (id-array set ops over the already-fetched presence postings), so
-    no join or extra scan appears."""
+    no join or extra scan appears. The compilation to presence tags is
+    SHARED with the scorer (operators/facets.resolve_filter_groups), so
+    a spec admits the same docs here as in search. To histogram a
+    range-facet column itself, use ``range_counts`` (binned)."""
     multi = not isinstance(facet, str)
     facets = list(facet) if multi else [facet]
     if multi and values is not None:
         raise ValueError("values= applies to the single-facet form")
+    as_range = sorted(set(facets) & set(index.range_facets))
+    if as_range:
+        raise ValueError(
+            f"{as_range} are range facets — their values are trie "
+            f"nodes, not enumerable equality tags; use range_counts() "
+            f"for a binned histogram")
     unknown = sorted(set(facets) - set(index.facets))
     if unknown:
         raise ValueError(
@@ -78,39 +92,113 @@ def facet_counts(index, text: str, facet, mode: str = "or",
         raise ValueError(mode)
     fgroups: list[tuple[str, list[str]]] = []
     if filters:
-        funknown = sorted(set(filters) - set(index.facets))
-        if funknown:
-            raise ValueError(
-                f"index has no facet(s) {funknown}; built with "
-                f"facets={index.facets or '()'}")
-        from ..operators.facets import normalize_filter_spec
-        for c, v in sorted(filters.items()):
-            kind, vals_ = normalize_filter_spec(c, v)
-            fgroups.append((kind, [facet_term(c, x) for x in vals_]))
+        from ..operators.facets import resolve_filter_groups
+        fgroups = resolve_filter_groups(
+            filters, index.facets, index.range_facets, index.range_step)
     spark = index.spark
     schema = ("facet string, value string, n_docs long" if multi
               else "value string, n_docs long")
     empty = spark.createDataFrame([], schema)
-    qterms = sorted(set(tokenize_py(text)))
-    dfs = index._lookup_terms(qterms)
-    live = [t for t in qterms if dfs.get(t)]
-    if not live or (mode == "and" and len(live) < len(qterms)):
-        return empty
     tags = []
     for f in facets:
         vals = facet_values(index, f) if values is None else values
         tags += [facet_term(f, v) for v in vals]
+    agg = _count_tag_overlaps(index, text, mode, fgroups, tags)
+    if agg is None:
+        return empty
+    split = F.split(F.col("tag"), "=", 2)
+    if multi:
+        return agg.select(split.getItem(0).alias("facet"),
+                          split.getItem(1).alias("value"), "n_docs")
+    return agg.select(split.getItem(1).alias("value"), "n_docs")
+
+
+def range_counts(index, text: str, facet: str, shift: int,
+                 mode: str = "or",
+                 filters: dict | None = None) -> DataFrame:
+    """Binned histogram of a RANGE-facet column over a query's match
+    set — the numeric-slider counts a search UI shows ("size: 0–255
+    (1,204) · 256–511 (312) · …"), for free from the trie: every doc's
+    value is indexed under exactly one node tag per precision level
+    (operators/ranges.py), so counting the level-``shift`` tags yields
+    DISJOINT, COMPLETE bins of width 2^shift over the non-null docs.
+    No per-value enumeration ever happens — the tag set at a level is
+    bounded by the corpus's value spread / 2^shift, not its cardinality.
+
+    ``shift`` picks the zoom (bin width 2^shift); it must be one of the
+    indexed levels — a multiple of the index's range_step in [0, 64).
+    Level 0 is exact values: cardinality-bounded, usually NOT what a UI
+    wants. Returns (bin_lo, bin_hi, n_docs) with inclusive signed
+    bounds; docs with a NULL column are not counted (same semantics as
+    facet_counts). ``mode``/``filters`` as in facet_counts — the same
+    shared spec compilation, so a slider histogram can respect the
+    other active selections (including another range filter)."""
+    if facet in index.facets:
+        raise ValueError(
+            f"{facet!r} is an equality facet; use facet_counts()")
+    if facet not in index.range_facets:
+        raise ValueError(
+            f"index has no range facet {facet!r}; built with "
+            f"range_facets={index.range_facets or '()'}")
+    step = index.range_step
+    if (not isinstance(shift, int) or isinstance(shift, bool)
+            or not 0 <= shift < 64 or shift % step):
+        raise ValueError(
+            f"shift must be an indexed trie level — a multiple of "
+            f"range_step={step} in [0, 64) — got {shift!r}")
+    if mode not in ("or", "and"):
+        raise ValueError(mode)
+    fgroups: list[tuple[str, list[str]]] = []
+    if filters:
+        from ..operators.facets import resolve_filter_groups
+        fgroups = resolve_filter_groups(
+            filters, index.facets, index.range_facets, index.range_step)
+    empty = index.spark.createDataFrame(
+        [], "bin_lo long, bin_hi long, n_docs long")
+    prefix = f"{FACET_PREFIX}{facet}#{shift}="
+    tags = [prefix + v for v in _tag_values(index, prefix)]
+    agg = _count_tag_overlaps(index, text, mode, fgroups, tags)
+    if agg is None:
+        return empty
+    # tag = "col#<shift>=<HEX prefix>"; signed bin_lo = (prefix <<
+    # shift) - 2^63 (undoing the sortable bias). conv() reads the hex
+    # as unsigned 64-bit and emits a decimal STRING, so the arithmetic
+    # runs in decimal and only the final (in-int64-range) value casts
+    width = 1 << shift
+    ulo = (F.conv(F.split(F.col("tag"), "=", 2).getItem(1), 16, 10)
+           .cast("decimal(21,0)") * F.lit(width))
+    # 2^63 exceeds a Java long literal — route the bias through a string
+    bias = F.lit(str(1 << 63)).cast("decimal(21,0)")
+    bin_lo = (ulo - bias).cast("long")
+    return agg.select(bin_lo.alias("bin_lo"),
+                      (bin_lo + F.lit(width - 1)).alias("bin_hi"),
+                      "n_docs")
+
+
+def _count_tag_overlaps(index, text: str, mode: str,
+                        fgroups: list[tuple[str, list[str]]],
+                        tags: list[str]) -> DataFrame | None:
+    """Shared counting core: one pruned segment scan + per-salt Arrow
+    kernel counting each presence tag's overlap with the (filtered,
+    tombstone-dropped) match set of ``text``. Returns an aggregated
+    (tag, n_docs) DataFrame, or None when the result is provably empty
+    (OOV terms, no live tag, an emptied 'any' filter group)."""
+    qterms = sorted(set(tokenize_py(text)))
+    dfs = index._lookup_terms(qterms)
+    live = [t for t in qterms if dfs.get(t)]
+    if not live or (mode == "and" and len(live) < len(qterms)):
+        return None
     ftags = [t for _, g in fgroups for t in g]
     tag_dfs = index._lookup_terms(sorted(set(tags) | set(ftags)))
     tags = [t for t in tags if tag_dfs.get(t)]
     if not tags:
-        return empty
+        return None
     # same dictionary-resolution rules as search: an "any" group with NO
     # live value selects nothing; values missing from the dictionary
     # drop out of their group; an emptied NOT group excludes nothing
     if any(kind == "any" and all(not tag_dfs.get(t) for t in g)
            for kind, g in fgroups):
-        return empty
+        return None
     fgroups = [(kind, [t for t in g if tag_dfs.get(t)])
                for kind, g in fgroups]
     fgroups = [(kind, frozenset(g)) for kind, g in fgroups if g]
@@ -204,10 +292,5 @@ def facet_counts(index, text: str, facet, mode: str = "or",
            .select("term", "salt", "docids_blob"))
     part = seg.repartition("salt").mapInArrow(
         count_arrow, "tag string, n long")
-    agg = part.groupBy("tag").agg(
+    return part.groupBy("tag").agg(
         F.sum("n").cast("long").alias("n_docs"))
-    split = F.split(F.col("tag"), "=", 2)
-    if multi:
-        return agg.select(split.getItem(0).alias("facet"),
-                          split.getItem(1).alias("value"), "n_docs")
-    return agg.select(split.getItem(1).alias("value"), "n_docs")

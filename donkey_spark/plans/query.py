@@ -547,38 +547,12 @@ class Index:
                 "stats override needs n_docs, avgdl and dfs keys")
         facet_groups: list[tuple[str, list[str]]] = []
         if filters:
-            unknown = sorted(set(filters) - set(self.facets)
-                             - set(self.range_facets))
-            if unknown:
-                raise ValueError(
-                    f"index has no facet(s) {unknown}; built with "
-                    f"facets={self.facets or '()'} / range_facets="
-                    f"{self.range_facets or '()'} — rebuild with "
-                    f"build_index(..., facets=(...), range_facets=(...))")
-            from ..operators.facets import normalize_filter_spec
-            from ..operators.ranges import range_query_tags
-            for c, v in sorted(filters.items()):
-                kind, vals = normalize_filter_spec(c, v)
-                if kind in ("range", "not_range"):
-                    # a [lo, hi] filter decomposes to a BOUNDED set of
-                    # trie node tags (operators/ranges.py) and rides the
-                    # SAME presence-mask kinds equality filters use:
-                    # range -> 'any' (OR over nodes), not_range -> 'not'
-                    if c not in self.range_facets:
-                        raise ValueError(
-                            f"column {c!r} is an equality facet, not a "
-                            f"range facet; rebuild with "
-                            f"build_index(..., range_facets=({c!r},))")
-                    tags = range_query_tags(c, vals[0], vals[1],
-                                            step=self.range_step)
-                    facet_groups.append(
-                        ("any" if kind == "range" else "not", tags))
-                    continue
-                if c not in self.facets:
-                    raise ValueError(
-                        f"column {c!r} is a range facet; filter it with "
-                        f"{{'range': [lo, hi]}} (or a negated range)")
-                facet_groups.append((kind, [f"\x01{c}={x}" for x in vals]))
+            # one shared compilation (equality tags + range trie
+            # decomposition) with the facet-histogram path — see
+            # operators/facets.resolve_filter_groups
+            from ..operators.facets import resolve_filter_groups
+            facet_groups = resolve_filter_groups(
+                filters, self.facets, self.range_facets, self.range_step)
         facet_terms = [t for _, g in facet_groups for t in g]
         # a query's text may instead be a pre-resolved term LIST (the
         # pattern-expansion and federation paths resolve terms before

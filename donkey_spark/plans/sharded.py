@@ -402,3 +402,30 @@ def facet_counts_sharded(shards, text: str, facet, mode: str = "or",
     keys = [c for c in out.columns if c != "n_docs"]
     return out.groupBy(*keys).agg(
         F.sum("n_docs").cast("long").alias("n_docs"))
+
+
+def range_counts_sharded(shards, text: str, facet: str, shift: int,
+                         mode: str = "or",
+                         filters: dict | None = None):
+    """Binned numeric histogram over the federation's match set
+    (plans/facet_counts.range_counts per shard). Exact for the same
+    reason facet_counts_sharded is — counting needs no global stats —
+    and the bins are globally consistent because every shard derives
+    them from the same trie encoding at the same level: bin boundaries
+    are pure arithmetic on 2^shift, so per-shard (bin_lo, bin_hi) rows
+    sum without any alignment step. Each shard validates ``shift``
+    against its OWN indexed range_step (a layout property), so a
+    federation of differently-stepped shards fails loudly rather than
+    merging incompatible levels."""
+    if not shards:
+        raise ValueError("no shards")
+    from pyspark.sql import functions as F
+
+    from .facet_counts import range_counts
+    parts = [range_counts(s, text, facet, shift, mode=mode,
+                          filters=filters) for s in shards]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("bin_lo", "bin_hi").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"))

@@ -271,3 +271,149 @@ def test_error_forms(ridx):
     with pytest.raises(ValueError, match="no facet"):
         idx.search_rows([(0, QUERY, 5)],
                         filters={"nope": {"range": [1, 2]}})
+
+
+# ------------------------------------------------------ binned histograms
+
+def _bin(v: int, shift: int) -> tuple[int, int]:
+    lo = ((((v + (1 << 63)) & ((1 << 64) - 1)) >> shift) << shift) \
+        - (1 << 63)
+    return lo, lo + (1 << shift) - 1
+
+
+def test_range_counts_vs_bruteforce(ridx):
+    """Level-``shift`` tag counts ARE the 2^shift-wide value histogram
+    of the match set — checked against python binning of the truth."""
+    from collections import Counter
+
+    from donkey_spark.plans.facet_counts import range_counts
+    idx, truth = ridx
+    base = _keys(idx.search_rows([(0, QUERY, 500)]))
+    for shift in (0, 8, 12):
+        got = {(r.bin_lo, r.bin_hi): r.n_docs
+               for r in range_counts(idx, QUERY, "n_chars",
+                                     shift).collect()}
+        want = Counter(_bin(truth[k], shift) for k in base)
+        assert got == dict(want), shift
+
+
+def test_range_counts_filters_compose(ridx, spark):
+    """Equality and range filters constrain the binned counts through
+    the same shared spec compilation the scorer uses."""
+    from collections import Counter
+
+    from donkey_spark.plans.facet_counts import range_counts
+    idx, truth = ridx
+    langs = {r.repo + "\x00" + r.path: r.lang
+             for r in spark.read.parquet(
+                 "/root/testdata/sf0.001/documents.parquet")
+             .select(F.col("source").alias("repo"),
+                     F.concat(F.lit("doc/"), F.col("doc_id"))
+                     .alias("path"), "lang").collect()}
+    base = _keys(idx.search_rows([(0, QUERY, 500)]))
+    l0 = sorted(set(langs.values()))[0]
+    got = {(r.bin_lo, r.bin_hi): r.n_docs
+           for r in range_counts(
+               idx, QUERY, "n_chars", 8,
+               filters={"lang": l0,
+                        "n_chars": {"range": [150, 450]}}).collect()}
+    want = Counter(_bin(truth[k], 8) for k in base
+                   if langs[k[0] + "\x00" + k[1]] == l0
+                   and 150 <= truth[k] <= 450)
+    assert got == dict(want) and got
+
+
+def test_facet_counts_under_range_filter(ridx, spark):
+    """facet_counts accepts the SAME range spec search does (the r5
+    composition gap): the lang histogram under an n_chars range filter
+    matches brute force."""
+    from collections import Counter
+
+    from donkey_spark.plans.facet_counts import facet_counts
+    idx, truth = ridx
+    langs = {r.repo + "\x00" + r.path: r.lang
+             for r in spark.read.parquet(
+                 "/root/testdata/sf0.001/documents.parquet")
+             .select(F.col("source").alias("repo"),
+                     F.concat(F.lit("doc/"), F.col("doc_id"))
+                     .alias("path"), "lang").collect()}
+    base = _keys(idx.search_rows([(0, QUERY, 500)]))
+    got = {r.value: r.n_docs for r in facet_counts(
+        idx, QUERY, "lang",
+        filters={"n_chars": {"range": [200, 400]}}).collect()}
+    want = Counter(langs[k[0] + "\x00" + k[1]] for k in base
+                   if 200 <= truth[k] <= 400)
+    assert got == dict(want) and got
+    # negated range = the complement partition of the unfiltered counts
+    got_not = {r.value: r.n_docs for r in facet_counts(
+        idx, QUERY, "lang",
+        filters={"n_chars": {"not": {"range": [200, 400]}}}).collect()}
+    unfiltered = {r.value: r.n_docs
+                  for r in facet_counts(idx, QUERY, "lang").collect()}
+    both = Counter(got) + Counter(got_not)
+    assert dict(both) == unfiltered
+
+
+def test_range_counts_negative_values(spark, tmp_path):
+    """The decimal tag→bin arithmetic is exact across the sign bit —
+    the case the driver oracle's integer-division twin cannot reach."""
+    from collections import Counter
+
+    from donkey_spark.plans import Index, build_index
+    from donkey_spark.plans.facet_counts import range_counts
+    from donkey_spark.sources import documents_as_corpus
+    out = str(tmp_path / "negidx")
+    corpus = documents_as_corpus(spark, "/root/testdata/sf0.001") \
+        .withColumn("delta", F.length("content") - F.lit(300))
+    build_index(spark, corpus, out, range_facets=("delta",))
+    idx = Index(spark, out)
+    truth = {(r.repo, r.path): r.d for r in corpus.select(
+        "repo", "path", F.col("delta").alias("d")).collect()}
+    base = _keys(idx.search_rows([(0, QUERY, 500)]))
+    got = {(r.bin_lo, r.bin_hi): r.n_docs
+           for r in range_counts(idx, QUERY, "delta", 4).collect()}
+    want = Counter(_bin(truth[k], 4) for k in base)
+    assert got == dict(want)
+    assert any(lo < 0 for lo, _ in got)      # the sign bit was exercised
+
+
+def test_range_counts_sharded_sums_exactly(ridx, spark, tmp_path):
+    """Federated bins ≡ unified bins: shards partition the corpus and
+    bin boundaries are shard-independent arithmetic."""
+    from collections import Counter
+
+    from donkey_spark.plans import Index, build_index
+    from donkey_spark.plans.facet_counts import range_counts
+    from donkey_spark.plans.sharded import range_counts_sharded
+    from donkey_spark.sources import documents_as_corpus
+    idx, _ = ridx
+    corpus = documents_as_corpus(spark, "/root/testdata/sf0.001") \
+        .withColumn("n_chars", F.length("content"))
+    shards = []
+    for i, pred in enumerate(["path < 'doc/3'", "path >= 'doc/3'"]):
+        d = str(tmp_path / f"s{i}")
+        build_index(spark, corpus.where(pred), d, facets=("lang",),
+                    range_facets=("n_chars",))
+        shards.append(Index(spark, d))
+    fed = {(r.bin_lo, r.bin_hi): r.n_docs
+           for r in range_counts_sharded(shards, QUERY, "n_chars",
+                                         8).collect()}
+    uni = {(r.bin_lo, r.bin_hi): r.n_docs
+           for r in range_counts(idx, QUERY, "n_chars", 8).collect()}
+    assert Counter(fed) == Counter(uni) and fed
+
+
+def test_histogram_empty_and_errors(ridx):
+    from donkey_spark.plans.facet_counts import facet_counts, range_counts
+    idx, _ = ridx
+    e = range_counts(idx, "zzzqqqoov", "n_chars", 8)
+    assert e.columns == ["bin_lo", "bin_hi", "n_docs"] and e.count() == 0
+    with pytest.raises(ValueError, match="range facets"):
+        facet_counts(idx, QUERY, "n_chars")
+    with pytest.raises(ValueError, match="equality facet"):
+        range_counts(idx, QUERY, "lang", 8)
+    with pytest.raises(ValueError, match="no range facet"):
+        range_counts(idx, QUERY, "nope", 8)
+    for bad_shift in (3, -4, 64, 8.0, True):
+        with pytest.raises(ValueError, match="shift"):
+            range_counts(idx, QUERY, "n_chars", bad_shift)
