@@ -50,13 +50,21 @@ def main() -> None:
                     help="facet filter (repeatable); a comma list is an OR "
                          "within the column, COL!=VALUE[,...] negates "
                          "(docs with a listed value are excluded), and "
-                         "separate --filter flags AND together; index "
-                         "must be built with --facets")
+                         "separate --filter flags AND together; COL=LO..HI "
+                         "is an inclusive numeric range over a range-facet "
+                         "column (either bound may be omitted; COL!=LO..HI "
+                         "negates); index must be built with --facets / "
+                         "--range-facets")
     ap.add_argument("--facet-counts", default=None, metavar="COL",
                     help="instead of top-k rows, print the per-value "
                          "document counts of this facet column over the "
                          "query's FULL match set (index must be built "
-                         "with --facets)")
+                         "with --facets); for a range-facet column add "
+                         "--bin-shift")
+    ap.add_argument("--bin-shift", type=int, default=None, metavar="S",
+                    help="with --facet-counts over a RANGE-facet column: "
+                         "print a binned histogram with 2^S-wide bins "
+                         "(S must be a multiple of the index's trie step)")
     ap.add_argument("--snippets", default=None, metavar="CORPUS",
                     help="annotate each hit with a context snippet "
                          "fetched from this corpus parquet path "
@@ -86,15 +94,29 @@ def main() -> None:
     else:
         batch = [(int(r["query_id"]), r["query"], int(r["k"]))
                  for r in spark.read.parquet(a.queries).collect()]
+    import re
+    range_re = re.compile(r"^(-?\d+)?\.\.(-?\d+)?$")
+
+    def parse_value(v):
+        m = range_re.match(v)
+        if m and (m.group(1) or m.group(2)):
+            return {"range": [int(m.group(1)) if m.group(1) else None,
+                              int(m.group(2)) if m.group(2) else None]}
+        return None
+
     filters = {}
     for f in a.filter:
         if "!=" in f:
             c, v = f.split("!=", 1)
-            filters[c] = {"not": v.split(",")}
+            rng = parse_value(v)
+            filters[c] = {"not": rng if rng else v.split(",")}
         else:
             c, v = f.split("=", 1)
-            filters[c] = v.split(",") if "," in v else v
+            rng = parse_value(v)
+            filters[c] = rng or (v.split(",") if "," in v else v)
     filters = filters or None
+    if a.bin_shift is not None and not a.facet_counts:
+        ap.error("--bin-shift needs --facet-counts COL")
     if a.shards:
         from donkey_spark.plans.sharded import (RESULT_SCHEMA,
                                                 facet_counts_sharded,
@@ -113,9 +135,16 @@ def main() -> None:
         elif a.facet_counts:
             if a.queries:
                 ap.error("--facet-counts takes a single --query")
-            res = facet_counts_sharded(
-                open_shards(spark, a.shards.split(",")), a.query,
-                a.facet_counts, mode=a.mode, filters=filters)
+            if a.bin_shift is not None:
+                from donkey_spark.plans.sharded import range_counts_sharded
+                res = range_counts_sharded(
+                    open_shards(spark, a.shards.split(",")), a.query,
+                    a.facet_counts, a.bin_shift, mode=a.mode,
+                    filters=filters)
+            else:
+                res = facet_counts_sharded(
+                    open_shards(spark, a.shards.split(",")), a.query,
+                    a.facet_counts, mode=a.mode, filters=filters)
         elif a.snippets:
             from donkey_spark.plans.snippets import search_snippets_sharded
             res = search_snippets_sharded(
@@ -146,9 +175,14 @@ def main() -> None:
         # --filter composes: faceted navigation (counts over the
         # FILTERED match set — the histogram a UI shows while other
         # filter groups are active)
-        from donkey_spark.plans.facet_counts import facet_counts
-        res = facet_counts(idx, a.query, a.facet_counts, mode=a.mode,
-                           filters=filters)
+        if a.bin_shift is not None:
+            from donkey_spark.plans.facet_counts import range_counts
+            res = range_counts(idx, a.query, a.facet_counts, a.bin_shift,
+                               mode=a.mode, filters=filters)
+        else:
+            from donkey_spark.plans.facet_counts import facet_counts
+            res = facet_counts(idx, a.query, a.facet_counts, mode=a.mode,
+                               filters=filters)
     elif a.phrase:
         if a.queries or filters or a.snippets:
             ap.error("--phrase takes a single --query and no "

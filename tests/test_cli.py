@@ -232,3 +232,69 @@ def test_cli_sharded_search(cli_corpus):
     un_sn = pd.read_parquet(snures).sort_values("rank")
     assert list(zip(sn["repo"], sn["path"], sn["snippet"])) == \
         list(zip(un_sn["repo"], un_sn["path"], un_sn["snippet"]))
+
+
+def test_cli_range_facets_end_to_end(cli_corpus):
+    """--range-facets build → --filter col=lo..hi (open ends, negation)
+    → --facet-counts col --bin-shift: the full T25 surface as a user
+    drives it, checked against pandas on the same corpus."""
+    base = cli_corpus
+    pdf = gen_corpus(120, seed=19)
+    nc = pdf["content"].str.len()
+    idx, res = str(base / "ridx"), str(base / "rres")
+    _run(["scripts/build_index.py", "--corpus",
+          str(base / "corpus.parquet"), "--out", idx,
+          "--facets", "lang", "--range-facets", "n_chars"])
+
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "200", "--out", res])
+    base_hits = pd.read_parquet(res)      # k > corpus: the FULL match set
+    lo, hi = int(nc.quantile(0.3)), int(nc.quantile(0.7))
+    truth = dict(zip(pdf["path"], nc))
+
+    for filt, keep in [
+            (f"n_chars={lo}..{hi}", lambda v: lo <= v <= hi),
+            (f"n_chars=..{hi}", lambda v: v <= hi),
+            (f"n_chars={lo}..", lambda v: v >= lo),
+            (f"n_chars!={lo}..{hi}", lambda v: not lo <= v <= hi)]:
+        _run(["scripts/query.py", "--index", idx, "--query",
+              "def return", "-k", "200", "--filter", filt, "--out", res])
+        got = pd.read_parquet(res)
+        want = {p for p in base_hits["path"] if keep(truth[p])}
+        assert set(got["path"]) == want, filt
+
+    # binned histogram over the match set + an active equality filter
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "--facet-counts", "n_chars", "--bin-shift", "4",
+          "--filter", "lang=py", "--out", res])
+    hist = pd.read_parquet(res)
+    en_paths = set(pdf.loc[pdf["lang"] == "py", "path"])
+    vals = [truth[p] for p in base_hits["path"] if p in en_paths]
+    want_bins = {}
+    for v in vals:
+        b = (v >> 4) << 4
+        want_bins[(b, b + 15)] = want_bins.get((b, b + 15), 0) + 1
+    got_bins = {(r.bin_lo, r.bin_hi): r.n_docs
+                for r in hist.itertuples()}
+    assert got_bins == want_bins and got_bins
+
+    # --bin-shift without --facet-counts is an argparse-level error
+    out = subprocess.run(
+        [sys.executable, "scripts/query.py", "--index", idx,
+         "--query", "x", "--bin-shift", "8"],
+        capture_output=True, text=True, cwd=ROOT, timeout=600,
+        env=dict(os.environ, PYTHONPATH=ROOT,
+                 SPARK_LOCAL_IP="127.0.0.1",
+                 PYSPARK_SUBMIT_ARGS="--master local[4] pyspark-shell"))
+    assert out.returncode == 2 and "--bin-shift needs" in out.stderr
+
+    # unknown derived column refused before Spark work begins
+    out = subprocess.run(
+        [sys.executable, "scripts/build_index.py", "--corpus",
+         str(base / "corpus.parquet"), "--out", str(base / "nope_idx"),
+         "--range-facets", "stars"],
+        capture_output=True, text=True, cwd=ROOT, timeout=600,
+        env=dict(os.environ, PYTHONPATH=ROOT,
+                 SPARK_LOCAL_IP="127.0.0.1",
+                 PYSPARK_SUBMIT_ARGS="--master local[4] pyspark-shell"))
+    assert out.returncode != 0 and "stars" in (out.stderr + out.stdout)
