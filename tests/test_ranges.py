@@ -401,6 +401,15 @@ def test_range_counts_sharded_sums_exactly(ridx, spark, tmp_path):
     uni = {(r.bin_lo, r.bin_hi): r.n_docs
            for r in range_counts(idx, QUERY, "n_chars", 8).collect()}
     assert Counter(fed) == Counter(uni) and fed
+    # federated RANKED search under a range filter ≡ unified (filters
+    # stay shard-local; global stats keep scores identical)
+    from donkey_spark.plans.sharded import search_rows_sharded
+    filt = {"n_chars": {"range": [150, 450]}}
+    fed_rows = [(r[5], r[6], round(r[4], 9)) for r in search_rows_sharded(
+        shards, [(0, QUERY, 500)], filters=filt)]
+    uni_rows = [(r[4], r[5], round(r[3], 9)) for r in idx.search_rows(
+        [(0, QUERY, 500)], filters=filt)]
+    assert fed_rows == uni_rows and fed_rows
 
 
 def test_histogram_empty_and_errors(ridx):
