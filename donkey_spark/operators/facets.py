@@ -54,6 +54,13 @@ def normalize_filter_spec(col: str, spec) -> tuple[str, list]:
                 f"range filter for {col!r} must be [lo, hi] of "
                 f"int|None, got {rspec!r}")
         lo, hi = rspec
+        for v in (lo, hi):
+            # bounds outside int64 would wrap through sortable_long and
+            # silently produce a wrong (often empty) trie-node set
+            if v is not None and not -(2 ** 63) <= v <= 2 ** 63 - 1:
+                raise ValueError(
+                    f"range bound for {col!r} outside int64: {v!r} "
+                    f"(use None for an open end)")
         if lo is not None and hi is not None and lo > hi:
             raise ValueError(f"inverted range for {col!r}: {rspec!r}")
         return kind, [lo, hi]

@@ -139,15 +139,20 @@ def _filter_pred(col: str, spec) -> Column:
     a scalar/list, ``{'not': [...]}`` → complement INCLUDING
     null-valued rows (matching the BM25 NOT twin's ``IS NULL OR NOT
     IN``), and numeric ranges ``{'range': [lo, hi]}`` (either end None
-    = open) / ``{'not': {'range': ...}}`` — here a plain BETWEEN over
-    the denormalized meta column (ANN candidates are already pruned and
-    bounded; the BM25 side needs the trie postings, this side does
-    not)."""
+    = open) / ``{'not': {'range': ...}}`` — here a plain NOT-NULL +
+    BETWEEN over the denormalized meta column (ANN candidates are
+    already pruned and bounded; the BM25 side needs the trie postings,
+    this side does not). Null rows never match a range — even a
+    fully-open one — exactly like the trie side, where a null-valued
+    doc carries no tags."""
     from ..operators.facets import normalize_filter_spec
     kind, vals = normalize_filter_spec(col, spec)
     if kind in ("range", "not_range"):
         lo, hi = vals
-        pred = F.lit(True)
+        # base = NOT NULL, matching the BM25 trie side exactly: a doc
+        # with no value carries no trie tag, so even a fully-open
+        # [None, None] range matches only non-null rows there
+        pred = F.col(col).isNotNull()
         if lo is not None:
             pred = F.col(col) >= F.lit(lo)
         if hi is not None:

@@ -99,11 +99,14 @@ def facet_counts(index, text: str, facet, mode: str = "or",
     schema = ("facet string, value string, n_docs long" if multi
               else "value string, n_docs long")
     empty = spark.createDataFrame([], schema)
-    tags = []
-    for f in facets:
-        vals = facet_values(index, f) if values is None else values
-        tags += [facet_term(f, v) for v in vals]
-    agg = _count_tag_overlaps(index, text, mode, fgroups, tags)
+    def _tags():
+        out = []
+        for f in facets:
+            vals = facet_values(index, f) if values is None else values
+            out += [facet_term(f, v) for v in vals]
+        return out
+
+    agg = _count_tag_overlaps(index, text, mode, fgroups, _tags)
     if agg is None:
         return empty
     split = F.split(F.col("tag"), "=", 2)
@@ -156,8 +159,9 @@ def range_counts(index, text: str, facet: str, shift: int,
     empty = index.spark.createDataFrame(
         [], "bin_lo long, bin_hi long, n_docs long")
     prefix = f"{FACET_PREFIX}{facet}#{shift}="
-    tags = [prefix + v for v in _tag_values(index, prefix)]
-    agg = _count_tag_overlaps(index, text, mode, fgroups, tags)
+    agg = _count_tag_overlaps(
+        index, text, mode, fgroups,
+        lambda: [prefix + v for v in _tag_values(index, prefix)])
     if agg is None:
         return empty
     # tag = "col#<shift>=<HEX prefix>"; signed bin_lo = (prefix <<
@@ -177,17 +181,21 @@ def range_counts(index, text: str, facet: str, shift: int,
 
 def _count_tag_overlaps(index, text: str, mode: str,
                         fgroups: list[tuple[str, list[str]]],
-                        tags: list[str]) -> DataFrame | None:
+                        tags_fn) -> DataFrame | None:
     """Shared counting core: one pruned segment scan + per-salt Arrow
     kernel counting each presence tag's overlap with the (filtered,
     tombstone-dropped) match set of ``text``. Returns an aggregated
     (tag, n_docs) DataFrame, or None when the result is provably empty
-    (OOV terms, no live tag, an emptied 'any' filter group)."""
+    (OOV terms, no live tag, an emptied 'any' filter group).
+    ``tags_fn`` is a thunk yielding the candidate tag list — a thunk so
+    its dictionary-enumeration Spark job only runs AFTER the query-term
+    liveness check; an OOV query exits before paying it."""
     qterms = sorted(set(tokenize_py(text)))
     dfs = index._lookup_terms(qterms)
     live = [t for t in qterms if dfs.get(t)]
     if not live or (mode == "and" and len(live) < len(qterms)):
         return None
+    tags = tags_fn()
     ftags = [t for _, g in fgroups for t in g]
     tag_dfs = index._lookup_terms(sorted(set(tags) | set(ftags)))
     tags = [t for t in tags if tag_dfs.get(t)]

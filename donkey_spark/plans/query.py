@@ -169,8 +169,11 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                     m &= allowed
                 if not m.any():
                     continue
+                # bcache, not cache: the mask eval above already decoded
+                # every positive term's blocks into it — the scorer must
+                # reuse those, not re-decode (bit-equal either way)
                 ids, sc = score_range_topk(base, base_mult, tbs, avgdl,
-                                           k, cache=cache, dead=dead,
+                                           k, cache=bcache, dead=dead,
                                            allowed=m)
             elif mode == "and":
                 ids, sc = score_range_topk_and(

@@ -234,3 +234,27 @@ def test_sharded_bool_equals_unified(spark, bool_setup):
     specs = [(0, "spark AND (shuffle OR join)", 10, "bool", None)]
     assert (search_rows_mixed_sharded(shards, specs)
             == search_bool_sharded(shards, [(0, specs[0][1], 10)]))
+
+
+def test_bool_single_query_decodes_each_block_once(spark, bool_setup,
+                                                   monkeypatch):
+    """r5 review: the mask eval and the scorer share one per-salt decode
+    cache — a single interactive bool query (below the prefill
+    threshold, so no batch cache exists) must varint-decode each term's
+    blocks exactly once, not once for the mask and again for scoring."""
+    from donkey_spark.kernels import wand
+    from donkey_spark.plans.query import Index
+    idx_dir, _, ordered = bool_setup
+    idx = Index(spark, idx_dir, local_bytes=64 << 20)   # driver-local
+    seen: list[int] = []
+    real = wand.decode_term_blocks
+
+    def spy(blocks, codec):
+        seen.extend(id(b) for b in blocks)
+        return real(blocks, codec)
+
+    monkeypatch.setattr(wand, "decode_term_blocks", spy)
+    rows = idx.search_rows_bool([(0, "spark AND (shuffle OR join)", 10)])
+    _check(rows, ordered, [(0, "spark AND (shuffle OR join)", 10)])
+    assert seen and len(seen) == len(set(seen)), \
+        f"{len(seen) - len(set(seen))} blocks decoded more than once"

@@ -426,6 +426,22 @@ def test_facet_counts_errors_and_empty(spark, facet_setup):
                         mode="and").collect() == []
     assert facet_values(idx, "lang") == \
         sorted({v for v in lang.values() if v is not None})
+    # r5 review: the OOV early-exit must fire BEFORE the value-
+    # enumeration dictionary scan — that job is pure waste on a query
+    # that provably matches nothing
+    import donkey_spark.plans.facet_counts as fc
+
+    def boom(*a, **k):
+        raise AssertionError("value enumeration ran on an OOV query")
+
+    orig = fc._tag_values
+    fc._tag_values = boom
+    try:
+        assert facet_counts(idx, "zzqqxwnotaterm", "lang").collect() == []
+        assert facet_counts(idx, "def zzqqxwnotaterm", "lang",
+                            mode="and").collect() == []
+    finally:
+        fc._tag_values = orig
 
 
 # -- explain_search (planning observability) ---------------------------------

@@ -611,3 +611,23 @@ def test_cosine_topk_filters_and_exclusions(spark):
     got = cosine_topk(vecs.select("vec_id", "embedding"), probe, k=10,
                       filters={"keep": True}, metadata=meta).collect()
     assert [r["vec_id"] for r in got] == [3, 9, 0, 6]
+
+
+def test_ann_range_filter_null_semantics(spark):
+    """r5 review: the ANN range predicate must match the BM25 trie side
+    exactly — a null-valued row carries no trie tags there, so it never
+    matches a range (even a fully-open one) and always lands in the
+    negation's complement."""
+    from donkey_spark.pipeline.similarity import _filter_pred
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 300)], "id long, size long")
+
+    def ids(spec):
+        return sorted(r["id"] for r in
+                      df.where(_filter_pred("size", spec)).collect())
+
+    assert ids({"range": [None, None]}) == [1, 3]
+    assert ids({"not": {"range": [None, None]}}) == [2]
+    assert ids({"range": [None, 100]}) == [1]
+    assert ids({"not": {"range": [None, 100]}}) == [2, 3]
+    assert ids({"range": [100, None]}) == [3]

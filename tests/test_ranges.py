@@ -82,9 +82,16 @@ def test_open_ends_and_spec_grammar():
         == ("range", [None, 5])
     assert normalize_filter_spec("c", {"not": {"range": [1, 2]}}) \
         == ("not_range", [1, 2])
+    # int64 edges are legal; anything beyond would wrap through
+    # sortable_long into a silently-wrong trie node set (r5 review)
+    assert normalize_filter_spec(
+        "c", {"range": [-(1 << 63), (1 << 63) - 1]}) \
+        == ("range", [-(1 << 63), (1 << 63) - 1])
     for bad in [{"range": [2, 1]}, {"range": [1.5, 2]}, {"range": [1]},
                 {"range": [True, 2]}, {"not": {"rng": [1, 2]}},
-                {"range": "x"}]:
+                {"range": "x"},
+                {"range": [0, 1 << 63]}, {"range": [-(1 << 63) - 1, 0]},
+                {"not": {"range": [0, 1 << 70]}}]:
         with pytest.raises(ValueError):
             normalize_filter_spec("c", bad)
 
