@@ -92,6 +92,22 @@ BM25_PREFIX_QUERIES: list[tuple[int, str, int]] = [
 ]
 PREFIX_EXPANSION_CAP = 3
 
+#: wildcard-pattern query set (§2.14 T26): ``?`` single-character,
+#: head-bounded infix (``s*t`` — dictionary probe prunes to [s, t)),
+#: a LEADING wildcard (``*tion`` — the full term-column scan path), a
+#: multi-metachar atom, and ``qq*zz`` matching nothing (the query
+#: degrades to its literal). The cap of 3 binds on the broad patterns,
+#: certifying the (df DESC, term ASC) ranking through LIKE on both
+#: engines.
+BM25_WILDCARD_QUERIES: list[tuple[int, str, int]] = [
+    (0, "jo?n filter", 10),
+    (1, "s*t order", 10),
+    (2, "*tion merge", 10),
+    (3, "me?ge w*d?w sort", 10),
+    (4, "qq*zz the", 5),
+]
+WILDCARD_EXPANSION_CAP = 3
+
 #: boolean-expression query set (§2.14 T24) — nesting, NOT over a
 #: group, NOT of an OOV term (matches everything → equals the plain
 #: positive query), an OOV positive inside OR (drops out of scoring),
@@ -444,6 +460,22 @@ def q_bm25_topk_fuzzy(spark, sf_dir):
     from .plans.query import Index
     idx = Index(spark, contract_index_dir(spark, sf_dir))
     return _rank_rows(spark, idx.search_rows_pattern(BM25_FUZZY_QUERIES))
+
+
+def q_bm25_topk_wildcard(spark, sf_dir):
+    """§2.14 T26 — wildcard patterns (Lucene WildcardQuery analog):
+    ``*``/``?`` globs expand against the dictionary with SQL LIKE
+    semantics — pyarrow ``match_like`` on the driver-local path,
+    Spark ``LIKE`` distributed, and the DuckDB twin's ``LIKE ...
+    ESCAPE '\\'`` over its recomputed dfreq, all three evaluating the
+    SAME translated pattern. Head-bounded infix patterns prune the
+    dictionary probe like prefixes; ``*tion`` exercises the leading-
+    wildcard full term-column scan. Same rewrite-to-OR scoring and
+    capped (df DESC, term ASC) ranking as the prefix pair."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    return _rank_rows(spark, idx.search_rows_pattern(
+        BM25_WILDCARD_QUERIES, max_expansions=WILDCARD_EXPANSION_CAP))
 
 
 def q_bm25_topk_prefix_sharded(spark, sf_dir):
@@ -1776,15 +1808,22 @@ def _pattern_qset_sql(queries: list[tuple[int, str, int]],
     built-in; the engine uses Spark's JVM ``levenshtein`` (distributed
     path) or the banded DP in functions/patterns.py (local path) — all
     three compute the same classic unit-cost edit distance."""
-    from .functions.patterns import parse_pattern_text
+    from .functions.patterns import parse_pattern_text, wildcard_to_like
     from .functions.tokenize import tokenize_py
     lit_rows, pat_rows = [], []
     for qid, text, k in queries:
         lit_text, pats = parse_pattern_text(text)
         lit_rows.extend(f"({qid}, '{t}', {k})"
                         for t in sorted(set(tokenize_py(lit_text))))
-        pat_rows.extend(f"({qid}, '{kind[0]}', '{base}', {dist}, {k})"
-                        for kind, base, dist in pats)
+        # wildcards ship as their LIKE translation (kind 'w') so the
+        # oracle's LIKE ... ESCAPE '\' evaluates the SAME string the
+        # engine's pyarrow/Spark paths match (standard SQL strings in
+        # DuckDB keep the backslash literal)
+        pat_rows.extend(
+            f"({qid}, '{kind[0]}', "
+            f"'{wildcard_to_like(base) if kind == 'wildcard' else base}', "
+            f"{dist}, {k})"
+            for kind, base, dist in pats)
     assert lit_rows and pat_rows, "pattern pairs mix literals + patterns"
     return f"""qlit(query_id, term, k) AS (VALUES
   {",".join(lit_rows)}
@@ -1798,6 +1837,7 @@ def _pattern_qset_sql(queries: list[tuple[int, str, int]],
   FROM qpat p JOIN dfreq f ON
        (p.kind = 'p' AND starts_with(f.term, p.pat))
     OR (p.kind = 'f' AND levenshtein(f.term, p.pat) <= p.dist)
+    OR (p.kind = 'w' AND f.term LIKE p.pat ESCAPE '\\')
 ), qset AS (
   SELECT query_id, term, k FROM qlit
   UNION
@@ -1868,6 +1908,10 @@ from .config import MAX_TERM_EXPANSIONS as _EXP_CAP  # noqa: E402
 _BM25_FUZZY_ORACLE = _bm25_oracle_sql(
     BM25_FUZZY_QUERIES,
     qset_sql=_pattern_qset_sql(BM25_FUZZY_QUERIES, _EXP_CAP))
+_BM25_WILDCARD_ORACLE = _bm25_oracle_sql(
+    BM25_WILDCARD_QUERIES,
+    qset_sql=_pattern_qset_sql(BM25_WILDCARD_QUERIES,
+                               WILDCARD_EXPANSION_CAP))
 _BM25_PREFIX_SHARDED_ORACLE = _sharded_wrap(_BM25_PREFIX_ORACLE)
 _BM25_BOOL_ORACLE = _bm25_oracle_sql(
     BM25_BOOL_QUERIES,
@@ -2386,6 +2430,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_phrase_sharded": _BM25_PHRASE_SHARDED_ORACLE,
     "bm25_topk_prefix": _BM25_PREFIX_ORACLE,
     "bm25_topk_fuzzy": _BM25_FUZZY_ORACLE,
+    "bm25_topk_wildcard": _BM25_WILDCARD_ORACLE,
     "bm25_topk_prefix_sharded": _BM25_PREFIX_SHARDED_ORACLE,
     "bm25_topk_bool": _BM25_BOOL_ORACLE,
     "bm25_topk_bool_sharded": _BM25_BOOL_SHARDED_ORACLE,
@@ -2577,6 +2622,7 @@ QUERIES = {
     "bm25_phrase_sharded": q_bm25_phrase_sharded,
     "bm25_topk_prefix": q_bm25_topk_prefix,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
+    "bm25_topk_wildcard": q_bm25_topk_wildcard,
     "bm25_topk_prefix_sharded": q_bm25_topk_prefix_sharded,
     "bm25_topk_bool": q_bm25_topk_bool,
     "bm25_topk_bool_sharded": q_bm25_topk_bool_sharded,

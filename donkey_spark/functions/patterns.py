@@ -1,8 +1,9 @@
-"""Dictionary-expansion query patterns — prefix (``foo*``) and fuzzy
-(``bar~1``) term matching, the Lucene PrefixQuery / FuzzyQuery analog
-(donkey itself has no term patterns — its features are opaque vectors —
-but every fulltext engine in the capability class ships them; SURVEY
-§2.14 T23).
+"""Dictionary-expansion query patterns — prefix (``foo*``), fuzzy
+(``bar~1``) and wildcard (``va*ble``, ``te?t``) term matching, the
+Lucene PrefixQuery / FuzzyQuery / WildcardQuery analog (donkey itself
+has no term patterns — its features are opaque vectors — but every
+fulltext engine in the capability class ships them; SURVEY §2.14
+T23/T26).
 
 Semantics (binding, shared by the engine and the DuckDB oracle):
 
@@ -15,10 +16,18 @@ Semantics (binding, shared by the engine and the DuckDB oracle):
   query rewrites to a plain multi-term query and the scoring engine
   never learns patterns existed.
 
-Only trailing-``*`` prefixes and whole-term ``~1`` / ``~2`` edit
-distances are supported (Lucene caps fuzzy at 2 as well); infix/leading
-wildcards would defeat the dictionary's ordered probe and are refused
-loudly.
+Atom classification: a trailing-``*`` with no other metacharacter is
+the "prefix" kind (a pure ordered dictionary-range probe); any other
+``*``/``?`` placement is the "wildcard" kind — matched with SQL LIKE
+semantics (``*`` → ``%``, ``?`` → ``_``, literal ``_`` escaped), which
+pyarrow's ``match_like``, Spark's ``LIKE`` and DuckDB's ``LIKE ...
+ESCAPE '\\'`` all but guarantee agree byte-for-byte over the
+tokenizer's [a-z0-9_] term alphabet (verified in tests). A wildcard
+with a literal head (``va*ble``) keeps the head as a range bound, so
+row-group pruning still applies; a leading wildcard (``*ble``) scans
+the dictionary's term column — O(|dictionary|) like fuzzy, on the
+index's smallest table. A pattern with no literal character (``*``,
+``?*``) is refused: its match set is the whole vocabulary.
 """
 
 from __future__ import annotations
@@ -31,6 +40,7 @@ import re
 #: parquet stats, Arrow, Spark and DuckDB alike.
 _PREFIX_RE = re.compile(r"^([a-z0-9_]{1,64})\*$")
 _FUZZY_RE = re.compile(r"^([a-z0-9_]{1,64})~([0-9])$")
+_WILDCARD_RE = re.compile(r"^(?=.*[a-z0-9_])[a-z0-9_*?]{1,64}$")
 
 #: Lucene's bound; the banded DP below is O(len·d) per candidate
 MAX_FUZZY_DIST = 2
@@ -42,9 +52,11 @@ def parse_pattern_text(text: str) -> tuple[str, list[tuple[str, str, int]]]:
     Returns ``(literal_text, patterns)`` where ``literal_text`` is the
     non-pattern atoms rejoined (tokenize it with the normal tokenizer)
     and ``patterns`` is ``[(kind, base, dist)]`` with kind ``"prefix"``
-    (dist 0) or ``"fuzzy"``. Raises ValueError on malformed patterns
-    rather than silently searching for ``*``/``~`` literals the
-    tokenizer would drop anyway.
+    (dist 0), ``"fuzzy"``, or ``"wildcard"`` (dist 0 — ``*`` matches
+    any run, ``?`` exactly one character; a trailing-``*``-only atom
+    classifies as the cheaper "prefix"). Raises ValueError on malformed
+    patterns rather than silently searching for ``*``/``?``/``~``
+    literals the tokenizer would drop anyway.
     """
     lits: list[str] = []
     pats: list[tuple[str, str, int]] = []
@@ -63,11 +75,15 @@ def parse_pattern_text(text: str) -> tuple[str, list[tuple[str, str, int]]]:
                     f"supported maximum {MAX_FUZZY_DIST}")
             pats.append(("fuzzy", m.group(1), d))
             continue
-        if "*" in a or "~" in a:
+        if ("*" in a or "?" in a) and _WILDCARD_RE.match(a):
+            pats.append(("wildcard", a, 0))
+            continue
+        if "*" in a or "~" in a or "?" in a:
             raise ValueError(
-                f"unsupported pattern {atom!r}: only trailing-* "
-                f"prefixes (foo*) and whole-term edit distances "
-                f"(bar~1, bar~2) are supported")
+                f"unsupported pattern {atom!r}: trailing-* prefixes "
+                f"(foo*), whole-term edit distances (bar~1, bar~2) and "
+                f"wildcards over [a-z0-9_*?] with at least one literal "
+                f"character (va*ble, te?t) are supported")
         lits.append(atom)
     return " ".join(lits), pats
 
@@ -78,6 +94,27 @@ def prefix_upper_bound(prefix: str) -> str:
     The pattern grammar restricts prefixes to [a-z0-9_], so bumping the
     last character never overflows or leaves ASCII."""
     return prefix[:-1] + chr(ord(prefix[-1]) + 1)
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """SQL LIKE translation of a wildcard atom: ``*`` → ``%``, ``?`` →
+    ``_``, and a literal ``_`` (a real character in the tokenizer's
+    term alphabet) backslash-escaped. The grammar excludes ``%`` and
+    ``\\`` from atoms, so no other escaping exists — the SAME string
+    drives pyarrow ``match_like``, Spark ``LIKE`` and DuckDB ``LIKE ...
+    ESCAPE '\\'`` (all three verified to agree in tests)."""
+    return (pattern.replace("_", r"\_")
+            .replace("*", "%").replace("?", "_"))
+
+
+def wildcard_literal_head(pattern: str) -> str:
+    """The literal run before the first metacharacter — a usable
+    dictionary range bound (``va*ble`` scans only ``[va, vb)``); empty
+    for leading-wildcard patterns, which scan the whole term column."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
 
 
 def levenshtein_py(a: str, b: str, cap: int) -> int:

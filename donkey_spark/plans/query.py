@@ -950,7 +950,7 @@ class Index:
                 out.extend(r for q, t, kk, _ in qs
                            for r in self.search_phrase(t, k=kk,
                                                        query_id=q))
-            elif mode == "pattern":   # r5: prefix/fuzzy expansion specs
+            elif mode == "pattern":   # r5: prefix/fuzzy/wildcard specs
                 out.extend(self.search_rows_pattern(
                     [(q, t, k) for q, t, k, _ in qs],
                     filters=qs[0][3]))
@@ -964,7 +964,7 @@ class Index:
                     mode=mode, filters=qs[0][3]))
         return sorted(out)
 
-    # -- dictionary-expansion queries (prefix / fuzzy; §2.14 T23) ----------
+    # -- dictionary-expansion queries (prefix/fuzzy/wildcard; §2.14 T23/T26)
     def expand_pattern(self, kind: str, base: str, dist: int = 0,
                        max_expansions: int | None = None
                        ) -> list[tuple[str, int]]:
@@ -972,7 +972,10 @@ class Index:
         (df DESC, term ASC) and capped at ``max_expansions`` (None →
         config.MAX_TERM_EXPANSIONS): ``("prefix", "va")`` matches every
         term starting with ``va``; ``("fuzzy", "joun", 1)`` every term
-        within edit distance 1. Returns ``[(term, df)]`` with df summed
+        within edit distance 1; ``("wildcard", "va*ble")`` every term
+        matching the ``*``/``?`` glob (SQL LIKE semantics, identical
+        across the local pyarrow, distributed Spark, and DuckDB-oracle
+        evaluations). Returns ``[(term, df)]`` with df summed
         across dictionary chunks — exactly what ``_lookup_terms`` would
         report for the same terms (the dfs are memoized so the ensuing
         search never re-probes them).
@@ -983,7 +986,10 @@ class Index:
         the distributed path; it never touches segments. Fuzzy scans
         the dictionary's term column (length-banded, then a banded DP /
         codegen ``levenshtein``) — O(|dictionary|) work but on the
-        index's SMALLEST table, one Spark job at any corpus size."""
+        index's SMALLEST table, one Spark job at any corpus size. A
+        wildcard with a literal head keeps the head as a prefix range
+        bound; a leading wildcard pays the fuzzy-shaped full term-column
+        scan."""
         from ..config import MAX_TERM_EXPANSIONS
         cap = MAX_TERM_EXPANSIONS if max_expansions is None else max_expansions
         cand = self._expand_candidates(kind, base, dist)
@@ -1022,12 +1028,14 @@ class Index:
           dictionary refuses without first loading it)."""
         from ..config import MAX_EXPANSION_CANDIDATES as HARD
         from ..functions.patterns import (levenshtein_py,
-                                          prefix_upper_bound)
+                                          prefix_upper_bound,
+                                          wildcard_literal_head,
+                                          wildcard_to_like)
         if not hasattr(self, "_exp_memo"):
             self._exp_memo: dict[tuple, dict[str, int]] = {}
         todo: list[tuple] = []
         for key in keys:
-            if key[0] not in ("prefix", "fuzzy"):
+            if key[0] not in ("prefix", "fuzzy", "wildcard"):
                 raise ValueError(f"unknown pattern kind {key[0]!r}")
             if key not in self._exp_memo and key not in todo:
                 todo.append(key)
@@ -1055,6 +1063,29 @@ class Index:
                         columns=["term", "df"], filter=filt).to_batches():
                     for t, d in zip(batch.column(0).to_pylist(),
                                     batch.column(1).to_pylist()):
+                        found[t] = found.get(t, 0) + int(d)
+                    _guard(found, kind, base)
+                self._exp_memo[(kind, base, dist)] = found
+            for kind, base, dist in [k for k in todo if k[0] == "wildcard"]:
+                # head-bounded where possible (row-group pruning like a
+                # prefix); a leading wildcard scans the term column —
+                # the >= "0" floor keeps \x01 facet sentinels out
+                head = wildcard_literal_head(base)
+                if head:
+                    filt = ((ds.field("term") >= head)
+                            & (ds.field("term") < prefix_upper_bound(head)))
+                else:
+                    filt = ds.field("term") >= "0"
+                if chunk_f is not None:
+                    filt &= chunk_f
+                like = wildcard_to_like(base)
+                found = {}
+                for batch in self._pa_dataset("dictionary").scanner(
+                        columns=["term", "df"], filter=filt).to_batches():
+                    mask = pc.match_like(batch.column(0), like)
+                    for t, d in zip(
+                            pc.filter(batch.column(0), mask).to_pylist(),
+                            pc.filter(batch.column(1), mask).to_pylist()):
                         found[t] = found.get(t, 0) + int(d)
                     _guard(found, kind, base)
                 self._exp_memo[(kind, base, dist)] = found
@@ -1093,6 +1124,13 @@ class Index:
                     d = d.where((F.col("term") >= base)
                                 & (F.col("term")
                                    < prefix_upper_bound(base)))
+                elif kind == "wildcard":
+                    head = wildcard_literal_head(base)
+                    bound = ((F.col("term") >= head)
+                             & (F.col("term") < prefix_upper_bound(head))
+                             if head else F.col("term") >= "0")
+                    d = d.where(bound & F.col("term")
+                                .like(wildcard_to_like(base)))
                 else:
                     d = d.where(
                         (F.col("term") >= "0")
@@ -1138,8 +1176,9 @@ class Index:
                             expansions: dict | None = None
                             ) -> list[tuple]:
         """`search_rows` for queries whose text may contain pattern
-        atoms — trailing-``*`` prefixes (``va*``) and fuzzy terms
-        (``joun~1``, ``tabel~2``). Each pattern expands against the
+        atoms — trailing-``*`` prefixes (``va*``), fuzzy terms
+        (``joun~1``, ``tabel~2``) and wildcards (``va*ble``, ``te?t``,
+        ``*ble``). Each pattern expands against the
         dictionary (df-ranked, capped — see ``expand_pattern``) and the
         query runs as a plain disjunctive multi-term query over
         literal ∪ expanded terms, each term scored with its own df

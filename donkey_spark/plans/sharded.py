@@ -160,7 +160,7 @@ def search_pattern_sharded(shards, queries: list[tuple[int, str, int]],
                            filters: dict | None = None,
                            max_expansions: int | None = None
                            ) -> list[tuple]:
-    """Prefix/fuzzy pattern queries over the federation (§2.14 T23 —
+    """Prefix/fuzzy/wildcard pattern queries over the federation (§2.14 T23 —
     `Index.search_rows_pattern`'s sharded twin). Expansion must be
     GLOBAL to stay shard-count-invariant: each pattern's candidate set
     is the UNCAPPED union of every shard's matches with dfs summed

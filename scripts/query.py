@@ -27,8 +27,9 @@ def main() -> None:
     ap.add_argument("--mode", default="or", choices=["or", "and",
                                                      "pattern", "bool"],
                     help="'and' = docs must contain EVERY query term; "
-                         "'pattern' = query atoms may be prefix (va*) "
-                         "or fuzzy (joun~1) patterns, expanded against "
+                         "'pattern' = query atoms may be prefix (va*), "
+                         "fuzzy (joun~1) or wildcard (va*ble, te?t) "
+                         "patterns, expanded against "
                          "the dictionary (df-ranked, capped); 'bool' = "
                          "the query is a nested boolean expression, "
                          "e.g. 'spark AND (join OR filter) AND NOT go' "

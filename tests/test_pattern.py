@@ -1,8 +1,8 @@
-"""Dictionary-expansion queries (§2.14 T23): prefix (`foo*`) and fuzzy
-(`bar~1`) patterns must expand exactly (df-ranked, capped, brute-force-
-checkable), rewrite to plain OR queries, compose with filters and
-upserted chunks, and stay shard-count-invariant under the federation's
-GLOBAL expansion."""
+"""Dictionary-expansion queries (§2.14 T23/T26): prefix (`foo*`),
+fuzzy (`bar~1`) and wildcard (`va*ble`, `te?t`, `*ble`) patterns must
+expand exactly (df-ranked, capped, brute-force-checkable), rewrite to
+plain OR queries, compose with filters and upserted chunks, and stay
+shard-count-invariant under the federation's GLOBAL expansion."""
 
 from collections import Counter
 
@@ -26,6 +26,10 @@ def _vocab_df(pdf) -> Counter:
 def _brute_expand(vocab: Counter, kind, base, dist, cap):
     if kind == "prefix":
         m = [t for t in vocab if t.startswith(base)]
+    elif kind == "wildcard":
+        from fnmatch import fnmatchcase   # *, ? — glob semantics, and
+        m = [t for t in vocab             # _ is a literal, like LIKE+escape
+             if fnmatchcase(t, base)]
     else:
         m = [t for t in vocab if levenshtein_py(base, t, dist) <= dist]
     return sorted(((t, vocab[t]) for t in m),
@@ -54,7 +58,14 @@ def test_parse_pattern_text():
     assert lit == "bar plain"
     assert pats == [("prefix", "foo", 0), ("fuzzy", "baz", 2),
                     ("fuzzy", "qux", 0)]
-    for bad in ("*foo", "fo*o", "foo**", "bar~3", "bar~", "~1", "a-b*"):
+    # wildcards: any */? placement EXCEPT a pure trailing-* (that stays
+    # the cheaper prefix kind); at least one literal char required
+    lit, pats = parse_pattern_text("*Foo te?t fo*o w* ok")
+    assert lit == "ok"
+    assert pats == [("wildcard", "*foo", 0), ("wildcard", "te?t", 0),
+                    ("wildcard", "fo*o", 0), ("prefix", "w", 0)]
+    for bad in ("bar~3", "bar~", "~1", "a-b*", "a-b?",
+                "*", "?", "*?*", "??"):
         with pytest.raises(ValueError):
             parse_pattern_text(f"ok {bad}")
 
@@ -70,7 +81,12 @@ def test_prefix_upper_bound_brackets_exactly():
 
 CASES = [("prefix", "re", 0), ("prefix", "s", 0), ("prefix", "de", 0),
          ("fuzzy", "return", 1), ("fuzzy", "clasz", 1),
-         ("fuzzy", "window", 2), ("fuzzy", "def", 0)]
+         ("fuzzy", "window", 2), ("fuzzy", "def", 0),
+         # wildcard: head-bounded infix, ?, leading-* (full term scan),
+         # literal _ (must be LIKE-escaped), and a no-match pattern
+         ("wildcard", "re*rn", 0), ("wildcard", "w?ndow", 0),
+         ("wildcard", "*turn", 0), ("wildcard", "*_*", 0),
+         ("wildcard", "qq*zz", 0)]
 
 
 def test_expansion_matches_bruteforce(spark, pat_setup):
@@ -107,6 +123,24 @@ def test_fuzzy_never_admits_facet_sentinels(spark, pat_setup):
     for lb in (64 << 20, 0):
         got = Index(spark, idx_dir, local_bytes=lb).expand_pattern(
             "fuzzy", "lang_py", 2, max_expansions=10**9)
+        assert not [t for t, _ in got if t.startswith(FACET_PREFIX)]
+        assert got == want
+
+
+def test_wildcard_never_admits_facet_sentinels(spark, pat_setup):
+    """A LEADING wildcard (`*py`) LIKE-matches the \\x01lang=py facet
+    presence term unless the scan keeps the >= "0" floor — the wildcard
+    twin of the fuzzy sentinel rule, on BOTH probe paths."""
+    from donkey_spark.operators.facets import FACET_PREFIX
+    from donkey_spark.plans.query import Index
+    from fnmatch import fnmatchcase
+    idx_dir, _, pdf = pat_setup
+    assert fnmatchcase(f"{FACET_PREFIX}lang=py", "*py")   # the trap
+    vocab = _vocab_df(pdf)
+    want = _brute_expand(vocab, "wildcard", "*py", 0, cap=10**9)
+    for lb in (64 << 20, 0):
+        got = Index(spark, idx_dir, local_bytes=lb).expand_pattern(
+            "wildcard", "*py", max_expansions=10**9)
         assert not [t for t, _ in got if t.startswith(FACET_PREFIX)]
         assert got == want
 
@@ -218,7 +252,7 @@ def test_sharded_pattern_matches_unified(spark, pat_setup):
     uni = Index(spark, idx_dir)
     shards = [Index(spark, d) for d in shard_dirs]
     qs = [(0, "re* filter", 10), (1, "clasz~1 import", 7),
-          (2, "de*", 12)]
+          (2, "de*", 12), (3, "*turn w?ndow", 9)]
     for cap in (3, 64):
         want = [(q, rk, repo, path, round(s, 9)) for q, rk, d, s, repo, path
                 in uni.search_rows_pattern(qs, max_expansions=cap)]
