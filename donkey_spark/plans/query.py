@@ -733,14 +733,33 @@ class Index:
         mode="bool" is explained too (trees parsed here, as
         search_rows_bool would): ``terms`` are the SCORED positives and
         each query gains ``mask_terms`` — the tree terms decoded only
-        for the presence mask (NOT branches).
+        for the presence mask (NOT branches). mode="pattern" resolves
+        each query's prefix/fuzzy/wildcard atoms exactly as
+        search_rows_pattern would (capped, df-ranked, memoized) and
+        explains the resulting OR plan; each query gains
+        ``expansions`` — {pattern atom: [expanded terms]}.
         """
         trees = None
+        expansions = None
         if mode == "bool":
             from ..functions.boolquery import parse_bool_text
             trees = {qid: parse_bool_text(text)
                      for qid, text, _ in queries}
-        plan = self._plan_search(queries, mode, filters, bool_trees=trees)
+        elif mode == "pattern":
+            from ..functions.patterns import parse_pattern_text
+            expansions = {}
+            for qid, text, _ in queries:
+                _, pats = parse_pattern_text(text)
+                expansions[qid] = {
+                    (base + "*" if kind == "prefix" else
+                     f"{base}~{dist}" if kind == "fuzzy" else base):
+                        [t for t, _ in self.expand_pattern(kind, base,
+                                                           dist)]
+                    for kind, base, dist in pats}
+            queries = self.resolve_pattern_terms(queries)
+        plan = self._plan_search(
+            queries, "or" if mode == "pattern" else mode, filters,
+            bool_trees=trees)
         base = {
             "mode": mode,
             "n_queries": len(queries),
@@ -765,6 +784,8 @@ class Index:
             if mode == "bool":
                 per_q[qid]["mask_terms"] = [
                     t for t in want if t in idf and t not in ts]
+            if expansions is not None:
+                per_q[qid]["expansions"] = expansions[qid]
         return {
             **base,
             "path": "local" if plan["use_local"] else "distributed",

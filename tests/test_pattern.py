@@ -330,3 +330,19 @@ def test_mixed_batch_routes_pattern_mode(spark, pat_setup):
         + search_pattern_sharded(shards, [(2, "window~2", 5)],
                                  filters={"lang": ["py"]}))
     assert gots == wants and gots
+
+
+def test_explain_search_pattern(spark, pat_setup):
+    """mode="pattern" explains the OR rewrite search_rows_pattern would
+    run — expansions reported per atom, terms = literal + expanded."""
+    from donkey_spark.plans.query import Index
+    idx_dir, _, pdf = pat_setup
+    idx = Index(spark, idx_dir)
+    vocab = _vocab_df(pdf)
+    exp = idx.explain_search([(0, "re*rn filter", 10)], mode="pattern")
+    q = exp["queries"][0]
+    want = [t for t, _ in _brute_expand(vocab, "wildcard", "re*rn", 0, 64)]
+    assert want and q["expansions"]["re*rn"] == want
+    assert {t["term"] for t in q["terms"]} == set(want) | {"filter"}
+    assert exp["mode"] == "pattern"
+    assert exp["path"] in ("local", "distributed")
