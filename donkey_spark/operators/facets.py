@@ -16,7 +16,14 @@ FACET_PREFIX = "\x01"
 
 
 def facet_term(col: str, value) -> str:
-    """Driver-side tag for a (facet column, value) pair."""
+    """Driver-side tag for a (facet column, value) pair. Must render
+    values EXACTLY like the build side's Spark ``cast("string")``
+    (append_facet_terms): Python ``str(True)`` is "True" but Spark
+    casts booleans to "true"/"false" — without the mapping a boolean
+    filter would compile to an out-of-dictionary tag and silently
+    match nothing (or, negated, silently filter nothing)."""
+    if isinstance(value, bool):
+        value = "true" if value else "false"
     return f"{FACET_PREFIX}{col}={value}"
 
 
@@ -84,9 +91,19 @@ def normalize_filter_spec(col: str, spec) -> tuple[str, list]:
         vals = [spec]
     else:
         try:                       # ANY iterable of values (frozenset,
-            vals = sorted(set(spec))   # dict_keys, ndarray, generator...)
+            vals = list(spec)      # dict_keys, ndarray, generator...)
         except TypeError:
             vals = [spec]          # non-iterable scalar (int, float, ...)
+        else:
+            try:
+                vals = sorted(set(vals))
+            except TypeError as e:
+                # a mixed-type list must raise, not collapse into one
+                # garbage str()-of-the-list scalar tag (silently empty
+                # or silently ignored depending on kind)
+                raise ValueError(
+                    f"filter values for {col!r} are not mutually "
+                    f"comparable: {vals!r}") from e
     if not vals:
         raise ValueError(f"empty filter value list for {col!r}")
     return kind, vals

@@ -201,19 +201,29 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # arrow extractor passes non-content columns through untouched
     rcols = [F.col(c).cast("long").alias(c) for c in range_facets]
     rddl = "".join(f"{c} long, " for c in range_facets)
+    # equality-facet columns beyond the fixed doc schema ride the same
+    # projection (cast to string here — the SAME rendering the presence
+    # tags use, so e.g. a boolean column tags as "true"/"false"); a
+    # facet naming a missing corpus column fails the build right here
+    extra_f = [c for c in facets
+               if c not in ("doc_id", "repo", "path", "commit",
+                            "lang", "sha256")]
+    fcols = [F.col(c).cast("string").alias(c) for c in extra_f]
+    fddl = "".join(f"{c} string, " for c in extra_f)
     base = (deduped.join(ids, ["repo", "path", "commit"])
             .select("doc_id", "repo", "path", "commit", "lang",
                     F.sha2(F.col("content"), 256).alias("sha256"),
-                    *rcols, "content"))
+                    *fcols, *rcols, "content"))
     if extractor == "arrow":
         docs_feat = base.mapInArrow(
             doc_features_arrow,
             "doc_id long, repo string, path string, commit string, "
-            "lang string, sha256 string, " + rddl + FEATURES_STRUCT_DDL)
+            "lang string, sha256 string, " + fddl + rddl
+            + FEATURES_STRUCT_DDL)
     elif extractor == "python":
         docs_feat = base.select(
             "doc_id", "repo", "path", "commit", "lang", "sha256",
-            *range_facets,
+            *extra_f, *range_facets,
             doc_features_udf(F.col("content")).alias("f"))
     else:
         raise ValueError(f"unknown extractor {extractor!r} "

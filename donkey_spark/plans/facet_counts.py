@@ -31,22 +31,53 @@ from ..operators.facets import FACET_PREFIX, facet_term
 from ..operators.postings import term_bucket_py
 
 
-def _tag_values(index, prefix: str) -> list[str]:
-    """Distinct dictionary-term suffixes under a presence-tag prefix
-    (one dictionary scan — vocabulary-sized, not corpus-sized)."""
+def _tag_values_multi(index, prefixes: list[str]) -> dict[str, list[str]]:
+    """Distinct dictionary-term suffixes under MANY presence-tag
+    prefixes in ONE dictionary scan (vocabulary-sized, not
+    corpus-sized) — the multi-facet histogram enumerates all its
+    columns' values for the cost of one job (r5 review; the module
+    contract promises one scan)."""
     d = index._dict
     active = index._active_dict_chunks()
     if active is not None:
         d = d.where(F.col("chunk").isin(active))
-    rows = (d.where(F.col("term").startswith(prefix))
-            .select("term").distinct().collect())
-    return sorted(r["term"][len(prefix):] for r in rows)
+    cond = F.col("term").startswith(prefixes[0])
+    for p in prefixes[1:]:
+        cond = cond | F.col("term").startswith(p)
+    rows = d.where(cond).select("term").distinct().collect()
+    out: dict[str, list[str]] = {p: [] for p in prefixes}
+    # longest prefix first: "\x01c=" must not claim "\x01c=..." tags
+    # that a longer sibling prefix (never overlapping in practice) owns
+    for r in rows:
+        t = r["term"]
+        for p in sorted(prefixes, key=len, reverse=True):
+            if t.startswith(p):
+                out[p].append(t[len(p):])
+                break
+    return {p: sorted(v) for p, v in out.items()}
+
+
+def _tag_values(index, prefix: str) -> list[str]:
+    """Single-prefix form of ``_tag_values_multi``."""
+    return _tag_values_multi(index, [prefix])[prefix]
 
 
 def facet_values(index, facet: str) -> list[str]:
     """Distinct indexed values of an equality-facet column, from the
     dictionary's presence tags."""
     return _tag_values(index, f"{FACET_PREFIX}{facet}=")
+
+
+def _compile_filters(index, filters: dict | None
+                     ) -> list[tuple[str, list[str]]]:
+    """The filter-spec -> presence-tag-group compilation, shared by the
+    equality and binned histogram surfaces (and, through
+    operators.facets.resolve_filter_groups, with the scorer itself)."""
+    if not filters:
+        return []
+    from ..operators.facets import resolve_filter_groups
+    return resolve_filter_groups(
+        filters, index.facets, index.range_facets, index.range_step)
 
 
 def facet_counts(index, text: str, facet, mode: str = "or",
@@ -90,21 +121,18 @@ def facet_counts(index, text: str, facet, mode: str = "or",
             f"facets={index.facets or '()'}")
     if mode not in ("or", "and"):
         raise ValueError(mode)
-    fgroups: list[tuple[str, list[str]]] = []
-    if filters:
-        from ..operators.facets import resolve_filter_groups
-        fgroups = resolve_filter_groups(
-            filters, index.facets, index.range_facets, index.range_step)
+    fgroups = _compile_filters(index, filters)
     spark = index.spark
     schema = ("facet string, value string, n_docs long" if multi
               else "value string, n_docs long")
     empty = spark.createDataFrame([], schema)
     def _tags():
-        out = []
-        for f in facets:
-            vals = facet_values(index, f) if values is None else values
-            out += [facet_term(f, v) for v in vals]
-        return out
+        if values is not None:
+            return [facet_term(facets[0], v) for v in values]
+        by_pref = _tag_values_multi(
+            index, [f"{FACET_PREFIX}{f}=" for f in facets])
+        return [facet_term(f, v) for f in facets
+                for v in by_pref[f"{FACET_PREFIX}{f}="]]
 
     agg = _count_tag_overlaps(index, text, mode, fgroups, _tags)
     if agg is None:
@@ -151,11 +179,7 @@ def range_counts(index, text: str, facet: str, shift: int,
             f"range_step={step} in [0, 64) — got {shift!r}")
     if mode not in ("or", "and"):
         raise ValueError(mode)
-    fgroups: list[tuple[str, list[str]]] = []
-    if filters:
-        from ..operators.facets import resolve_filter_groups
-        fgroups = resolve_filter_groups(
-            filters, index.facets, index.range_facets, index.range_step)
+    fgroups = _compile_filters(index, filters)
     empty = index.spark.createDataFrame(
         [], "bin_lo long, bin_hi long, n_docs long")
     prefix = f"{FACET_PREFIX}{facet}#{shift}="
@@ -169,8 +193,12 @@ def range_counts(index, text: str, facet: str, shift: int,
     # as unsigned 64-bit and emits a decimal STRING, so the arithmetic
     # runs in decimal and only the final (in-int64-range) value casts
     width = 1 << shift
+    # width as a decimal via string: at the top trie level (shift 63,
+    # reachable when range_step divides 63) 2^63 exceeds a Java long
+    # and F.lit(width) would raise in py4j — same routing as the bias
     ulo = (F.conv(F.split(F.col("tag"), "=", 2).getItem(1), 16, 10)
-           .cast("decimal(21,0)") * F.lit(width))
+           .cast("decimal(21,0)")
+           * F.lit(str(width)).cast("decimal(21,0)"))
     # 2^63 exceeds a Java long literal — route the bias through a string
     bias = F.lit(str(1 << 63)).cast("decimal(21,0)")
     bin_lo = (ulo - bias).cast("long")
@@ -238,10 +266,19 @@ def _count_tag_overlaps(index, text: str, mode: str,
         tomb = tomb_bc.value if tomb_bc is not None else None
         out_v, out_n = [], []
         for s, by_term in per_salt.items():
-            def ids_of(t):
-                return np.sort(np.concatenate(
-                    [decode_doc_ids(blobs[i].as_py(), codec)
-                     for i in by_term[t]]))
+            memo: dict[str, np.ndarray] = {}
+
+            def ids_of(t, _m=memo, _bt=by_term):
+                # per-salt memo: a tag that is BOTH an active filter and
+                # a histogram target (faceted navigation's normal shape)
+                # decodes once, not once per role (r5 review — the same
+                # class of duplicate decode the bool scorer fixed)
+                got = _m.get(t)
+                if got is None:
+                    got = _m[t] = np.sort(np.concatenate(
+                        [decode_doc_ids(blobs[i].as_py(), codec)
+                         for i in _bt[t]]))
+                return got
             q_present = [t for t in by_term if t in qset]
             if not q_present or (mode_and and len(q_present) < n_q):
                 continue

@@ -288,6 +288,26 @@ def search_phrase_sharded(shards, text: str, k: int = 10,
             in enumerate(merged[:k])]
 
 
+def _aligned_tombstones(tombstones_from, index_dirs) -> list:
+    """Per-shard tombstone sources, validated to align with the shard
+    list (shared by the LSH and IVF federations)."""
+    ts = tombstones_from or [None] * len(index_dirs)
+    if len(ts) != len(index_dirs):
+        raise ValueError(
+            f"tombstones_from has {len(ts)} entries for "
+            f"{len(index_dirs)} shards — must align")
+    return ts
+
+
+def _union_all(parts):
+    """unionByName fold over per-shard DataFrames (shared by every
+    DataFrame-merging federated surface)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def ann_topk_sharded(spark, index_dirs: list[str], probe: list[float],
                      k: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding", n_tables: int = 8,
@@ -313,11 +333,7 @@ def ann_topk_sharded(spark, index_dirs: list[str], probe: list[float],
     (same invariant as (repo, path) for document shards)."""
     if not index_dirs:
         raise ValueError("no shards")
-    ts = tombstones_from or [None] * len(index_dirs)
-    if len(ts) != len(index_dirs):
-        raise ValueError(
-            f"tombstones_from has {len(ts)} entries for "
-            f"{len(index_dirs)} shards — must align")
+    ts = _aligned_tombstones(tombstones_from, index_dirs)
     from pyspark.sql import functions as F
 
     from ..pipeline.similarity import ann_topk
@@ -327,9 +343,7 @@ def ann_topk_sharded(spark, index_dirs: list[str], probe: list[float],
                       tombstones_from=t, filters=filters,
                       metadata=metadata)
              for d, t in zip(index_dirs, ts)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = _union_all(parts)
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
@@ -353,11 +367,7 @@ def ivf_topk_sharded(spark, index_dirs: list[str], probe: list[float],
     different quantizers would be wrong with no error."""
     if not index_dirs:
         raise ValueError("no shards")
-    ts = tombstones_from or [None] * len(index_dirs)
-    if len(ts) != len(index_dirs):
-        raise ValueError(
-            f"tombstones_from has {len(ts)} entries for "
-            f"{len(index_dirs)} shards — must align")
+    ts = _aligned_tombstones(tombstones_from, index_dirs)
     from pyspark.sql import functions as F
 
     from ..pipeline.ivf import ivf_topk, read_centroids
@@ -373,9 +383,7 @@ def ivf_topk_sharded(spark, index_dirs: list[str], probe: list[float],
                       tombstones_from=t, filters=filters,
                       metadata=metadata, centroids=cents[0])
              for d, t in zip(index_dirs, ts)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = _union_all(parts)
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
@@ -396,9 +404,7 @@ def facet_counts_sharded(shards, text: str, facet, mode: str = "or",
     from .facet_counts import facet_counts
     parts = [facet_counts(s, text, facet, mode=mode, filters=filters)
              for s in shards]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = _union_all(parts)
     keys = [c for c in out.columns if c != "n_docs"]
     return out.groupBy(*keys).agg(
         F.sum("n_docs").cast("long").alias("n_docs"))
@@ -424,8 +430,6 @@ def range_counts_sharded(shards, text: str, facet: str, shift: int,
     from .facet_counts import range_counts
     parts = [range_counts(s, text, facet, shift, mode=mode,
                           filters=filters) for s in shards]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = _union_all(parts)
     return out.groupBy("bin_lo", "bin_hi").agg(
         F.sum("n_docs").cast("long").alias("n_docs"))

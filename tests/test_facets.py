@@ -546,3 +546,53 @@ def test_facet_counts_respect_filters(spark, tmp_path):
                         filters={"lang": "klingon"}).collect() == []
     with pytest.raises(ValueError, match="no facet"):
         facet_counts(idx, "def return", "repo", filters={"nope": "x"})
+
+
+def test_bool_facet_values_match_spark_cast(spark, tmp_path):
+    """The build side renders facet values with Spark cast('string')
+    (booleans -> 'true'/'false'); the query side's facet_term must
+    render them the SAME way — Python str(True) is 'True', which would
+    compile to an out-of-dictionary tag and silently match nothing
+    (or, negated, silently filter nothing). r5 review."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.facet_counts import facet_values
+    from donkey_spark.plans.query import Index
+    rows = [("r", f"f/{i}", "c" * 40, "py", f"tok{i} common zz",
+             i % 2 == 0) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, flag boolean")
+    out = str(tmp_path / "bfidx")
+    build_index(spark, df, out, range_size=64, facets=("flag",))
+    idx = Index(spark, out)
+    assert facet_values(idx, "flag") == ["false", "true"]
+    on = idx.search_rows([(0, "common", 50)], filters={"flag": True})
+    off = idx.search_rows([(0, "common", 50)],
+                          filters={"flag": {"not": [True]}})
+    assert len(on) == 6 and all(int(p[2:]) % 2 == 0
+                                for _, _, _, _, _, p in on)
+    assert len(off) == 6 and all(int(p[2:]) % 2 == 1
+                                 for _, _, _, _, _, p in off)
+    from donkey_spark.plans.facet_counts import facet_counts
+    hist = {r["value"]: r["n_docs"]
+            for r in facet_counts(idx, "common", "flag").collect()}
+    assert hist == {"true": 6, "false": 6}
+    # the arrow extractor's projection carries the custom facet column
+    # through its mapInArrow schema too
+    out2 = str(tmp_path / "bfidx_arrow")
+    build_index(spark, df, out2, range_size=64, facets=("flag",),
+                extractor="arrow")
+    assert Index(spark, out2).search_rows(
+        [(0, "common", 50)], filters={"flag": True}) == on
+
+
+def test_mixed_type_filter_values_raise(spark):
+    """A value list whose members do not sort together must raise, not
+    collapse into one garbage str()-of-the-list tag (silently empty for
+    'any', silently ignored for 'not'). r5 review."""
+    from donkey_spark.operators.facets import normalize_filter_spec
+    for bad in (["py", None], ["py", 3], {"not": ["java", None]}):
+        with pytest.raises(ValueError, match="comparable"):
+            normalize_filter_spec("lang", bad)
+    # homogeneous non-string values still normalize fine
+    assert normalize_filter_spec("n", [3, 1, 2]) == ("any", [1, 2, 3])

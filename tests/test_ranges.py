@@ -433,3 +433,36 @@ def test_histogram_empty_and_errors(ridx):
     for bad_shift in (3, -4, 64, 8.0, True):
         with pytest.raises(ValueError, match="shift"):
             range_counts(idx, QUERY, "n_chars", bad_shift)
+
+
+def test_range_counts_top_trie_level(spark, tmp_path):
+    """shift=63 (reachable whenever range_step divides 63, e.g. a
+    streamed index created with range_step=21) bins by width 2^63 —
+    past Java's long; the arithmetic must route the width through
+    decimal like the sign bias does (r5 review). All small positive
+    values share sortable top bit 1, so exactly ONE bin [0, 2^63-1]
+    must come back, counting every matched non-null doc."""
+    from donkey_spark.config import BLOCK_SIZE
+    from donkey_spark.plans import Index
+    from donkey_spark.plans.facet_counts import range_counts
+    from donkey_spark.sources import documents_as_corpus
+    from donkey_spark.streaming.ingest import _append_epoch, write_meta
+    out = str(tmp_path / "sidx63")
+    write_meta(spark, out, version=2, n_docs=0, avgdl=0.0, n_postings=0,
+               range_size=64, block_size=BLOCK_SIZE, codec="varint",
+               facets=(), n_buckets=32, n_chunks=-1,
+               range_facets=("n_chars",), range_step=21)
+    corpus = documents_as_corpus(spark, "/root/testdata/sf0.001") \
+        .withColumn("n_chars", F.length("content")) \
+        .where(F.col("path") < "doc/15")
+    _append_epoch(corpus, 1, out, "varint", BLOCK_SIZE)
+    idx = Index(spark, out)
+    assert idx.range_step == 21
+    n_match = len(idx.search_rows([(0, QUERY, 10**6)]))
+    assert n_match
+    rows = range_counts(idx, QUERY, "n_chars", 63).collect()
+    assert [(r["bin_lo"], r["bin_hi"], r["n_docs"]) for r in rows] == \
+        [(0, (1 << 63) - 1, n_match)]
+    # a mid-trie level on the same step still partitions exactly
+    mid = range_counts(idx, QUERY, "n_chars", 21).collect()
+    assert sum(r["n_docs"] for r in mid) == n_match
