@@ -98,6 +98,16 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
                            F.col("value").cast("string")).alias("term"),
                   F.lit(1).alias("tf")))
 
+    if dt.isEmpty():
+        # an all-null (or no-matching-doc_id) backfill would write a
+        # segments dir holding only _SUCCESS, and the read-back below
+        # raises UNABLE_TO_INFER_SCHEMA (r5 third review) — and there
+        # is nothing to index anyway: docs without the column already
+        # pass NOT-filters and fail equality filters
+        raise ValueError(
+            f"no non-null values to index for facet {column!r} — "
+            f"nothing to backfill")
+
     chunk = f"facet_{column}"
     from pyspark.sql import Observation
     obs = Observation(chunk)
@@ -114,7 +124,10 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
     (dictionary_from_segments(seg_chunk, n_buckets=int(m["n_buckets"]))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{index_dir}/dictionary/chunk={chunk}"))
-    n_vals = seg_chunk.select("term").distinct().count()
+    # one row per term in the partial just written — a metadata-light
+    # count, not another distinct() shuffle over the postings chunk
+    n_vals = spark.read.parquet(
+        f"{index_dir}/dictionary/chunk={chunk}").count()
 
     # journal the posting count: this column's OWN row if one exists
     # (a re-run — torn or refresh — overwrites it; a fresh allocation

@@ -42,6 +42,44 @@ def _dirs(index_dir: str) -> tuple[str, str]:
     return f"{index_dir}/tombstones", f"{index_dir}/tombstones_staging"
 
 
+def _restore_swap_invariant(spark: SparkSession, index_dir: str) -> None:
+    """If a prior swap crashed between delete and rename, the committed
+    set lives ONLY in staging — promote it back before anything may
+    overwrite staging (shared by every tombstone writer)."""
+    from ..fsutil import fs_exists, hadoop_fs
+    tomb_dir, staging = _dirs(index_dir)
+    fs, tpath = hadoop_fs(spark, tomb_dir)
+    _, spath = hadoop_fs(spark, staging)
+    if not fs_exists(spark, tomb_dir) and fs_exists(spark, staging):
+        if not fs.rename(spath, tpath):
+            raise IOError(f"could not promote {staging} to {tomb_dir}")
+
+
+def _commit_swap(spark: SparkSession, index_dir: str, keys: DataFrame,
+                 n: int | None = None) -> None:
+    """Commit a FULL key set: write to staging, delete the old dir,
+    rename staging in. A torn staging write leaves the committed set
+    untouched; a crash between delete and rename is covered by the
+    reader's staging fallback (re-promoted by _restore_swap_invariant
+    on the next writer). One file keeps small sets tidy; past ~5M keys
+    the single write task would serialize the commit, so large sets
+    fan out in ~5M-key files (ceil division — a 9M-key set gets 2
+    files, not the single task floor division gave it)."""
+    from ..fsutil import fs_exists, hadoop_fs
+    tomb_dir, staging = _dirs(index_dir)
+    fs, tpath = hadoop_fs(spark, tomb_dir)
+    _, spath = hadoop_fs(spark, staging)
+    nparts = max(1, -(-int(n) // 5_000_000)) if n else 1
+    (keys.coalesce(1) if nparts == 1 else keys.repartition(nparts)) \
+        .write.mode("overwrite").parquet(staging)
+    if fs_exists(spark, tomb_dir) and not fs.delete(tpath, True):
+        raise IOError(f"could not clear {tomb_dir} for the swap")
+    if not fs.rename(spath, tpath):
+        raise IOError(f"tombstone swap failed: rename {staging} -> "
+                      f"{tomb_dir} returned false; the full set is "
+                      f"intact in {staging} (reader falls back to it)")
+
+
 def delete_docs(spark: SparkSession, index_dir: str,
                 docs: DataFrame | list[int]) -> int:
     """Tombstone documents (idempotent union — re-deleting is a no-op).
@@ -50,7 +88,6 @@ def delete_docs(spark: SparkSession, index_dir: str,
     commit) or a doc_id column (resolved to keys through the index's
     docs table), or a plain list of doc ids. Returns the new tombstone
     count."""
-    from ..fsutil import fs_exists, hadoop_fs
     if not isinstance(docs, DataFrame):
         docs = spark.createDataFrame([(int(d),) for d in docs],
                                      "doc_id long")
@@ -58,37 +95,39 @@ def delete_docs(spark: SparkSession, index_dir: str,
         docs = (spark.read.parquet(f"{index_dir}/docs")
                 .join(docs.select("doc_id"), "doc_id"))
     new = docs.select(*_KEY_COLS)
-    tomb_dir, staging = _dirs(index_dir)
-    fs, tpath = hadoop_fs(spark, tomb_dir)
-    _, spath = hadoop_fs(spark, staging)
-    # restore the invariant first: if a prior swap crashed between delete
-    # and rename, the committed set lives ONLY in staging — promote it
-    # back before anything may overwrite staging
-    if not fs_exists(spark, tomb_dir) and fs_exists(spark, staging):
-        if not fs.rename(spath, tpath):
-            raise IOError(f"could not promote {staging} to {tomb_dir}")
+    _restore_swap_invariant(spark, index_dir)
     existing = _read_tombstone_keys(spark, index_dir)
     if existing is not None:
         new = new.unionByName(existing)
     merged = new.distinct().persist()
     n = merged.count()
-    # commit protocol: full merged set to staging, then swap — a torn
-    # staging write leaves the committed set untouched; a crash between
-    # delete and rename is covered by the reader's staging fallback (and
-    # re-promoted above on the next call). One file keeps small sets
-    # tidy; past ~5M keys the single write task would serialize the
-    # commit, so large sets fan out (the dir-rename protocol is
-    # file-count-agnostic).
-    nparts = max(1, int(n) // 5_000_000)
-    (merged.coalesce(1) if nparts == 1 else merged.repartition(nparts)) \
-        .write.mode("overwrite").parquet(staging)
+    _commit_swap(spark, index_dir, merged, n)
     merged.unpersist()
-    if fs_exists(spark, tomb_dir) and not fs.delete(tpath, True):
-        raise IOError(f"could not clear {tomb_dir} for the swap")
-    if not fs.rename(spath, tpath):
-        raise IOError(f"tombstone swap failed: rename {staging} -> "
-                      f"{tomb_dir} returned false; the merged set is "
-                      f"intact in {staging} (reader falls back to it)")
+    return int(n)
+
+
+def revive_docs(spark: SparkSession, index_dir: str,
+                docs: DataFrame) -> int:
+    """Remove keys from the tombstone set — the delete inverse: docs
+    matching (repo, path, commit) become visible again (idempotent;
+    keys not in the set are ignored). Returns the remaining tombstone
+    count. The caller that needs this is upsert_docs: re-upserting a
+    previously REPLACED version (a revert to an old commit) finds the
+    triple already present in docs but tombstoned — without revival the
+    replay-skip leaves it dead while the delete half kills the current
+    version too, and the document vanishes from every query (r5 third
+    review)."""
+    _restore_swap_invariant(spark, index_dir)
+    existing = _read_tombstone_keys(spark, index_dir)
+    if existing is None:
+        return 0
+    n_before = existing.count()
+    keep = existing.join(docs.select(*_KEY_COLS), _KEY_COLS,
+                         "left_anti").persist()
+    n = keep.count()
+    if n != n_before:       # rewrite only when something actually revived
+        _commit_swap(spark, index_dir, keep, n)
+    keep.unpersist()
     return int(n)
 
 
@@ -125,16 +164,12 @@ def migrate_legacy_tombstones(spark: SparkSession, index_dir: str) -> None:
     tombstones rebuild-safe in the first place; this is the one-time
     on-ramp for old indexes — build_index calls it on every fresh
     build, where it is a no-op unless an id-format set exists.)"""
-    from ..fsutil import fs_exists, hadoop_fs
-    tomb_dir, staging = _dirs(index_dir)
-    fs, tpath0 = hadoop_fs(spark, tomb_dir)
-    _, spath0 = hadoop_fs(spark, staging)
-    # promote a staging-only committed set FIRST (same invariant as
-    # delete_docs): the rewrite below overwrites staging, and a crash
-    # mid-overwrite must never destroy the only copy of the set
-    if not fs_exists(spark, tomb_dir) and fs_exists(spark, staging):
-        if not fs.rename(spath0, tpath0):
-            raise IOError(f"could not promote {staging} to {tomb_dir}")
+    from ..fsutil import fs_exists
+    tomb_dir, _staging = _dirs(index_dir)
+    # promote a staging-only committed set FIRST: the rewrite below
+    # overwrites staging, and a crash mid-overwrite must never destroy
+    # the only copy of the set
+    _restore_swap_invariant(spark, index_dir)
     if not fs_exists(spark, tomb_dir):
         return
     src = tomb_dir
@@ -154,15 +189,7 @@ def migrate_legacy_tombstones(spark: SparkSession, index_dir: str) -> None:
             .select(*_KEY_COLS).distinct().collect())
     keys = spark.createDataFrame(
         rows or [], "repo string, path string, commit string")
-    fs, tpath = hadoop_fs(spark, tomb_dir)
-    _, spath = hadoop_fs(spark, staging)
-    keys.coalesce(1).write.mode("overwrite").parquet(staging)
-    if fs_exists(spark, tomb_dir) and not fs.delete(tpath, True):
-        raise IOError(f"could not clear {tomb_dir} for the migration swap")
-    if not fs.rename(spath, tpath):
-        raise IOError(f"tombstone migration swap failed: {staging} -> "
-                      f"{tomb_dir}; the key-format set is intact in "
-                      f"{staging} (reader falls back to it)")
+    _commit_swap(spark, index_dir, keys)
 
 
 def clear_tombstones(spark: SparkSession, index_dir: str) -> None:

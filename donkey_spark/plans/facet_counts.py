@@ -275,7 +275,11 @@ def _count_tag_overlaps(index, text: str, mode: str,
                 # class of duplicate decode the bool scorer fixed)
                 got = _m.get(t)
                 if got is None:
-                    got = _m[t] = np.sort(np.concatenate(
+                    # unique, not just sort: a facet tag refreshed by
+                    # add_facet AND indexed inline by a later epoch
+                    # carries the same doc in two chunks — a duplicate
+                    # id would double-count the doc in the histogram
+                    got = _m[t] = np.unique(np.concatenate(
                         [decode_doc_ids(blobs[i].as_py(), codec)
                          for i in _bt[t]]))
                 return got

@@ -109,9 +109,9 @@ def upsert_docs(spark: SparkSession, index_dir: str,
     trigger intervals, exactly like compact_index).
     """
     from ..fsutil import chunk_dirs, fs_exists
-    from ..streaming.ingest import (_append_epoch, _is_upsert_chunk,
-                                    journal_df)
-    from .delete import delete_docs, tombstone_keys
+    from ..streaming.ingest import (_append_epoch, _is_stream_chunk,
+                                    _is_upsert_chunk, journal_df)
+    from .delete import delete_docs, revive_docs, tombstone_keys
     if not fs_exists(spark, f"{index_dir}/meta"):
         raise ValueError(f"{index_dir} is not an index (no meta) — "
                          f"build_index first; upsert only updates")
@@ -131,6 +131,22 @@ def upsert_docs(spark: SparkSession, index_dir: str,
         int(r["epoch"]): str(r["status"])
         for r in journal.select("epoch", "status").collect()}
     journaled = set(by_epoch)
+    # refuse while an UNJOURNALED stream chunk exists (a stream epoch
+    # mid-write or crashed before its journal row): its doc ids are
+    # invisible to id allocation, so the u-chunk would reuse them and
+    # two different documents would share ids until the stream replays
+    # (r5 third review — the docstring's "don't run concurrently" rule,
+    # now enforced for the crashed-stream case too)
+    torn_stream = sorted(
+        c for c in chunk_dirs(spark, f"{index_dir}/docs")
+        if _is_stream_chunk(c) and int(c[len("stream"):]) not in journaled)
+    if torn_stream:
+        raise ValueError(
+            f"docs table holds unjournaled stream chunk(s) "
+            f"{torn_stream} — a stream epoch is mid-write or crashed "
+            f"before committing; restart the stream (its checkpoint "
+            f"replays the epoch) before upserting, or the upsert's doc "
+            f"ids would collide with the torn chunk's")
     # a u-chunk is committed ONLY by its own "upsert" row — a legacy
     # facet row at the same even negative must not shield a torn chunk
     _gc_torn_chunks(spark, index_dir,
@@ -163,6 +179,14 @@ def upsert_docs(spark: SparkSession, index_dir: str,
         from ..streaming.ingest import reconcile_meta
         reconcile_meta(spark, index_dir)
     fresh.unpersist()
+
+    # revive the target triples: re-upserting a previously REPLACED
+    # version (a revert to an old commit) finds it already in docs but
+    # tombstoned — without revival the replay-skip leaves it dead while
+    # the delete half below kills the current version too, vanishing
+    # the document from every query (r5 third review). Idempotent; a
+    # no-op when no target triple is tombstoned.
+    revive_docs(spark, index_dir, new_docs)
 
     # tombstone every older version of an upserted file — computed from
     # the FULL new_docs (not `fresh`), so a replay whose append was

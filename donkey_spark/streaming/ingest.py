@@ -351,6 +351,20 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
             memo["base"] = base
     else:
         base = memo["base"]
+        # a facet backfilled MID-STREAM (plans/add_facet.py commits meta
+        # with the new column between micro-batches) must not be erased
+        # by this epoch's meta rewrite from the stale memo — merge the
+        # CURRENT meta facets in. Facets are append-only, so the union
+        # is replay-safe; only the 1-row meta read is paid per epoch
+        # (never the stats, which stay journal-derived — see above).
+        from ..fsutil import fs_exists
+        if fs_exists(spark, f"{index_dir}/meta"):
+            cur = (spark.read.parquet(f"{index_dir}/meta")
+                   .collect()[0].asDict())
+            extra = tuple(f for f in (cur.get("facets") or "").split(",")
+                          if f and f not in base["facets"])
+            if extra:
+                base["facets"] = tuple(base["facets"]) + extra
     n_before, sum_dl = base["n"], base["dl"]
     postings_before = base["p"]
     rsize = base["rsize"]
@@ -383,8 +397,16 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         # the epoch's positions chunk needs (doc_id, content) AFTER id
         # assignment — carry content through (O(epoch) extra persist)
         feats.append("content")
-    # range-facet columns the batch carries ride the projection (same
-    # skip-if-absent rule as equality facets below — NULL semantics)
+    # facet columns the batch carries ride the projection (skip-if-
+    # absent — NULL semantics; a column backfilled from caller values
+    # is not in the corpus schema). Equality columns cast to string —
+    # the SAME rendering their presence tags use (r5 third review: the
+    # fpresent check below could never succeed for a custom column
+    # because nothing projected it)
+    feats += [F.col(c).cast("string").alias(c)
+              for c in base["facets"]
+              if c in batch_df.columns
+              and c not in ("repo", "path", "commit", "lang")]
     feats += [F.col(c).cast("long").alias(c)
               for c in base["range_facets"] if c in batch_df.columns]
     if (batch_df.select("repo").limit(STREAM_ID_GATE_ROWS + 1).count()
@@ -467,11 +489,28 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     # chunk partials) — replaces the r2 full-dictionary rewrite that
     # rescanned every segment each epoch; read back this epoch's chunk
     # (already in page cache) rather than recompute the segment plan
-    from ..operators.postings import dictionary_from_segments
-    seg_chunk = spark.read.parquet(f"{index_dir}/segments/chunk={this_chunk}")
-    (dictionary_from_segments(seg_chunk, n_buckets=int(base["n_buckets"]))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(f"{index_dir}/dictionary/chunk={this_chunk}"))
+    if epoch_postings:
+        from ..operators.postings import dictionary_from_segments
+        seg_chunk = spark.read.parquet(
+            f"{index_dir}/segments/chunk={this_chunk}")
+        (dictionary_from_segments(seg_chunk,
+                                  n_buckets=int(base["n_buckets"]))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(f"{index_dir}/dictionary/chunk={this_chunk}"))
+    else:
+        # an epoch whose docs yield ZERO postings (every token under
+        # MIN length, no facet values) wrote a segments dir holding
+        # only _SUCCESS — reading it back raises UNABLE_TO_INFER_SCHEMA
+        # and, being before the journal row, would wedge the stream in
+        # a permanent retry loop (r5 third review). Remove the empty
+        # dirs and journal the epoch with n_postings=0: the docs chunk
+        # stays (the documents exist, they are just unsearchable).
+        from ..fsutil import fs_exists, hadoop_fs
+        for tbl in ("segments", "dictionary"):
+            d = f"{index_dir}/{tbl}/chunk={this_chunk}"
+            if fs_exists(spark, d):
+                fs, p = hadoop_fs(spark, d)
+                fs.delete(p, True)
     # cap probe cost: once enough committed stream partials accumulate,
     # fold them (dictionary-only, cheap — the dictionary is O(vocab), not
     # O(postings)) so per-term probes stay O(buckets) on a long-running

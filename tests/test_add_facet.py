@@ -214,3 +214,28 @@ def test_torn_backfill_does_not_double_count(spark, tmp_path):
         "content string")
     upsert_docs(spark, out, new)
     assert Index(spark, out).n_docs == 91
+
+
+def test_backfill_all_null_raises_cleanly(spark, tmp_path):
+    """An all-null backfill has nothing to index; it must raise a clear
+    ValueError BEFORE any write — the empty segments chunk it used to
+    write crashed the immediate read-back with UNABLE_TO_INFER_SCHEMA
+    (r5 third review)."""
+    import os
+
+    from donkey_spark.plans.add_facet import add_facet
+    from donkey_spark.plans.build import build_index
+    pdf = gen_corpus(40, seed=19)
+    out = str(tmp_path / "nulls")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64)
+    docs = spark.read.parquet(f"{out}/docs")
+    vals = docs.select("doc_id",
+                       F.lit(None).cast("string").alias("value"))
+    with pytest.raises(ValueError, match="no non-null"):
+        add_facet(spark, out, "license", values=vals)
+    assert not os.path.exists(f"{out}/segments/chunk=facet_license")
+    # a values frame matching no doc_id is the same emptiness
+    orphan = spark.createDataFrame([(10**9, "mit")],
+                                   "doc_id long, value string")
+    with pytest.raises(ValueError, match="no non-null"):
+        add_facet(spark, out, "license", values=orphan)

@@ -501,3 +501,34 @@ def test_ten_million_key_smj_fallback_end_to_end(spark, tmp_path,
     assert load_tombstones(spark, out).size == 0
     print(f"\n10M-key e2e: delete {t_delete:.1f}s, "
           f"compact(SMJ) {t_compact:.1f}s")
+
+
+def test_revive_docs_is_the_delete_inverse(spark, tmp_path):
+    """revive_docs removes keys from the set (idempotent, unknown keys
+    ignored) and the revived documents rank again (r5 third review —
+    the primitive upsert's revert path needs)."""
+    from pyspark.sql import functions as F
+
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import (delete_docs, revive_docs,
+                                           tombstone_keys)
+    from donkey_spark.plans.query import Index
+    pdf = gen_corpus(60, seed=29)
+    out = str(tmp_path / "ridx")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64)
+    idx = Index(spark, out)
+    base = idx.search_rows([(0, "def return", 6)])
+    assert len(base) >= 3
+    victims = [r[2] for r in base[:3]]
+    assert delete_docs(spark, out, victims) == 3
+    keys = spark.read.parquet(f"{out}/docs") \
+        .where(F.col("doc_id").isin(victims[:2])) \
+        .select("repo", "path", "commit")
+    assert revive_docs(spark, out, keys) == 1      # two keys removed
+    got = Index(spark, out).search_rows([(0, "def return", 6)])
+    ids = [r[2] for r in got]
+    assert victims[0] in ids and victims[1] in ids
+    assert victims[2] not in ids
+    # idempotent; unknown keys are ignored
+    assert revive_docs(spark, out, keys) == 1
+    assert tombstone_keys(spark, out).count() == 1

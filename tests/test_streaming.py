@@ -376,3 +376,80 @@ def test_catchup_epoch_uses_two_phase_assignment(spark, tmp_path,
     ra = Index(spark, gated).search_rows([(0, "def return", 10)])
     rb = Index(spark, windowed).search_rows([(0, "def return", 10)])
     assert ra == rb and len(ra) == 10
+
+
+def test_zero_posting_epoch_commits_and_stream_continues(spark, tmp_path):
+    """An epoch whose docs yield ZERO postings (every token under the
+    minimum length) used to write a segments dir holding only _SUCCESS
+    and crash on the read-back before its journal row — wedging the
+    stream in a permanent retry loop (r5 third review). It must commit:
+    journal row with n_postings=0, docs chunk present, no empty
+    segments/dictionary dirs, and the next epoch proceeds normally."""
+    import os
+
+    import pandas as pd
+
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming.ingest import _append_epoch, journal_df
+    pdf = gen_corpus(40, seed=11)
+    out = str(tmp_path / "zidx")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64)
+    n0 = Index(spark, out).n_docs
+    bad = pd.DataFrame([{"repo": "rz", "path": f"z/{i}",
+                         "commit": "e" * 40, "lang": "py",
+                         "content": "a b c 1 2"} for i in range(3)])
+    memo: dict = {}
+    _append_epoch(spark.createDataFrame(bad), 5, out, "varint", 128,
+                  memo=memo)
+    j = {int(r["epoch"]): r for r in journal_df(spark, out).collect()}
+    assert j[5]["n_docs"] == 3 and j[5]["n_postings"] == 0
+    assert os.path.isdir(f"{out}/docs/chunk=stream5")
+    assert not os.path.exists(f"{out}/segments/chunk=stream5")
+    assert not os.path.exists(f"{out}/dictionary/chunk=stream5")
+    idx = Index(spark, out)
+    assert idx.n_docs == n0 + 3
+    assert idx.search_rows([(0, "def return", 3)])
+    good = gen_corpus(10, seed=12)
+    good["repo"] = "rz2"
+    _append_epoch(spark.createDataFrame(good), 6, out, "varint", 128,
+                  memo=memo)
+    assert Index(spark, out).n_docs == n0 + 13
+
+
+def test_mid_stream_add_facet_survives_next_epoch(spark, tmp_path):
+    """A facet backfilled BETWEEN micro-batches (add_facet commits meta
+    with the new column) must not be erased by the next epoch's meta
+    rewrite from the memoized base — and, because the epoch re-reads
+    meta facets, docs of later epochs index the column inline when the
+    batch carries it (r5 third review)."""
+    from donkey_spark.plans.add_facet import add_facet
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming.ingest import _append_epoch
+    pdf = gen_corpus(60, seed=13)
+    out = str(tmp_path / "midx")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:40]), out,
+                range_size=64)
+    memo: dict = {}
+    _append_epoch(spark.createDataFrame(pdf.iloc[40:50]), 0, out,
+                  "varint", 128, memo=memo)
+    add_facet(spark, out, "lang")          # mid-stream backfill
+    assert Index(spark, out).facets == ("lang",)
+    _append_epoch(spark.createDataFrame(pdf.iloc[50:]), 1, out,
+                  "varint", 128, memo=memo)
+    idx = Index(spark, out)
+    assert idx.facets == ("lang",), "stale memo erased the backfill"
+    # the filter is exact over ALL docs — incl. epoch 1's, which the
+    # refreshed base indexes inline
+    lang = {r["doc_id"]: r["lang"] for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    target = lang[0]
+    n = idx.n_docs
+    full = idx.search_rows([(0, "def return", n)])
+    want = [r[2] for r in full if lang[r[2]] == target]
+    got = [r[2] for r in idx.search_rows([(0, "def return", n)],
+                                         filters={"lang": target})]
+    assert got == want
+    assert any(d >= 50 for d in got) or not any(
+        lang[d] == target for d in range(50, 60))

@@ -451,3 +451,49 @@ def test_meta_rewrites_preserve_n_buckets(spark, up_setup, monkeypatch):
         [(0, "upserted_marker", 10 * n_patch)])
     assert len(hits) == n_patch          # the epoch's postings are
     # reachable through the reader's (meta-derived) bucket probe
+
+
+def test_upsert_revert_restores_document(spark, up_setup):
+    """Re-upserting a previously REPLACED version (a revert to the old
+    commit) must bring the document back — before the r5 third-review
+    fix the replay-skip left the old triple tombstoned while the delete
+    half killed the new one too, silently vanishing the file."""
+    from donkey_spark.functions.tokenize import tokenize_py
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.upsert import upsert_docs
+    out, pdf, _ = up_setup
+    # the fixture plants empty-content docs; pick one with real tokens
+    i = next(i for i in range(len(pdf))
+             if len(tokenize_py(pdf.iloc[i]["content"])) >= 3)
+    one = pdf.iloc[[i]]
+    key = (one.iloc[0]["repo"], one.iloc[0]["path"])
+    patched = _patched(spark, one, every=1)
+    upsert_docs(spark, out, patched)                 # c1 -> c2
+    info = upsert_docs(spark, out, spark.createDataFrame(one))  # revert
+    assert info["n_appended"] == 0                   # triple already there
+    idx = Index(spark, out)
+    probe = " ".join(tokenize_py(one.iloc[0]["content"])[:3])
+    rows = idx.search_rows([(0, probe, idx.n_docs)])
+    versions = [r for r in rows if (r[4], r[5]) == key]
+    assert len(versions) == 1, "the reverted document must be visible"
+    # and it is the ORIGINAL version: the marker of c2 no longer matches
+    marked = idx.search_rows([(0, "upserted_marker", 50)])
+    assert key not in {(r[4], r[5]) for r in marked}
+    # revert replay stays idempotent
+    info2 = upsert_docs(spark, out, spark.createDataFrame(one))
+    assert info2["n_appended"] == 0
+    assert info2["n_tombstones"] == info["n_tombstones"]
+
+
+def test_upsert_refuses_torn_stream_chunk(spark, up_setup):
+    """An UNJOURNALED stream chunk (a stream epoch crashed before its
+    journal row) makes id allocation blind to its ids — upsert must
+    refuse rather than assign colliding doc ids (r5 third review)."""
+    from donkey_spark.plans.upsert import upsert_docs
+    out, pdf, _ = up_setup
+    (spark.read.parquet(f"{out}/docs").limit(3)
+        .write.parquet(f"{out}/docs/chunk=stream7"))
+    with pytest.raises(ValueError, match="unjournaled stream"):
+        upsert_docs(spark, out, _patched(spark, pdf))
+    shutil.rmtree(f"{out}/docs/chunk=stream7")
+    assert upsert_docs(spark, out, _patched(spark, pdf))["n_appended"]
