@@ -1322,6 +1322,36 @@ def q_bm25_topk_facet_backfill(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_topk_range_backfill(spark, sf_dir):
+    """r5 §2.14 — range-facet backfill (plans/add_facet.add_range_facet):
+    a PLAIN index gets n_chars added as a RANGE facet after the fact
+    (one trie-presence-posting chunk from caller values — no rebuild,
+    no content pass), then runs the flagship set restricted to
+    n_chars ∈ [200, 400]. Must equal the built-in range pair exactly:
+    same oracle as bm25_topk_range."""
+    from .plans.add_facet import add_range_facet
+    from .plans.build import build_index
+    from .plans.query import Index
+    out = tempfile.mkdtemp(prefix="donkey_rbackfill_")
+    corpus = documents_as_corpus(spark, sf_dir)
+    build_index(spark, corpus, out)
+    docs = spark.read.parquet(f"{out}/docs")
+    vals = (docs.select("doc_id", "repo", "path", "commit")
+            .join(corpus.select("repo", "path", "commit",
+                                F.length("content").alias("value")),
+                  ["repo", "path", "commit"])
+            .select("doc_id", "value"))
+    add_range_facet(spark, out, "n_chars", values=vals)
+    res = Index(spark, out).search_batch(
+        BM25_QUERIES,
+        filters={"n_chars": {"range": [_RANGE_LO, _RANGE_HI]}})
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
 #: snippet window — tokens of context either side of the matched term
 SNIPPET_WINDOW = 3
 
@@ -2464,8 +2494,9 @@ SELECT 2::INTEGER AS n_epochs,
     "search_snippets": _snippets_oracle_sql(),
     "bm25_topk_upsert": _upsert_oracle_sql(),
     # backfilled facets must be indistinguishable from built-in ones:
-    # the oracle IS the built-in filtered pair's
+    # the oracles ARE the built-in filtered pairs'
     "bm25_topk_facet_backfill": _BM25_FILTERED_ORACLE,
+    "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -2664,6 +2695,7 @@ QUERIES = {
     "search_snippets": q_search_snippets,
     "bm25_topk_upsert": q_bm25_topk_upsert,
     "bm25_topk_facet_backfill": q_bm25_topk_facet_backfill,
+    "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "neardup_components": q_neardup_components,

@@ -107,21 +107,30 @@ def range_query_tags(col: str, lo: int | None, hi: int | None,
             for p in range(p_lo, p_hi + 1)]
 
 
+def range_tags_col(value: Column, column: str,
+                   step: int = RANGE_STEP) -> Column:
+    """The array of 64/step trie presence tags for one long value — JVM
+    expressions only (XOR + unsigned shift + hex), the ONE build-side
+    twin of value_tags, shared by the batch/stream projection
+    (append_range_terms) and the backfill (plans/add_facet.py) so their
+    tag rendering can never drift."""
+    sortable = value.cast("long").bitwiseXOR(F.lit(-(1 << 63)))
+    return F.array(*[
+        F.concat(F.lit(f"{FACET_PREFIX}{column}#{sh}="),
+                 F.hex(F.shiftrightunsigned(sortable, sh))
+                 if sh else F.hex(sortable))
+        for sh in range(0, 64, step)])
+
+
 def append_range_terms(terms: Column, tfs: Column,
                        range_facets: tuple[str, ...],
                        step: int = RANGE_STEP) -> tuple[Column, Column]:
     """Append the 64/step trie presence terms (tf=1) per non-null range
-    column — JVM expressions only (XOR + unsigned shift + hex), the
-    build-side twin of value_tags. NULL values index nothing, matching
+    column (range_tags_col). NULL values index nothing, matching
     equality facets (a NOT/complement filter admits them)."""
     for fc in range_facets:
-        sortable = F.col(fc).cast("long").bitwiseXOR(F.lit(-(1 << 63)))
         has = F.col(fc).isNotNull()
-        tags = F.array(*[
-            F.concat(F.lit(f"{FACET_PREFIX}{fc}#{sh}="),
-                     F.hex(F.shiftrightunsigned(sortable, sh))
-                     if sh else F.hex(sortable))
-            for sh in range(0, 64, step)])
+        tags = range_tags_col(F.col(fc), fc, step)
         ones = F.array(*[F.lit(1)] * (64 // step))
         terms = F.when(has, F.concat(terms, tags)).otherwise(terms)
         tfs = F.when(has, F.concat(tfs, ones)).otherwise(tfs)

@@ -98,17 +98,108 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
                            F.col("value").cast("string")).alias("term"),
                   F.lit(1).alias("tf")))
 
+    n_post, n_vals = _write_backfill(spark, index_dir, m, dt,
+                                     chunk=f"facet_{column}",
+                                     status=f"facet:{column}")
+
+    # meta commit: stats RECOMPUTED from base + journal (never
+    # incremented), through the ONE shared reconcile helper — converges
+    # from any torn state (a crash between the journal and meta writes,
+    # or a refresh whose previous count meta never saw)
+    from ..streaming.ingest import reconcile_meta
+    reconcile_meta(spark, index_dir, add_facets=(column,))
+    return {"column": column, "n_postings": n_post, "n_values": n_vals}
+
+
+def add_range_facet(spark: SparkSession, index_dir: str, column: str,
+                    values: DataFrame | None = None) -> dict:
+    """Backfill numeric range facet ``column`` onto an existing index —
+    the T25 twin of add_facet: "we now need to filter by file size"
+    must not cost a reindex any more than a new license column does.
+
+    ``values``: (doc_id, value) DataFrame, value castable to long (one
+    row per doc; NULL/absent docs index nothing — a NOT/complement
+    filter admits them, same as build-time range facets); omit it to
+    take the column from the index's own docs table (e.g. ``dl``, the
+    one numeric column docs always stores). Postings are the SAME
+    64/RANGE_STEP trie presence tags the batch build writes
+    (operators/ranges.range_tags_col — one shared expression, so the
+    backfill and the build can never drift), in one
+    ``segments/chunk=rfacet_<col>`` dir; queries and binned histograms
+    work the moment meta commits. Later epochs index the column inline
+    when their batch carries it (NULL semantics otherwise); re-running
+    refreshes a backfilled column but refuses a build-time one."""
+    from ..fsutil import fs_exists
+    from ..operators.ranges import range_tags_col
+    from .build import _check_dictionary_layout
+    if not fs_exists(spark, f"{index_dir}/meta"):
+        raise ValueError(f"{index_dir} is not an index (no meta)")
+    _check_dictionary_layout(spark, index_dir)
+    m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
+    rfacets = tuple(f for f in (m.get("range_facets") or "").split(",")
+                    if f)
+    step = int(m["range_step"])
+    if column in rfacets and not fs_exists(
+            spark, f"{index_dir}/segments/chunk=rfacet_{column}"):
+        raise ValueError(f"range facet {column!r} is already indexed by "
+                         f"the build (range_facets={rfacets}) — only "
+                         f"backfilled columns can be refreshed")
+
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    if values is None:
+        if column not in docs.columns:
+            raise ValueError(
+                f"docs table has no column {column!r} — pass values= "
+                f"(a (doc_id, value) DataFrame) to backfill it")
+        vals = docs.select("doc_id", F.col(column).alias("value"))
+    else:
+        vals = values.select("doc_id", F.col("value"))
+        dup = (vals.groupBy("doc_id").count()
+               .where(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"values has multiple rows for doc_id {dup[0]['doc_id']}"
+                f" — a doc carries at most one value per facet column")
+        vals = docs.select("doc_id").join(vals, "doc_id")
+
+    # cast long FIRST so an uncastable value is NULL (= unindexed)
+    # everywhere below, the exact build-side append_range_terms rule
+    vals = vals.select("doc_id", F.col("value").cast("long").alias("v"))
+    dt = (docs.select("doc_id", "dl")
+          .join(vals.where(F.col("v").isNotNull()), "doc_id")
+          .select("doc_id", "dl",
+                  F.explode(range_tags_col(F.col("v"), column,
+                                           step)).alias("term"),
+                  F.lit(1).alias("tf")))
+
+    n_post, n_vals = _write_backfill(spark, index_dir, m, dt,
+                                     chunk=f"rfacet_{column}",
+                                     status=f"rfacet:{column}")
+    from ..streaming.ingest import reconcile_meta
+    reconcile_meta(spark, index_dir, add_range_facets=(column,))
+    return {"column": column, "n_postings": n_post, "n_values": n_vals}
+
+
+def _write_backfill(spark: SparkSession, index_dir: str, m: dict,
+                    dt: DataFrame, *, chunk: str,
+                    status: str) -> tuple[int, int]:
+    """Shared backfill commit: segments chunk → dictionary partial →
+    journal row (write order makes a torn run invisible — meta, which
+    alone makes the facet visible to planners, commits after this in
+    the caller). Returns (n_postings, n_dictionary_rows)."""
+    from ..operators.postings import (build_segments,
+                                      dictionary_from_segments,
+                                      merge_segments)
     if dt.isEmpty():
         # an all-null (or no-matching-doc_id) backfill would write a
         # segments dir holding only _SUCCESS, and the read-back below
         # raises UNABLE_TO_INFER_SCHEMA (r5 third review) — and there
         # is nothing to index anyway: docs without the column already
-        # pass NOT-filters and fail equality filters
+        # pass NOT-filters and fail equality/range filters
         raise ValueError(
-            f"no non-null values to index for facet {column!r} — "
+            f"no non-null values to index for {status!r} — "
             f"nothing to backfill")
 
-    chunk = f"facet_{column}"
     from pyspark.sql import Observation
     obs = Observation(chunk)
     seg = merge_segments(build_segments(
@@ -138,7 +229,7 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
     epoch = None
     journal = journal_df(spark, index_dir)
     if journal is not None:
-        mine = (journal.where(F.col("status") == f"facet:{column}")
+        mine = (journal.where(F.col("status") == status)
                 .select("epoch").limit(1).collect())
         if mine:
             epoch = int(mine[0]["epoch"])     # reuse verbatim (legacy
@@ -152,15 +243,8 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
     if epoch is None:
         epoch = -1
     (spark.createDataFrame(
-        [(f"facet:{column}", 0, 0, n_post)],
+        [(status, 0, 0, n_post)],
         "status string, n_docs long, sum_dl long, n_postings long")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/manifest_stream/epoch={epoch}"))
-
-    # meta commit: stats RECOMPUTED from base + journal (never
-    # incremented), through the ONE shared reconcile helper — converges
-    # from any torn state (a crash between the journal and meta writes,
-    # or a refresh whose previous count meta never saw)
-    from ..streaming.ingest import reconcile_meta
-    reconcile_meta(spark, index_dir, add_facets=(column,))
-    return {"column": column, "n_postings": n_post, "n_values": n_vals}
+    return n_post, n_vals

@@ -36,6 +36,8 @@ def index_info(spark: SparkSession, index_dir: str) -> dict:
         "codec": m["codec"],
         "n_buckets": int(m["n_buckets"]),
         "facets": [f for f in (m.get("facets") or "").split(",") if f],
+        "range_facets": [f for f in (m.get("range_facets") or "")
+                         .split(",") if f],
     }
 
     tables = {}
@@ -75,9 +77,10 @@ def index_info(spark: SparkSession, index_dir: str) -> dict:
                                  if str(r["status"]) == "stream"),
             "upserts": sum(1 for r in rows
                            if str(r["status"]) == "upsert"),
+            # both kinds: equality (facet:<col>) and range (rfacet:<col>)
             "facet_backfills": sum(
                 1 for r in rows
-                if str(r["status"]).startswith("facet:")),
+                if str(r["status"]).startswith(("facet:", "rfacet:"))),
         }
 
     from .delete import tombstone_keys

@@ -144,14 +144,15 @@ def write_meta(spark: SparkSession, index_dir: str, *, version: int,
 
 
 def reconcile_meta(spark: SparkSession, index_dir: str,
-                   add_facets: tuple = ()) -> None:
+                   add_facets: tuple = (),
+                   add_range_facets: tuple = ()) -> None:
     """Recompute meta's running stats (n_docs, avgdl, n_postings) from
     the batch base + the FULL journal and overwrite meta when stale —
     the journal row is each epoch's commit point and meta is written
     after it, so a crash between the two leaves meta behind; every
     replaying writer (upsert, facet backfill) converges meta through
-    this ONE helper. ``add_facets`` appends columns to the facet list
-    (the facet backfill's meta commit)."""
+    this ONE helper. ``add_facets``/``add_range_facets`` append columns
+    to the facet lists (the backfills' meta commits)."""
     base = _base_state(spark, index_dir)
     n, dl, p = base["n"], base["dl"], base["p"]
     j = journal_df(spark, index_dir)
@@ -166,10 +167,13 @@ def reconcile_meta(spark: SparkSession, index_dir: str,
     m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
     facets = tuple(base["facets"]) + tuple(
         f for f in add_facets if f and f not in base["facets"])
+    range_facets = tuple(base["range_facets"]) + tuple(
+        f for f in add_range_facets if f and f not in base["range_facets"])
     avgdl = (dl / n) if n else 0.0
     if (int(m["n_docs"]) == n and int(m["n_postings"]) == p
             and abs(float(m["avgdl"]) - avgdl) < 1e-9
-            and (m.get("facets") or "") == ",".join(facets)):
+            and (m.get("facets") or "") == ",".join(facets)
+            and (m.get("range_facets") or "") == ",".join(range_facets)):
         return
     from ..plans.positions import meta_version
     write_meta(spark, index_dir,
@@ -178,7 +182,7 @@ def reconcile_meta(spark: SparkSession, index_dir: str,
                block_size=int(m["block_size"]), codec=m["codec"],
                facets=facets, n_buckets=int(m["n_buckets"]),
                n_chunks=int(m.get("n_chunks", -1)),
-               range_facets=base["range_facets"],
+               range_facets=range_facets,
                range_step=base["range_step"])
 
 
@@ -354,17 +358,19 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         # a facet backfilled MID-STREAM (plans/add_facet.py commits meta
         # with the new column between micro-batches) must not be erased
         # by this epoch's meta rewrite from the stale memo — merge the
-        # CURRENT meta facets in. Facets are append-only, so the union
-        # is replay-safe; only the 1-row meta read is paid per epoch
-        # (never the stats, which stay journal-derived — see above).
+        # CURRENT meta facet lists in. Facets are append-only, so the
+        # union is replay-safe; only the 1-row meta read is paid per
+        # epoch (never the stats, which stay journal-derived — above).
         from ..fsutil import fs_exists
         if fs_exists(spark, f"{index_dir}/meta"):
             cur = (spark.read.parquet(f"{index_dir}/meta")
                    .collect()[0].asDict())
-            extra = tuple(f for f in (cur.get("facets") or "").split(",")
-                          if f and f not in base["facets"])
-            if extra:
-                base["facets"] = tuple(base["facets"]) + extra
+            for key, col_ in (("facets", "facets"),
+                              ("range_facets", "range_facets")):
+                extra = tuple(f for f in (cur.get(col_) or "").split(",")
+                              if f and f not in base[key])
+                if extra:
+                    base[key] = tuple(base[key]) + extra
     n_before, sum_dl = base["n"], base["dl"]
     postings_before = base["p"]
     rsize = base["rsize"]

@@ -239,3 +239,143 @@ def test_backfill_all_null_raises_cleanly(spark, tmp_path):
                                    "doc_id long, value string")
     with pytest.raises(ValueError, match="no non-null"):
         add_facet(spark, out, "license", values=orphan)
+
+
+@pytest.fixture(scope="module")
+def rbf_setup(spark, tmp_path_factory):
+    """Plain index + range backfill of n_chars vs a build-time
+    range-facet twin over the same corpus."""
+    from donkey_spark.plans.add_facet import add_range_facet
+    from donkey_spark.plans.build import build_index
+    pdf = gen_corpus(200, seed=23)
+    corpus = spark.createDataFrame(pdf)
+    rich = corpus.withColumn("n_chars", F.length("content"))
+    plain = str(tmp_path_factory.mktemp("rbf") / "plain")
+    built = str(tmp_path_factory.mktemp("rbf") / "built")
+    build_index(spark, corpus, plain, range_size=64)
+    build_index(spark, rich, built, range_size=64,
+                range_facets=("n_chars",))
+    docs = spark.read.parquet(f"{plain}/docs")
+    vals = (docs.select("doc_id", "repo", "path", "commit")
+            .join(rich.select("repo", "path", "commit",
+                              F.col("n_chars").alias("value")),
+                  ["repo", "path", "commit"])
+            .select("doc_id", "value"))
+    info = add_range_facet(spark, plain, "n_chars", values=vals)
+    return plain, built, info
+
+
+def test_range_backfill_equals_built_in(spark, rbf_setup):
+    """A backfilled range facet is indistinguishable from a build-time
+    one: same meta, same filtered rankings (incl. negation and open
+    ends), unfiltered scores untouched."""
+    from donkey_spark.plans.query import Index
+    plain, built, info = rbf_setup
+    a, b = Index(spark, plain), Index(spark, built)
+    assert a.range_facets == b.range_facets == ("n_chars",)
+    assert a.range_step == b.range_step
+    assert info["n_postings"] > 0
+    assert (a.n_docs, a.avgdl) == (b.n_docs, b.avgdl)
+    qs = [(0, "def return", 15), (1, "class import", 10)]
+    for filt in ({"n_chars": {"range": [200, 2000]}},
+                 {"n_chars": {"not": {"range": [200, 2000]}}},
+                 {"n_chars": {"range": [None, 900]}}, None):
+        assert a.search_rows(qs, filters=filt) == \
+            b.search_rows(qs, filters=filt), filt
+    assert a.search_rows(qs) == b.search_rows(qs)
+
+
+def test_range_backfill_serves_binned_histograms(spark, rbf_setup):
+    """range_counts works the moment meta commits — same bins as the
+    build-time twin."""
+    from donkey_spark.plans.facet_counts import range_counts
+    from donkey_spark.plans.query import Index
+    plain, built, _ = rbf_setup
+    a = {(r["bin_lo"], r["bin_hi"]): r["n_docs"] for r in range_counts(
+        Index(spark, plain), "def return", "n_chars", shift=8).collect()}
+    b = {(r["bin_lo"], r["bin_hi"]): r["n_docs"] for r in range_counts(
+        Index(spark, built), "def return", "n_chars", shift=8).collect()}
+    assert a == b and sum(a.values()) > 0
+
+
+def test_range_backfill_from_docs_column_and_validation(spark, tmp_path):
+    """values=None takes the column from the docs table (dl is the
+    numeric column docs always stores); build-time columns refuse a
+    refresh; NULL/uncastable values index nothing (NOT admits them)."""
+    from donkey_spark.plans.add_facet import add_range_facet
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    pdf = gen_corpus(80, seed=27)
+    out = str(tmp_path / "rdl")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64)
+    add_range_facet(spark, out, "dl")
+    idx = Index(spark, out)
+    assert idx.range_facets == ("dl",)
+    docs = {r["doc_id"]: r["dl"] for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    n = idx.n_docs
+    full = idx.search_rows([(0, "def return", n)])
+    want = [r[2] for r in full if 50 <= docs[r[2]] <= 300]
+    got = [r[2] for r in idx.search_rows(
+        [(0, "def return", n)], filters={"dl": {"range": [50, 300]}})]
+    assert got == want and 0 < len(got) < len(full)
+    # a build-time range facet cannot be refreshed from metadata alone
+    rich = spark.createDataFrame(pdf).withColumn(
+        "n_chars", F.length("content"))
+    out2 = str(tmp_path / "rbuilt")
+    build_index(spark, rich, out2, range_size=64,
+                range_facets=("n_chars",))
+    with pytest.raises(ValueError, match="already indexed by"):
+        add_range_facet(spark, out2, "n_chars")
+    # NULL values index nothing; the NOT filter admits those docs
+    third = spark.read.parquet(f"{out}/docs").select(
+        "doc_id", F.when(F.col("doc_id") % 3 == 0,
+                         F.col("dl")).alias("value"))
+    add_range_facet(spark, out, "dl3", values=third)
+    got3 = {r[2] for r in Index(spark, out).search_rows(
+        [(0, "def return", n)],
+        filters={"dl3": {"not": {"range": [0, 10**9]}}})}
+    assert got3 == {r[2] for r in full if r[2] % 3 != 0}
+    # all-null backfills raise before writing anything
+    import os
+    nulls = spark.read.parquet(f"{out}/docs").select(
+        "doc_id", F.lit(None).cast("long").alias("value"))
+    with pytest.raises(ValueError, match="no non-null"):
+        add_range_facet(spark, out, "nope", values=nulls)
+    assert not os.path.exists(f"{out}/segments/chunk=rfacet_nope")
+
+
+def test_mid_stream_range_backfill_survives_next_epoch(spark, tmp_path):
+    """The memo merge covers range facets too: a range column
+    backfilled between micro-batches survives the next epoch's meta
+    rewrite, and later epochs index it inline when the batch carries
+    it."""
+    from donkey_spark.plans.add_facet import add_range_facet
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.streaming.ingest import _append_epoch
+    pdf = gen_corpus(60, seed=31)
+    out = str(tmp_path / "rmid")
+    build_index(spark, spark.createDataFrame(pdf.iloc[:40]), out,
+                range_size=64)
+    memo: dict = {}
+    _append_epoch(spark.createDataFrame(pdf.iloc[40:50]), 0, out,
+                  "varint", 128, memo=memo)
+    vals = spark.read.parquet(f"{out}/docs").select(
+        "doc_id", F.col("dl").alias("value"))
+    add_range_facet(spark, out, "size", values=vals)  # mid-stream
+    assert Index(spark, out).range_facets == ("size",)
+    nxt = spark.createDataFrame(pdf.iloc[50:]).withColumn(
+        "size", F.lit(10**6))              # epoch carries the column
+    _append_epoch(nxt, 1, out, "varint", 128, memo=memo)
+    idx = Index(spark, out)
+    assert idx.range_facets == ("size",), "stale memo erased the backfill"
+    n = idx.n_docs
+    got = {r[2] for r in idx.search_rows(
+        [(0, "def return", n)],
+        filters={"size": {"range": [10**6, 10**6]}})}
+    # exactly epoch 1's docs carry the sentinel value — indexed INLINE
+    epoch1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs")
+              .where(F.col("chunk") == "stream1").collect()}
+    full = {r[2] for r in idx.search_rows([(0, "def return", n)])}
+    assert got == (epoch1 & full) and got
