@@ -359,15 +359,21 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         # with the new column between micro-batches) must not be erased
         # by this epoch's meta rewrite from the stale memo — merge the
         # CURRENT meta facet lists in. Facets are append-only, so the
-        # union is replay-safe; only the 1-row meta read is paid per
-        # epoch (never the stats, which stay journal-derived — above).
-        from ..fsutil import fs_exists
-        if fs_exists(spark, f"{index_dir}/meta"):
+        # union is replay-safe. A backfill is the ONLY writer that can
+        # extend meta's facet lists mid-stream and it always leaves a
+        # [r]facet_<col> segments chunk, so a driver-side FS listing
+        # (no Spark job) gates the 1-row meta read: steady-state epochs
+        # pay a listStatus, never a read job.
+        from ..fsutil import chunk_dirs, fs_exists
+        backfilled = {c.split("_", 1)[1]
+                      for c in chunk_dirs(spark, f"{index_dir}/segments")
+                      if c.startswith(("facet_", "rfacet_"))}
+        known = set(base["facets"]) | set(base["range_facets"])
+        if (backfilled - known) and fs_exists(spark, f"{index_dir}/meta"):
             cur = (spark.read.parquet(f"{index_dir}/meta")
                    .collect()[0].asDict())
-            for key, col_ in (("facets", "facets"),
-                              ("range_facets", "range_facets")):
-                extra = tuple(f for f in (cur.get(col_) or "").split(",")
+            for key in ("facets", "range_facets"):
+                extra = tuple(f for f in (cur.get(key) or "").split(",")
                               if f and f not in base[key])
                 if extra:
                     base[key] = tuple(base[key]) + extra
