@@ -1322,6 +1322,67 @@ def q_bm25_topk_facet_backfill(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_match_counts(spark, sf_dir):
+    """r5 §2.14 — total hits (plans/facet_counts.match_count): the
+    "About 1,204 results" number, for the flagship set under BOTH
+    match modes. Counts run in the facet-histogram kernel with zero
+    tags — one pruned segment scan per call, match sets living only as
+    per-salt int64 arrays, one (salt)-row aggregate out; never a scored
+    materialization. The OOV query counts 0 in both modes; the AND
+    count requires EVERY query term live (frozen-stats semantics
+    shared with search)."""
+    from .plans.facet_counts import match_count
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = [(qid, m, match_count(idx, text, mode=m))
+            for m in ("or", "and")
+            for qid, text, _k in BM25_QUERIES]
+    return spark.createDataFrame(
+        rows, "query_id int, mode string, n_matches long")
+
+
+def _match_counts_oracle_sql() -> str:
+    """Count twin: docs containing ANY ('or') / EVERY ('and') distinct
+    query term, 0 rows preserved through the (query, mode) grid."""
+    from .functions.tokenize import tokenize_py
+    vals = ",\n  ".join(
+        f"({qid}, '{t}')"
+        for qid, text, _k in BM25_QUERIES
+        for t in sorted(set(tokenize_py(text))))
+    return f"""
+WITH ordered AS (
+  {_ORDERED_SQL}
+), toks AS (
+  SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered
+), dd AS (
+  SELECT DISTINCT d, term FROM toks
+), qset(query_id, term) AS (VALUES
+  {vals}
+), qn AS (
+  SELECT query_id, count(DISTINCT term) AS nt FROM qset GROUP BY 1
+), per AS (
+  SELECT q.query_id, dd.d, count(DISTINCT dd.term) AS nm
+  FROM qset q JOIN dd ON dd.term = q.term
+  GROUP BY 1, 2
+), orc AS (
+  SELECT query_id, count(*)::BIGINT AS n FROM per GROUP BY 1
+), andc AS (
+  SELECT per.query_id, count(*)::BIGINT AS n
+  FROM per JOIN qn ON qn.query_id = per.query_id
+  WHERE per.nm = qn.nt GROUP BY 1
+), grid AS (
+  SELECT query_id, 'or' AS mode FROM qn
+  UNION ALL SELECT query_id, 'and' FROM qn
+)
+SELECT grid.query_id, grid.mode,
+       COALESCE(CASE WHEN grid.mode = 'or' THEN orc.n ELSE andc.n END,
+                0)::BIGINT AS n_matches
+FROM grid
+LEFT JOIN orc ON orc.query_id = grid.query_id
+LEFT JOIN andc ON andc.query_id = grid.query_id
+"""
+
+
 def q_bm25_topk_range_backfill(spark, sf_dir):
     """r5 §2.14 — range-facet backfill (plans/add_facet.add_range_facet):
     a PLAIN index gets n_chars added as a RANGE facet after the fact
@@ -2497,6 +2558,7 @@ SELECT 2::INTEGER AS n_epochs,
     # the oracles ARE the built-in filtered pairs'
     "bm25_topk_facet_backfill": _BM25_FILTERED_ORACLE,
     "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
+    "match_counts": _match_counts_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -2696,6 +2758,7 @@ QUERIES = {
     "bm25_topk_upsert": q_bm25_topk_upsert,
     "bm25_topk_facet_backfill": q_bm25_topk_facet_backfill,
     "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
+    "match_counts": q_match_counts,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "neardup_components": q_neardup_components,

@@ -207,9 +207,33 @@ def range_counts(index, text: str, facet: str, shift: int,
                       "n_docs")
 
 
+def match_count(index, text: str, mode: str = "or",
+                filters: dict | None = None) -> int:
+    """Total hits of ``text`` — the "About 1,204 results" number a
+    search UI shows above the first page. OR: docs containing any
+    query term; AND: docs containing every term; ``filters=`` is the
+    same facet grammar as search (equality / OR / NOT / range), and
+    tombstoned docs are excluded — so the count is EXACTLY the number
+    of rows ``search(text, k=∞, filters=...)`` would rank. Runs the
+    same per-salt counting kernel as facet_counts with zero histogram
+    tags: one pruned segment scan, match sets existing only as int64
+    arrays inside the kernel, one (salt-count)-row aggregate out —
+    never a scored materialization of the match set."""
+    if mode not in ("or", "and"):
+        raise ValueError(mode)
+    fgroups = _compile_filters(index, filters)
+    agg = _count_tag_overlaps(index, text, mode, fgroups,
+                              lambda: [], count_total=True)
+    if agg is None:
+        return 0
+    got = agg.agg(F.coalesce(F.sum("n_docs"), F.lit(0))).collect()[0][0]
+    return int(got)
+
+
 def _count_tag_overlaps(index, text: str, mode: str,
                         fgroups: list[tuple[str, list[str]]],
-                        tags_fn) -> DataFrame | None:
+                        tags_fn, count_total: bool = False
+                        ) -> DataFrame | None:
     """Shared counting core: one pruned segment scan + per-salt Arrow
     kernel counting each presence tag's overlap with the (filtered,
     tombstone-dropped) match set of ``text``. Returns an aggregated
@@ -217,7 +241,10 @@ def _count_tag_overlaps(index, text: str, mode: str,
     (OOV terms, no live tag, an emptied 'any' filter group).
     ``tags_fn`` is a thunk yielding the candidate tag list — a thunk so
     its dictionary-enumeration Spark job only runs AFTER the query-term
-    liveness check; an OOV query exits before paying it."""
+    liveness check; an OOV query exits before paying it.
+    ``count_total`` additionally emits one tag="*" row per salt with
+    the match set's own size (docs partition by salt, so the sum is
+    exact) — the total-hits path, which needs no tags at all."""
     qterms = sorted(set(tokenize_py(text)))
     dfs = index._lookup_terms(qterms)
     live = [t for t in qterms if dfs.get(t)]
@@ -227,7 +254,7 @@ def _count_tag_overlaps(index, text: str, mode: str,
     ftags = [t for _, g in fgroups for t in g]
     tag_dfs = index._lookup_terms(sorted(set(tags) | set(ftags)))
     tags = [t for t in tags if tag_dfs.get(t)]
-    if not tags:
+    if not tags and not count_total:
         return None
     # same dictionary-resolution rules as search: an "any" group with NO
     # live value selects nothing; values missing from the dictionary
@@ -321,6 +348,9 @@ def _count_tag_overlaps(index, text: str, mode: str,
                     break
             if matched.size == 0:
                 continue
+            if count_total:
+                out_v.append("*")
+                out_n.append(int(matched.size))
             for t in by_term:
                 if t not in tagset:
                     continue

@@ -387,6 +387,20 @@ def ivf_topk_sharded(spark, index_dirs: list[str], probe: list[float],
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def match_count_sharded(shards, text: str, mode: str = "or",
+                        filters: dict | None = None) -> int:
+    """Total hits over the federation. Counting needs NO global stats
+    (same argument as facet_counts_sharded: shards partition the corpus
+    and the match predicate is shard-local), so the exact federated
+    count is the plain sum of per-shard counts — one int per shard
+    crosses the driver, nothing else."""
+    if not shards:
+        raise ValueError("no shards")
+    from .facet_counts import match_count
+    return sum(match_count(s, text, mode=mode, filters=filters)
+               for s in shards)
+
+
 def facet_counts_sharded(shards, text: str, facet, mode: str = "or",
                          filters: dict | None = None):
     """Facet histogram over the federation's match set — the search-UI

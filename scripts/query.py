@@ -56,6 +56,10 @@ def main() -> None:
                          "column (either bound may be omitted; COL!=LO..HI "
                          "negates); index must be built with --facets / "
                          "--range-facets")
+    ap.add_argument("--count", action="store_true",
+                    help="print the TOTAL HITS of --query (respecting "
+                         "--mode or/and and --filter) instead of "
+                         "ranking — works on --index and --shards")
     ap.add_argument("--facet-counts", default=None, metavar="COL",
                     help="instead of top-k rows, print the per-value "
                          "document counts of this facet column over the "
@@ -118,6 +122,25 @@ def main() -> None:
     filters = filters or None
     if a.bin_shift is not None and not a.facet_counts:
         ap.error("--bin-shift needs --facet-counts COL")
+    if a.count:
+        if a.queries or a.phrase or a.facet_counts or a.snippets:
+            ap.error("--count takes a single --query (with --mode/"
+                     "--filter) and no --phrase/--facet-counts/"
+                     "--snippets")
+        if a.mode not in ("or", "and"):
+            ap.error("--count supports --mode or/and")
+        if a.shards:
+            from donkey_spark.plans.sharded import (match_count_sharded,
+                                                    open_shards)
+            n = match_count_sharded(open_shards(spark,
+                                                a.shards.split(",")),
+                                    a.query, mode=a.mode,
+                                    filters=filters)
+        else:
+            from donkey_spark.plans.facet_counts import match_count
+            n = match_count(idx, a.query, mode=a.mode, filters=filters)
+        print(n)
+        return
     if a.shards:
         from donkey_spark.plans.sharded import (RESULT_SCHEMA,
                                                 facet_counts_sharded,

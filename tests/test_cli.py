@@ -298,3 +298,51 @@ def test_cli_range_facets_end_to_end(cli_corpus):
                  SPARK_LOCAL_IP="127.0.0.1",
                  PYSPARK_SUBMIT_ARGS="--master local[4] pyspark-shell"))
     assert out.returncode != 0 and "stars" in (out.stderr + out.stdout)
+
+
+def test_cli_backfill_and_count(cli_corpus):
+    """scripts/add_facet.py (equality + --range) then --count: the ops
+    path for 'we now need to filter by X' followed by the total-hits
+    number, checked against pandas on the same corpus."""
+    base = cli_corpus
+    pdf = gen_corpus(120, seed=19)
+    idx = str(base / "bfidx")
+    _run(["scripts/build_index.py", "--corpus",
+          str(base / "corpus.parquet"), "--out", idx])
+    # equality backfill from the docs table's own lang column
+    _run(["scripts/add_facet.py", "--index", idx, "--column", "lang"])
+    # range backfill from caller values (n_chars has no docs column)
+    vals = str(base / "nchars.parquet")
+    res = str(base / "cres")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "200", "--out", res])
+    hits = pd.read_parquet(res)
+    docs_pdf = pd.DataFrame({
+        "path": pdf["path"], "value": pdf["content"].str.len()})
+    # map path -> doc_id through the index's own docs table
+    all_ids = pd.read_parquet(f"{idx}/docs")[["doc_id", "path"]]
+    docs_pdf = docs_pdf.merge(all_ids, on="path")[["doc_id", "value"]]
+    docs_pdf.to_parquet(vals, index=False)
+    _run(["scripts/add_facet.py", "--index", idx, "--column", "n_chars",
+          "--range", "--values", vals])
+    truth = dict(zip(pdf["path"], pdf["content"].str.len()))
+    lang_of = dict(zip(pdf["path"], pdf["lang"]))
+    lo = int(pd.Series(list(truth.values())).quantile(0.4))
+    out = _run(["scripts/query.py", "--index", idx, "--query",
+                "def return", "--count"])
+    assert int(out.strip().splitlines()[-1]) == len(hits)
+    out = _run(["scripts/query.py", "--index", idx, "--query",
+                "def return", "--count", "--filter", f"n_chars={lo}..",
+                "--filter", "lang=py"])
+    want = sum(1 for p in hits["path"]
+               if truth[p] >= lo and lang_of[p] == "py")
+    assert int(out.strip().splitlines()[-1]) == want
+    # --count composes with nothing that ranks
+    bad = subprocess.run(
+        [sys.executable, "scripts/query.py", "--index", idx,
+         "--query", "x", "--count", "--phrase"],
+        capture_output=True, text=True, cwd=ROOT, timeout=600,
+        env=dict(os.environ, PYTHONPATH=ROOT,
+                 SPARK_LOCAL_IP="127.0.0.1",
+                 PYSPARK_SUBMIT_ARGS="--master local[4] pyspark-shell"))
+    assert bad.returncode == 2 and "--count takes" in bad.stderr

@@ -596,3 +596,36 @@ def test_mixed_type_filter_values_raise(spark):
             normalize_filter_spec("lang", bad)
     # homogeneous non-string values still normalize fine
     assert normalize_filter_spec("n", [3, 1, 2]) == ("any", [1, 2, 3])
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_match_count_equals_full_ranking_size(spark, facet_setup, mode):
+    """match_count is exactly the number of rows an unbounded search
+    would rank — across modes, filters, and after deletions."""
+    from donkey_spark.plans.delete import clear_tombstones, delete_docs
+    from donkey_spark.plans.facet_counts import match_count
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    idx = Index(spark, faceted)
+    n = idx.n_docs
+    text = "def return class"
+    langs = sorted(set(lang.values()))[:2]
+    for filt in (None, {"lang": langs[0]}, {"lang": langs},
+                 {"lang": {"not": langs}}):
+        got = match_count(idx, text, mode=mode, filters=filt)
+        want = len(idx.search_rows([(0, text, n)], mode=mode,
+                                   filters=filt))
+        assert got == want and (filt is not None or got > 0), filt
+    # OOV: 0 in OR (single OOV term query) and in AND (mixed query)
+    assert match_count(idx, "zz_totally_oov", mode=mode) == 0
+    if mode == "and":
+        assert match_count(idx, "def zz_totally_oov", mode="and") == 0
+    # tombstoned docs leave the count (same mask as search)
+    base = match_count(idx, text, mode=mode)
+    victims = [r[2] for r in idx.search_rows([(0, text, 3)], mode=mode)]
+    delete_docs(spark, faceted, victims)
+    try:
+        fresh = Index(spark, faceted)
+        assert match_count(fresh, text, mode=mode) == base - len(victims)
+    finally:
+        clear_tombstones(spark, faceted)

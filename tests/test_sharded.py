@@ -413,3 +413,24 @@ def test_sharded_mixed_batch_matches_unified(spark, sh_setup, ph_setup):
     with pytest.raises(ValueError, match="do not take filters"):
         search_rows_mixed_sharded(
             p_shards, [(0, "def return", 5, "phrase", {"lang": "py"})])
+
+
+def test_sharded_match_count_sums_exactly(spark, sh_setup):
+    """Total hits over the federation = the unified count — no global
+    stats needed (match predicates are shard-local, shards partition
+    the corpus), across modes and filters."""
+    from donkey_spark.plans.facet_counts import match_count
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import match_count_sharded
+    uni_dir, parts, pdf = sh_setup
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d) for d in parts]
+    text = "def return"
+    lang0 = sorted(set(pdf["lang"]))[0]
+    for mode, filt in (("or", None), ("and", None),
+                       ("or", {"lang": lang0}),
+                       ("and", {"lang": {"not": [lang0]}})):
+        want = match_count(uni, text, mode=mode, filters=filt)
+        got = match_count_sharded(shards, text, mode=mode, filters=filt)
+        assert got == want and (filt is not None or got > 0), (mode, filt)
+    assert match_count_sharded(shards, "zz_totally_oov") == 0
