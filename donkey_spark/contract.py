@@ -1383,6 +1383,60 @@ LEFT JOIN andc ON andc.query_id = grid.query_id
 """
 
 
+#: did-you-mean probe set — misspellings of common document-prose
+#: terms, plus one ("zzqx") with no dictionary term within distance 2
+#: (zero rows on both engines)
+SUGGEST_PROBES = ["tabel", "joun", "filtr", "windw", "zzqx"]
+
+
+def q_term_suggest(spark, sf_dir):
+    """r5 §2.14 — spell suggestions (Index.suggest, the Lucene
+    DirectSpellChecker analog): for each probe, the 5 dictionary terms
+    within edit distance 2 ranked (distance ASC, df DESC, term ASC) —
+    closer beats more-frequent, frequency breaks distance ties, the
+    probe never suggests itself. One length-banded dictionary
+    term-column scan per probe (memoized; facet sentinels excluded),
+    never touching segments. The DuckDB twin re-derives the ranking
+    with its own levenshtein over the recomputed dfreq, so the
+    distance function, ordering, and cap are all certified."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = [(p, r + 1, t, d, df)
+            for p in SUGGEST_PROBES
+            for r, (t, d, df) in enumerate(idx.suggest(p, k=5))]
+    return spark.createDataFrame(
+        rows, "probe string, rank int, suggestion string, "
+              "dist int, df long")
+
+
+def _term_suggest_oracle_sql() -> str:
+    vals = ",\n  ".join(f"('{p}')" for p in SUGGEST_PROBES)
+    return f"""
+WITH ordered AS (
+  {_ORDERED_SQL}
+), toks AS (
+  SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered
+), dt AS (
+  SELECT d, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1
+), probes(probe) AS (VALUES
+  {vals}
+), cand AS (
+  SELECT p.probe, f.term, levenshtein(p.probe, f.term) AS dist, f.df
+  FROM probes p JOIN dfreq f
+    ON f.term <> p.probe AND levenshtein(p.probe, f.term) <= 2
+), ranked AS (
+  SELECT probe, term AS suggestion, dist, df,
+         row_number() OVER (PARTITION BY probe
+                            ORDER BY dist, df DESC, term) AS rnk
+  FROM cand
+)
+SELECT probe, rnk::INT AS rank, suggestion, dist::INT AS dist, df
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_bm25_topk_range_backfill(spark, sf_dir):
     """r5 §2.14 — range-facet backfill (plans/add_facet.add_range_facet):
     a PLAIN index gets n_chars added as a RANGE facet after the fact
@@ -2559,6 +2613,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_facet_backfill": _BM25_FILTERED_ORACLE,
     "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
     "match_counts": _match_counts_oracle_sql(),
+    "term_suggest": _term_suggest_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
     # SQL twin of pipeline/dedup.simhash64: term hash = first 8 bytes of
@@ -2759,6 +2814,7 @@ QUERIES = {
     "bm25_topk_facet_backfill": q_bm25_topk_facet_backfill,
     "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
     "match_counts": q_match_counts,
+    "term_suggest": q_term_suggest,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "neardup_components": q_neardup_components,

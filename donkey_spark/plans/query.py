@@ -1019,6 +1019,32 @@ class Index:
             self._df_memo.setdefault(t, df)
         return ranked
 
+    def suggest(self, term: str, k: int = 5,
+                max_dist: int = 2) -> list[tuple[str, int, int]]:
+        """Did-you-mean: the ``k`` dictionary terms closest to ``term``
+        — (suggestion, distance, df) ranked (distance ASC, df DESC,
+        term ASC), the Lucene DirectSpellChecker ordering (closer
+        beats more-frequent; frequency breaks distance ties). The
+        exact term never suggests itself; a term with zero live
+        candidates within ``max_dist`` returns []. One length-banded
+        dictionary term-column scan (the fuzzy-expansion path, facet
+        sentinels excluded by its ``>= "0"`` floor, candidates
+        memoized per Index) + a driver-side exact-distance rank over
+        the bounded candidate set — never touches segments."""
+        from ..functions.patterns import levenshtein_py
+        from ..functions.tokenize import tokenize_py
+        toks = tokenize_py(term)
+        if len(toks) != 1:
+            raise ValueError(
+                f"suggest() takes one term; {term!r} normalizes to "
+                f"{toks}")
+        base = toks[0]
+        cand = self._expand_candidates("fuzzy", base, int(max_dist))
+        scored = sorted(
+            (levenshtein_py(t, base, int(max_dist)), -int(df), t)
+            for t, df in cand.items() if t != base)
+        return [(t, d, -ndf) for d, ndf, t in scored[:k]]
+
     def _expand_candidates(self, kind: str, base: str,
                            dist: int) -> dict[str, int]:
         """UNCAPPED term → summed-df for one pattern (memoized per

@@ -387,6 +387,36 @@ def ivf_topk_sharded(spark, index_dirs: list[str], probe: list[float],
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def suggest_sharded(shards, term: str, k: int = 5,
+                    max_dist: int = 2) -> list[tuple[str, int, int]]:
+    """Did-you-mean over the federation — exact vs a unified index by
+    the same argument as pattern expansion (T23's global rule): each
+    shard contributes its UNCAPPED fuzzy candidate set (bounded by
+    MAX_EXPANSION_CANDIDATES), dfs sum across shards (docs partition,
+    so per-shard dfs add), and the (distance ASC, df DESC, term ASC)
+    rank + cap apply ONCE globally. Per-shard top-k lists would NOT
+    merge exactly: a term just under one shard's cap can rank
+    globally."""
+    if not shards:
+        raise ValueError("no shards")
+    from collections import Counter
+
+    from ..functions.patterns import levenshtein_py
+    from ..functions.tokenize import tokenize_py
+    toks = tokenize_py(term)
+    if len(toks) != 1:
+        raise ValueError(
+            f"suggest takes one term; {term!r} normalizes to {toks}")
+    base = toks[0]
+    agg: Counter = Counter()
+    for s in shards:
+        agg.update(s._expand_candidates("fuzzy", base, int(max_dist)))
+    scored = sorted(
+        (levenshtein_py(t, base, int(max_dist)), -int(df), t)
+        for t, df in agg.items() if t != base)
+    return [(t, d, -ndf) for d, ndf, t in scored[:k]]
+
+
 def match_count_sharded(shards, text: str, mode: str = "or",
                         filters: dict | None = None) -> int:
     """Total hits over the federation. Counting needs NO global stats

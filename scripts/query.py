@@ -56,6 +56,10 @@ def main() -> None:
                          "column (either bound may be omitted; COL!=LO..HI "
                          "negates); index must be built with --facets / "
                          "--range-facets")
+    ap.add_argument("--suggest", default=None, metavar="TERM",
+                    help="print did-you-mean suggestions for TERM "
+                         "(top -k by distance then df) instead of "
+                         "searching — works on --index and --shards")
     ap.add_argument("--count", action="store_true",
                     help="print the TOTAL HITS of --query (respecting "
                          "--mode or/and and --filter) instead of "
@@ -79,8 +83,8 @@ def main() -> None:
                          "of the matched term")
     ap.add_argument("--out", default=None, help="write results parquet here")
     a = ap.parse_args()
-    if not a.query and not a.queries:
-        ap.error("need --query or --queries")
+    if not a.query and not a.queries and not a.suggest:
+        ap.error("need --query or --queries (or --suggest TERM)")
     if (a.mode in ("pattern", "bool")
             and (a.facet_counts or a.snippets or a.phrase)):
         # the later elif chains dispatch on those flags first and would
@@ -94,6 +98,21 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("donkey_query").getOrCreate()
     idx = Index(spark, a.index) if a.index else None
+    if a.suggest:
+        if (a.query or a.queries or a.count or a.phrase
+                or a.facet_counts or a.snippets or a.filter):
+            ap.error("--suggest TERM stands alone (optionally -k)")
+        if a.shards:
+            from donkey_spark.plans.sharded import (open_shards,
+                                                    suggest_sharded)
+            rows = suggest_sharded(open_shards(spark,
+                                               a.shards.split(",")),
+                                   a.suggest, k=a.k)
+        else:
+            rows = idx.suggest(a.suggest, k=a.k)
+        for t, d, df in rows:
+            print(f"{t}\t{d}\t{df}")
+        return
     if a.query:
         batch = [(0, a.query, a.k)]
     else:

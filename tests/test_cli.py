@@ -337,6 +337,12 @@ def test_cli_backfill_and_count(cli_corpus):
     want = sum(1 for p in hits["path"]
                if truth[p] >= lo and lang_of[p] == "py")
     assert int(out.strip().splitlines()[-1]) == want
+    # --suggest: top terms by (distance, df) for a misspelling
+    out = _run(["scripts/query.py", "--index", idx,
+                "--suggest", "retur", "-k", "3"])
+    lines = [ln.split("\t") for ln in out.strip().splitlines()
+             if "\t" in ln]
+    assert lines and lines[0][0] == "return" and lines[0][1] == "1"
     # --count composes with nothing that ranks
     bad = subprocess.run(
         [sys.executable, "scripts/query.py", "--index", idx,

@@ -346,3 +346,26 @@ def test_explain_search_pattern(spark, pat_setup):
     assert {t["term"] for t in q["terms"]} == set(want) | {"filter"}
     assert exp["mode"] == "pattern"
     assert exp["path"] in ("local", "distributed")
+
+
+def test_suggest_matches_bruteforce_ranking(spark, pat_setup):
+    """suggest() = the (distance ASC, df DESC, term ASC) head of the
+    brute-force candidate set; the probe never suggests itself; no
+    candidates -> []; multi-token input refused."""
+    from donkey_spark.plans.query import Index
+    idx_dir, _, pdf = pat_setup
+    idx = Index(spark, idx_dir)
+    vocab = _vocab_df(pdf)
+    some = sorted(vocab)[7]
+    for probe in (some[:-1] + "q", some, "return", "clas"):
+        got = idx.suggest(probe, k=5)
+        want = sorted(
+            (levenshtein_py(t, probe, 2), -df, t)
+            for t, df in vocab.items()
+            if t != probe and levenshtein_py(t, probe, 2) <= 2)
+        want = [(t, d, df) for d, ndf, t in want[:5] for df in (-ndf,)]
+        assert got == want, probe
+        assert all(t != probe for t, _d, _df in got)
+    assert idx.suggest("zzqxv") == []
+    with pytest.raises(ValueError, match="one term"):
+        idx.suggest("two words")

@@ -434,3 +434,21 @@ def test_sharded_match_count_sums_exactly(spark, sh_setup):
         got = match_count_sharded(shards, text, mode=mode, filters=filt)
         assert got == want and (filt is not None or got > 0), (mode, filt)
     assert match_count_sharded(shards, "zz_totally_oov") == 0
+
+
+def test_sharded_suggest_matches_unified(spark, sh_setup):
+    """Federated did-you-mean ≡ the unified index's: uncapped per-shard
+    candidates, dfs summed, ranked once globally."""
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import suggest_sharded
+    uni_dir, parts, _ = sh_setup
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d) for d in parts]
+    hit = False
+    for probe in ("clas", "retur", "zzqxv"):
+        got = suggest_sharded(shards, probe)
+        assert got == uni.suggest(probe), probe
+        hit = hit or bool(got)
+    assert hit                            # fixture sanity: real output
+    with pytest.raises(ValueError, match="one term"):
+        suggest_sharded(shards, "two words")
