@@ -555,6 +555,29 @@ def q_bm25_topk_deleted(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_topk_delete_query(spark, sf_dir):
+    """r5 §2.14 — delete-by-query (plans/delete.delete_by_query, the
+    takedown/GDPR shape): a dedicated index copy tombstones EVERY doc
+    matching "customer row" (OR semantics — either term), then runs
+    the flagship set. The match set is computed by the same per-salt
+    kernel as total-hits and flows distributed into the key-resolving
+    delete; query 2 ("customer row") itself must come back empty, the
+    other queries rank survivors with FROZEN stats. The DuckDB twin
+    filters docs containing either term at ranking only."""
+    from .plans.build import build_index
+    from .plans.delete import delete_by_query
+    from .plans.query import Index
+    out = tempfile.mkdtemp(prefix="donkey_delq_")
+    build_index(spark, documents_as_corpus(spark, sf_dir), out)
+    delete_by_query(spark, out, "customer row")
+    res = Index(spark, out).search_batch(BM25_QUERIES)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
 def q_bm25_topk_filtered(spark, sf_dir):
     """Field-filtered search end to end: a facet-enabled index copy
     (facets=("lang",) — zero-idf presence postings co-located with
@@ -2065,6 +2088,12 @@ _BM25_BOOL_ORACLE = _bm25_oracle_sql(
 _BM25_BOOL_SHARDED_ORACLE = _sharded_wrap(_BM25_BOOL_ORACLE)
 _BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
                                         deleted_pred="doc_id % 7 = 0")
+#: delete-by-query twin: docs containing EITHER term are dead (OR
+#: match semantics), filtered at ranking only (frozen stats)
+_BM25_DELETE_QUERY_ORACLE = _bm25_oracle_sql(
+    BM25_QUERIES,
+    deleted_pred="doc_id IN (SELECT d FROM dt "
+                 "WHERE term IN ('customer', 'row'))")
 #: facet value the filtered-search pair pins (present at every sf)
 _FACET_LANG = "en"
 _BM25_FILTERED_ORACLE = _bm25_oracle_sql(
@@ -2580,6 +2609,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_bool": _BM25_BOOL_ORACLE,
     "bm25_topk_bool_sharded": _BM25_BOOL_SHARDED_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
+    "bm25_topk_delete_query": _BM25_DELETE_QUERY_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "bm25_topk_range": _BM25_RANGE_ORACLE,
     "bm25_topk_range_not": _BM25_RANGE_NOT_ORACLE,
@@ -2775,6 +2805,7 @@ QUERIES = {
     "bm25_topk_bool": q_bm25_topk_bool,
     "bm25_topk_bool_sharded": q_bm25_topk_bool_sharded,
     "bm25_topk_deleted": q_bm25_topk_deleted,
+    "bm25_topk_delete_query": q_bm25_topk_delete_query,
     "bm25_topk_filtered_or": q_bm25_topk_filtered_or,
     "bm25_topk_filtered_not": q_bm25_topk_filtered_not,
     "bm25_topk_filtered": q_bm25_topk_filtered,

@@ -106,6 +106,25 @@ def delete_docs(spark: SparkSession, index_dir: str,
     return int(n)
 
 
+def delete_by_query(spark: SparkSession, index_dir: str, text: str,
+                    mode: str = "or",
+                    filters: dict | None = None) -> int:
+    """Tombstone EVERY document matching a query — the takedown /
+    GDPR-erasure shape ("remove everything mentioning X", optionally
+    under facet/range filters). Match semantics are exactly search's
+    (or/and modes, the full filter grammar, already-tombstoned docs
+    unaffected), computed by the same per-salt kernel the total-hits
+    count uses (plans/facet_counts.match_ids): the match set flows as
+    a DISTRIBUTED (doc_id) DataFrame into the ordinary key-resolving
+    delete — ids never gather on the driver. Idempotent like every
+    delete; returns the new tombstone count."""
+    from .facet_counts import match_ids
+    from .query import Index
+    ids = match_ids(Index(spark, index_dir), text, mode=mode,
+                    filters=filters)
+    return delete_docs(spark, index_dir, ids)
+
+
 def revive_docs(spark: SparkSession, index_dir: str,
                 docs: DataFrame) -> int:
     """Remove keys from the tombstone set — the delete inverse: docs

@@ -230,6 +230,141 @@ def match_count(index, text: str, mode: str = "or",
     return int(got)
 
 
+_EMPTY_IDS = np.empty(0, dtype=np.int64)
+
+
+def _salt_ids_fn(by_term: dict, blobs, codec: str):
+    """Memoized per-salt term -> sorted-unique doc-id array decoder. A
+    tag that is BOTH an active filter and a histogram target (faceted
+    navigation's normal shape) decodes once, not once per role; unique
+    (not just sort) because a facet tag refreshed by add_facet AND
+    indexed inline by a later epoch carries the same doc in two chunks
+    — a duplicate id would double-count the doc."""
+    memo: dict[str, np.ndarray] = {}
+
+    def ids_of(t):
+        got = memo.get(t)
+        if got is None:
+            got = memo[t] = np.unique(np.concatenate(
+                [decode_doc_ids(blobs[i].as_py(), codec)
+                 for i in by_term[t]]))
+        return got
+    return ids_of
+
+
+def _salt_match(ids_of, by_term: dict, qset: frozenset, n_q: int,
+                mode_and: bool, tomb, fgroups) -> np.ndarray:
+    """One salt's match set: the query terms' doc ids (union for OR,
+    intersection for AND), tombstones dropped, filter groups applied
+    ('any' intersects the group union, 'not' subtracts it). Shared by
+    the histogram/count kernel and the id-emitting kernel so the two
+    can never disagree on what matches."""
+    q_present = [t for t in by_term if t in qset]
+    if not q_present or (mode_and and len(q_present) < n_q):
+        return _EMPTY_IDS
+    if mode_and:
+        matched = ids_of(q_present[0])
+        for t in q_present[1:]:
+            matched = np.intersect1d(matched, ids_of(t),
+                                     assume_unique=True)
+            if matched.size == 0:
+                return _EMPTY_IDS
+    else:
+        matched = np.unique(np.concatenate(
+            [ids_of(t) for t in q_present]))
+    if matched.size and tomb is not None and tomb.size:
+        j = np.searchsorted(tomb, matched)
+        j[j == tomb.size] = tomb.size - 1
+        matched = matched[tomb[j] != matched]
+    if matched.size == 0:
+        return _EMPTY_IDS
+    for kind, g in fgroups:
+        present = [t for t in g if t in by_term]
+        if kind == "any":
+            if not present:           # no allowed doc in this salt
+                return _EMPTY_IDS
+            allow = np.unique(np.concatenate(
+                [ids_of(t) for t in present]))
+            matched = matched[np.isin(matched, allow,
+                                      assume_unique=True)]
+        elif present:
+            deny = np.unique(np.concatenate(
+                [ids_of(t) for t in present]))
+            matched = matched[~np.isin(matched, deny,
+                                       assume_unique=True)]
+        if matched.size == 0:
+            return _EMPTY_IDS
+    return matched
+
+
+def match_ids(index, text: str, mode: str = "or",
+              filters: dict | None = None) -> DataFrame:
+    """The DISTRIBUTED match set of ``text`` as a (doc_id) DataFrame —
+    what delete-by-query (and any bulk action over "everything
+    matching X") consumes. Exactly the docs match_count counts and an
+    unbounded search would rank: same modes, same filter grammar, same
+    tombstone mask, via the SAME per-salt kernel helpers. Ids never
+    gather on the driver: each salt's int64 array becomes Arrow rows
+    executor-side, so the result scales with the match set's partition
+    spread, not with a driver collect."""
+    if mode not in ("or", "and"):
+        raise ValueError(mode)
+    fgroups = _compile_filters(index, filters)
+    spark = index.spark
+    empty = spark.createDataFrame([], "doc_id long")
+    qterms = sorted(set(tokenize_py(text)))
+    dfs = index._lookup_terms(qterms)
+    live = [t for t in qterms if dfs.get(t)]
+    if not live or (mode == "and" and len(live) < len(qterms)):
+        return empty
+    ftags = [t for _, g in fgroups for t in g]
+    tag_dfs = index._lookup_terms(sorted(set(ftags))) if ftags else {}
+    if any(kind == "any" and all(not tag_dfs.get(t) for t in g)
+           for kind, g in fgroups):
+        return empty
+    fgroups = [(kind, [t for t in g if tag_dfs.get(t)])
+               for kind, g in fgroups]
+    fgroups = [(kind, frozenset(g)) for kind, g in fgroups if g]
+    ftags = [t for _, g in fgroups for t in g]
+
+    needed = sorted(set(live) | set(ftags))
+    buckets = sorted({term_bucket_py(t, index.n_buckets)
+                      for t in needed})
+    qset, n_q = frozenset(live), len(live)
+    codec = index.codec
+    tomb_bc = index._tombstones_bc
+    mode_and = mode == "and"
+
+    def ids_arrow(batches):
+        import pyarrow as pa
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return
+        terms = tbl.column("term").to_pylist()
+        salts = tbl.column("salt").to_pylist()
+        blobs = tbl.column("docids_blob").combine_chunks()
+        per_salt: dict[int, dict[str, list]] = {}
+        for i, (t, s) in enumerate(zip(terms, salts)):
+            per_salt.setdefault(s, {}).setdefault(t, []).append(i)
+        tomb = tomb_bc.value if tomb_bc is not None else None
+        for _s, by_term in per_salt.items():
+            ids_of = _salt_ids_fn(by_term, blobs, codec)
+            matched = _salt_match(ids_of, by_term, qset, n_q,
+                                  mode_and, tomb, fgroups)
+            if matched.size:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(matched, pa.int64())], names=["doc_id"])
+
+    seg = (index._seg
+           .where(F.col("bucket").isin(buckets)
+                  & F.col("term").isin(needed))
+           .select("term", "salt", "docids_blob"))
+    return seg.repartition("salt").mapInArrow(ids_arrow, "doc_id long")
+
+
 def _count_tag_overlaps(index, text: str, mode: str,
                         fgroups: list[tuple[str, list[str]]],
                         tags_fn, count_total: bool = False
@@ -293,59 +428,9 @@ def _count_tag_overlaps(index, text: str, mode: str,
         tomb = tomb_bc.value if tomb_bc is not None else None
         out_v, out_n = [], []
         for s, by_term in per_salt.items():
-            memo: dict[str, np.ndarray] = {}
-
-            def ids_of(t, _m=memo, _bt=by_term):
-                # per-salt memo: a tag that is BOTH an active filter and
-                # a histogram target (faceted navigation's normal shape)
-                # decodes once, not once per role (r5 review — the same
-                # class of duplicate decode the bool scorer fixed)
-                got = _m.get(t)
-                if got is None:
-                    # unique, not just sort: a facet tag refreshed by
-                    # add_facet AND indexed inline by a later epoch
-                    # carries the same doc in two chunks — a duplicate
-                    # id would double-count the doc in the histogram
-                    got = _m[t] = np.unique(np.concatenate(
-                        [decode_doc_ids(blobs[i].as_py(), codec)
-                         for i in _bt[t]]))
-                return got
-            q_present = [t for t in by_term if t in qset]
-            if not q_present or (mode_and and len(q_present) < n_q):
-                continue
-            if mode_and:
-                matched = ids_of(q_present[0])
-                for t in q_present[1:]:
-                    matched = np.intersect1d(matched, ids_of(t),
-                                             assume_unique=True)
-                    if matched.size == 0:
-                        break
-            else:
-                matched = np.unique(np.concatenate(
-                    [ids_of(t) for t in q_present]))
-            if matched.size and tomb is not None and tomb.size:
-                j = np.searchsorted(tomb, matched)
-                j[j == tomb.size] = tomb.size - 1
-                matched = matched[tomb[j] != matched]
-            if matched.size == 0:
-                continue
-            for kind, g in fgroups:
-                present = [t for t in g if t in by_term]
-                if kind == "any":
-                    if not present:       # no allowed doc in this salt
-                        matched = matched[:0]
-                        break
-                    allow = np.unique(np.concatenate(
-                        [ids_of(t) for t in present]))
-                    matched = matched[np.isin(matched, allow,
-                                              assume_unique=True)]
-                elif present:
-                    deny = np.unique(np.concatenate(
-                        [ids_of(t) for t in present]))
-                    matched = matched[~np.isin(matched, deny,
-                                               assume_unique=True)]
-                if matched.size == 0:
-                    break
+            ids_of = _salt_ids_fn(by_term, blobs, codec)
+            matched = _salt_match(ids_of, by_term, qset, n_q,
+                                  mode_and, tomb, fgroups)
             if matched.size == 0:
                 continue
             if count_total:

@@ -4,9 +4,13 @@
         --index /idx --ids 17,42,99
     spark-submit --py-files dist/engine.zip scripts/delete_docs.py \
         --index /idx --keys dead_keys.parquet   # (repo, path, commit)
+    spark-submit --py-files dist/engine.zip scripts/delete_docs.py \
+        --index /idx --query "credit card" --filter lang=en   # takedown
 
 Deleted docs are invisible to every query immediately; space is
-reclaimed by the next compact_index / full rebuild.
+reclaimed by the next compact_index / full rebuild. --query tombstones
+every MATCHING document (or/and modes, the same --filter grammar as
+scripts/query.py) — the match set never gathers on the driver.
 """
 
 from __future__ import annotations
@@ -21,17 +25,51 @@ def main() -> None:
                     help="comma-separated doc ids to tombstone")
     ap.add_argument("--keys", default=None,
                     help="parquet of (repo, path, commit) keys to tombstone")
+    ap.add_argument("--query", default=None,
+                    help="tombstone every doc matching this query")
+    ap.add_argument("--mode", default="or", choices=["or", "and"],
+                    help="with --query: any term (or) / every term (and)")
+    ap.add_argument("--filter", action="append", default=[],
+                    metavar="COL=V[,V...] | COL!=... | COL=LO..HI",
+                    help="with --query: restrict the match set — same "
+                         "grammar as scripts/query.py")
     a = ap.parse_args()
-    if not a.ids and not a.keys:
-        ap.error("need --ids or --keys")
+    if sum(bool(x) for x in (a.ids, a.keys, a.query)) != 1:
+        ap.error("need exactly one of --ids / --keys / --query")
+    if (a.filter or a.mode != "or") and not a.query:
+        ap.error("--mode/--filter apply to --query deletes only")
 
     from pyspark.sql import SparkSession
-    from donkey_spark.plans.delete import delete_docs
+    from donkey_spark.plans.delete import delete_by_query, delete_docs
 
     spark = SparkSession.builder.appName("donkey_delete").getOrCreate()
-    docs = (spark.read.parquet(a.keys) if a.keys
-            else [int(x) for x in a.ids.split(",") if x])
-    n = delete_docs(spark, a.index, docs)
+    if a.query:
+        import re
+        range_re = re.compile(r"^(-?\d+)?\.\.(-?\d+)?$")
+
+        def parse_value(v):
+            m = range_re.match(v)
+            if m and (m.group(1) or m.group(2)):
+                return {"range": [int(m.group(1)) if m.group(1) else None,
+                                  int(m.group(2)) if m.group(2) else None]}
+            return None
+
+        filters = {}
+        for f in a.filter:
+            if "!=" in f:
+                c, v = f.split("!=", 1)
+                rng = parse_value(v)
+                filters[c] = {"not": rng if rng else v.split(",")}
+            else:
+                c, v = f.split("=", 1)
+                rng = parse_value(v)
+                filters[c] = rng or (v.split(",") if "," in v else v)
+        n = delete_by_query(spark, a.index, a.query, mode=a.mode,
+                            filters=filters or None)
+    else:
+        docs = (spark.read.parquet(a.keys) if a.keys
+                else [int(x) for x in a.ids.split(",") if x])
+        n = delete_docs(spark, a.index, docs)
     print(f"tombstones: {n}")
 
 

@@ -99,6 +99,14 @@ def test_cli_build_query_delete_roundtrip(cli_corpus):
     left = pd.read_parquet(res)["doc_id"].tolist()
     assert not {top_ids[0], top_ids[1]} & set(left)
 
+    # delete-by-query takedown: everything matching under a filter dies
+    out = _run(["scripts/delete_docs.py", "--index", idx,
+                "--query", "def return", "--filter", "lang=en"])
+    assert "tombstones:" in out
+    out = _run(["scripts/query.py", "--index", idx, "--query",
+                "def return", "--count", "--filter", "lang=en"])
+    assert int(out.strip().splitlines()[-1]) == 0
+
     # resume is a no-op when all chunks committed
     out = _run(["scripts/build_index.py", "--corpus",
                 str(base / "corpus.parquet"), "--out", idx, "--resume",

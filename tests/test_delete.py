@@ -532,3 +532,41 @@ def test_revive_docs_is_the_delete_inverse(spark, tmp_path):
     # idempotent; unknown keys are ignored
     assert revive_docs(spark, out, keys) == 1
     assert tombstone_keys(spark, out).count() == 1
+
+
+def test_delete_by_query_matches_search_semantics(spark, tmp_path):
+    """delete_by_query tombstones exactly the docs the same query (mode
+    + filters) would rank; the query itself then returns nothing;
+    idempotent; OOV deletes nothing."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.delete import delete_by_query
+    from donkey_spark.plans.facet_counts import match_count
+    from donkey_spark.plans.query import Index
+    pdf = gen_corpus(80, seed=37)
+    out = str(tmp_path / "dbq")
+    build_index(spark, spark.createDataFrame(pdf), out, range_size=64,
+                facets=("lang",))
+    idx = Index(spark, out)
+    n = idx.n_docs
+    text = "def return"
+    full = {r[2] for r in idx.search_rows([(0, text, n)])}
+    lang = {r["doc_id"]: r["lang"] for r in
+            spark.read.parquet(f"{out}/docs").collect()}
+    target = sorted(set(lang.values()))[0]
+    want_dead = {d for d in full if lang[d] == target}
+    assert want_dead and want_dead != full      # fixture sanity
+    t = delete_by_query(spark, out, text, filters={"lang": target})
+    assert t == len(want_dead)
+    idx2 = Index(spark, out)
+    got = {r[2] for r in idx2.search_rows([(0, text, n)])}
+    assert got == full - want_dead
+    assert match_count(idx2, text, filters={"lang": target}) == 0
+    # idempotent; OOV is a no-op
+    assert delete_by_query(spark, out, text,
+                           filters={"lang": target}) == t
+    assert delete_by_query(spark, out, "zz_totally_oov") == t
+    # AND mode deletes only the conjunctive match set
+    and_set = {r[2] for r in idx2.search_rows([(0, text, n)],
+                                              mode="and")}
+    t2 = delete_by_query(spark, out, text, mode="and")
+    assert t2 == t + len(and_set - want_dead)
