@@ -555,6 +555,19 @@ def q_bm25_topk_deleted(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_bm25_topk_page2(spark, sf_dir):
+    """r5 §2.14 — offset pagination (Index.search_rows_page, the ES
+    from+size shape): the SECOND page (offset=10, k=10) of the flagship
+    set on the shared contract index, re-ranked 1..10. The DuckDB twin
+    slices rank 11..20 of its own ranking — so the page boundary, the
+    re-rank arithmetic, and short-ranking queries (the OOV query has no
+    page 2; sparse queries may underfill) are all certified."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = idx.search_rows_page(BM25_QUERIES, offset=10)
+    return _rank_rows(spark, rows)
+
+
 def q_bm25_topk_delete_query(spark, sf_dir):
     """r5 §2.14 — delete-by-query (plans/delete.delete_by_query, the
     takedown/GDPR shape): a dedicated index copy tombstones EVERY doc
@@ -1877,7 +1890,8 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
                      phrase: bool = False,
                      pre_cte: str = "",
                      ordered_sql: str = _ORDERED_SQL,
-                     qset_sql: str | None = None) -> str:
+                     qset_sql: str | None = None,
+                     page_offset: int = 0) -> str:
     """From-first-principles DuckDB BM25 over the documents view for the
     given query set; conjunctive=True keeps only docs matched by EVERY
     query term (HAVING count = per-query term count); deleted_pred (a
@@ -1960,8 +1974,9 @@ WITH {pre_cte}ordered AS (
   FROM scored{phrase_join}{phrase_where}{f'''
   WHERE ({keep_sql})''' if keep_sql and not phrase else ''}
 )
-SELECT query_id, rank::INT AS rank, doc_id, score
-FROM ranked WHERE rank <= k
+SELECT query_id, (rank - {int(page_offset)})::INT AS rank, doc_id, score
+FROM ranked
+WHERE rank > {int(page_offset)} AND rank <= {int(page_offset)} + k
 """
 
 
@@ -2088,6 +2103,8 @@ _BM25_BOOL_ORACLE = _bm25_oracle_sql(
 _BM25_BOOL_SHARDED_ORACLE = _sharded_wrap(_BM25_BOOL_ORACLE)
 _BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
                                         deleted_pred="doc_id % 7 = 0")
+#: page-2 twin: rank 11..20 of the same ranking, re-numbered 1..10
+_BM25_PAGE2_ORACLE = _bm25_oracle_sql(BM25_QUERIES, page_offset=10)
 #: delete-by-query twin: docs containing EITHER term are dead (OR
 #: match semantics), filtered at ranking only (frozen stats)
 _BM25_DELETE_QUERY_ORACLE = _bm25_oracle_sql(
@@ -2610,6 +2627,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_bool_sharded": _BM25_BOOL_SHARDED_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_delete_query": _BM25_DELETE_QUERY_ORACLE,
+    "bm25_topk_page2": _BM25_PAGE2_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "bm25_topk_range": _BM25_RANGE_ORACLE,
     "bm25_topk_range_not": _BM25_RANGE_NOT_ORACLE,
@@ -2806,6 +2824,7 @@ QUERIES = {
     "bm25_topk_bool_sharded": q_bm25_topk_bool_sharded,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_delete_query": q_bm25_topk_delete_query,
+    "bm25_topk_page2": q_bm25_topk_page2,
     "bm25_topk_filtered_or": q_bm25_topk_filtered_or,
     "bm25_topk_filtered_not": q_bm25_topk_filtered_not,
     "bm25_topk_filtered": q_bm25_topk_filtered,

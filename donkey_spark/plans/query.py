@@ -1019,6 +1019,27 @@ class Index:
             self._df_memo.setdefault(t, df)
         return ranked
 
+    def search_rows_page(self, queries: list[tuple[int, str, int]],
+                         offset: int, mode: str = "or",
+                         filters: dict | None = None) -> list[tuple]:
+        """Offset pagination — page rows offset+1..offset+k of each
+        query's ranking (the ES from+size shape), re-ranked 1..k in
+        the same result schema as search_rows. A query whose ranking
+        is shorter than the offset contributes no rows. Deep pages pay
+        retrieval of offset+k rows per query — the industry-standard
+        deep-paging cost (Elasticsearch caps from+size at 10k for the
+        same reason); this engine inherits the same guidance: paginate
+        UIs, don't bulk-export (use plans/facet_counts.match_ids for
+        "every matching doc" workloads — distributed, rank-free)."""
+        off = int(offset)
+        if off < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
+        if off == 0:
+            return self.search_rows(queries, mode=mode, filters=filters)
+        big = [(qid, text, int(k) + off) for qid, text, k in queries]
+        rows = self.search_rows(big, mode=mode, filters=filters)
+        return [(r[0], r[1] - off, *r[2:]) for r in rows if r[1] > off]
+
     def suggest(self, term: str, k: int = 5,
                 max_dist: int = 2) -> list[tuple[str, int, int]]:
         """Did-you-mean: the ``k`` dictionary terms closest to ``term``

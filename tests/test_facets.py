@@ -629,3 +629,31 @@ def test_match_count_equals_full_ranking_size(spark, facet_setup, mode):
         assert match_count(fresh, text, mode=mode) == base - len(victims)
     finally:
         clear_tombstones(spark, faceted)
+
+
+def test_pagination_tiles_the_full_ranking(spark, facet_setup):
+    """Pages of k concatenated (re-offset) == the single big ranking;
+    filters compose; short rankings underfill or skip pages; offset 0
+    is exactly search_rows."""
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    idx = Index(spark, faceted)
+    text = "def return class"
+    n = idx.n_docs
+    full = idx.search_rows([(0, text, n)])
+    assert len(full) > 25                 # fixture sanity: >2 pages of 10
+    qs = [(0, text, 10)]
+    tiled = []
+    for off in range(0, len(full) + 10, 10):
+        page = idx.search_rows_page(qs, offset=off)
+        tiled += [(r[0], r[1] + off, *r[2:]) for r in page]
+    assert tiled == full
+    assert idx.search_rows_page(qs, offset=len(full)) == []
+    assert idx.search_rows_page(qs, offset=0) == idx.search_rows(qs)
+    # filters ride through; the filtered page tiles the filtered ranking
+    target = sorted(set(lang.values()))[0]
+    ffull = idx.search_rows([(0, text, n)], filters={"lang": target})
+    page2 = idx.search_rows_page(qs, offset=10, filters={"lang": target})
+    assert page2 == [(r[0], r[1] - 10, *r[2:]) for r in ffull[10:20]]
+    with pytest.raises(ValueError, match="offset"):
+        idx.search_rows_page(qs, offset=-1)
