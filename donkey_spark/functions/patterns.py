@@ -152,3 +152,32 @@ def levenshtein_py(a: str, b: str, cap: int) -> int:
             return cap + 1
         prev, cur = cur, prev
     return prev[la] if prev[la] <= cap else cap + 1
+
+
+def suggest_base(term: str) -> str:
+    """Validate a did-you-mean probe: it must normalize to exactly ONE
+    token (the dictionary is unigram). Shared by Index.suggest and
+    plans/sharded.suggest_sharded so both surfaces reject the same
+    inputs with the same message."""
+    from .tokenize import tokenize_py
+    toks = tokenize_py(term)
+    if len(toks) != 1:
+        raise ValueError(
+            f"suggest() takes one term; {term!r} normalizes to {toks}")
+    return toks[0]
+
+
+def rank_suggestions(candidates: dict, base: str, k: int,
+                     max_dist: int) -> list[tuple[str, int, int]]:
+    """Rank did-you-mean candidates (term -> df) as (suggestion,
+    distance, df) tuples ordered (distance ASC, df DESC, term ASC) —
+    the Lucene DirectSpellChecker ordering (closer beats more-frequent;
+    frequency breaks distance ties). The base term never suggests
+    itself. ONE copy shared by the unified index and the federation:
+    suggest_sharded merges UNCAPPED per-shard candidate sets and
+    applies this rank + cap ONCE globally, which is exact only if both
+    surfaces use the identical ordering."""
+    scored = sorted(
+        (levenshtein_py(t, base, int(max_dist)), -int(df), t)
+        for t, df in candidates.items() if t != base)
+    return [(t, d, -ndf) for d, ndf, t in scored[:k]]

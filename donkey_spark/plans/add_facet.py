@@ -65,6 +65,12 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
     _check_dictionary_layout(spark, index_dir)
     m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
     facets = tuple(f for f in (m.get("facets") or "").split(",") if f)
+    rfacets = tuple(f for f in (m.get("range_facets") or "").split(",")
+                    if f)
+    if column in rfacets:
+        raise ValueError(
+            f"{column!r} is already a RANGE facet (range_facets="
+            f"{rfacets}) — a column is one kind of facet, not both")
     if column in facets and not fs_exists(
             spark, f"{index_dir}/segments/chunk=facet_{column}"):
         # a BUILD-time facet (postings interleaved in the batch chunks)
@@ -130,7 +136,7 @@ def add_range_facet(spark: SparkSession, index_dir: str, column: str,
     when their batch carries it (NULL semantics otherwise); re-running
     refreshes a backfilled column but refuses a build-time one."""
     from ..fsutil import fs_exists
-    from ..operators.ranges import range_tags_col
+    from ..operators.ranges import RANGE_STEP, range_tags_col
     from .build import _check_dictionary_layout
     if not fs_exists(spark, f"{index_dir}/meta"):
         raise ValueError(f"{index_dir} is not an index (no meta)")
@@ -138,7 +144,15 @@ def add_range_facet(spark: SparkSession, index_dir: str, column: str,
     m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
     rfacets = tuple(f for f in (m.get("range_facets") or "").split(",")
                     if f)
-    step = int(m["range_step"])
+    # pre-range-facet meta has no range_step column — default like every
+    # other reader (plans/query.py Index, streaming _base_state) so the
+    # headline use case (add a range filter to an OLD index) works
+    step = int(m.get("range_step") or RANGE_STEP)
+    facets = tuple(f for f in (m.get("facets") or "").split(",") if f)
+    if column in facets:
+        raise ValueError(
+            f"{column!r} is already an EQUALITY facet (facets={facets}) —"
+            f" a column is one kind of facet, not both; pick another name")
     if column in rfacets and not fs_exists(
             spark, f"{index_dir}/segments/chunk=rfacet_{column}"):
         raise ValueError(f"range facet {column!r} is already indexed by "

@@ -297,6 +297,40 @@ def _salt_match(ids_of, by_term: dict, qset: frozenset, n_q: int,
     return matched
 
 
+def _resolve_match_terms(index, text: str, mode: str,
+                         fgroups: list[tuple[str, list[str]]],
+                         tags_fn=None):
+    """Shared dictionary-resolution prologue for every match-set surface
+    (histograms, total-hits counts, delete-by-query): tokenize, check
+    query-term liveness, resolve filter tags (and the caller's candidate
+    tags, when ``tags_fn`` is given — a thunk so its dictionary-
+    enumeration job only runs AFTER the liveness check) against the
+    dictionary in ONE probe, and apply the same rules as search: an
+    "any" group with NO live value selects nothing; values missing from
+    the dictionary drop out of their group; an emptied NOT group
+    excludes nothing. Returns None when the match set is provably
+    empty, else (live_terms, resolved_fgroups, live_tags). ONE copy so
+    the count, the histogram and the delete can never disagree on what
+    matches."""
+    qterms = sorted(set(tokenize_py(text)))
+    dfs = index._lookup_terms(qterms)
+    live = [t for t in qterms if dfs.get(t)]
+    if not live or (mode == "and" and len(live) < len(qterms)):
+        return None
+    tags = list(tags_fn()) if tags_fn is not None else []
+    ftags = [t for _, g in fgroups for t in g]
+    tag_dfs = (index._lookup_terms(sorted(set(tags) | set(ftags)))
+               if tags or ftags else {})
+    tags = [t for t in tags if tag_dfs.get(t)]
+    if any(kind == "any" and all(not tag_dfs.get(t) for t in g)
+           for kind, g in fgroups):
+        return None
+    fgroups = [(kind, [t for t in g if tag_dfs.get(t)])
+               for kind, g in fgroups]
+    fgroups = [(kind, frozenset(g)) for kind, g in fgroups if g]
+    return live, fgroups, tags
+
+
 def match_ids(index, text: str, mode: str = "or",
               filters: dict | None = None) -> DataFrame:
     """The DISTRIBUTED match set of ``text`` as a (doc_id) DataFrame —
@@ -311,20 +345,10 @@ def match_ids(index, text: str, mode: str = "or",
         raise ValueError(mode)
     fgroups = _compile_filters(index, filters)
     spark = index.spark
-    empty = spark.createDataFrame([], "doc_id long")
-    qterms = sorted(set(tokenize_py(text)))
-    dfs = index._lookup_terms(qterms)
-    live = [t for t in qterms if dfs.get(t)]
-    if not live or (mode == "and" and len(live) < len(qterms)):
-        return empty
-    ftags = [t for _, g in fgroups for t in g]
-    tag_dfs = index._lookup_terms(sorted(set(ftags))) if ftags else {}
-    if any(kind == "any" and all(not tag_dfs.get(t) for t in g)
-           for kind, g in fgroups):
-        return empty
-    fgroups = [(kind, [t for t in g if tag_dfs.get(t)])
-               for kind, g in fgroups]
-    fgroups = [(kind, frozenset(g)) for kind, g in fgroups if g]
+    resolved = _resolve_match_terms(index, text, mode, fgroups)
+    if resolved is None:
+        return spark.createDataFrame([], "doc_id long")
+    live, fgroups, _ = resolved
     ftags = [t for _, g in fgroups for t in g]
 
     needed = sorted(set(live) | set(ftags))
@@ -380,26 +404,12 @@ def _count_tag_overlaps(index, text: str, mode: str,
     ``count_total`` additionally emits one tag="*" row per salt with
     the match set's own size (docs partition by salt, so the sum is
     exact) — the total-hits path, which needs no tags at all."""
-    qterms = sorted(set(tokenize_py(text)))
-    dfs = index._lookup_terms(qterms)
-    live = [t for t in qterms if dfs.get(t)]
-    if not live or (mode == "and" and len(live) < len(qterms)):
+    resolved = _resolve_match_terms(index, text, mode, fgroups, tags_fn)
+    if resolved is None:
         return None
-    tags = tags_fn()
-    ftags = [t for _, g in fgroups for t in g]
-    tag_dfs = index._lookup_terms(sorted(set(tags) | set(ftags)))
-    tags = [t for t in tags if tag_dfs.get(t)]
+    live, fgroups, tags = resolved
     if not tags and not count_total:
         return None
-    # same dictionary-resolution rules as search: an "any" group with NO
-    # live value selects nothing; values missing from the dictionary
-    # drop out of their group; an emptied NOT group excludes nothing
-    if any(kind == "any" and all(not tag_dfs.get(t) for t in g)
-           for kind, g in fgroups):
-        return None
-    fgroups = [(kind, [t for t in g if tag_dfs.get(t)])
-               for kind, g in fgroups]
-    fgroups = [(kind, frozenset(g)) for kind, g in fgroups if g]
     ftags = [t for _, g in fgroups for t in g]
 
     needed = sorted(set(live) | set(tags) | set(ftags))

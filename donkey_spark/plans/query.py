@@ -1052,19 +1052,10 @@ class Index:
         sentinels excluded by its ``>= "0"`` floor, candidates
         memoized per Index) + a driver-side exact-distance rank over
         the bounded candidate set — never touches segments."""
-        from ..functions.patterns import levenshtein_py
-        from ..functions.tokenize import tokenize_py
-        toks = tokenize_py(term)
-        if len(toks) != 1:
-            raise ValueError(
-                f"suggest() takes one term; {term!r} normalizes to "
-                f"{toks}")
-        base = toks[0]
+        from ..functions.patterns import rank_suggestions, suggest_base
+        base = suggest_base(term)
         cand = self._expand_candidates("fuzzy", base, int(max_dist))
-        scored = sorted(
-            (levenshtein_py(t, base, int(max_dist)), -int(df), t)
-            for t, df in cand.items() if t != base)
-        return [(t, d, -ndf) for d, ndf, t in scored[:k]]
+        return rank_suggestions(cand, base, k, max_dist)
 
     def _expand_candidates(self, kind: str, base: str,
                            dist: int) -> dict[str, int]:

@@ -401,20 +401,12 @@ def suggest_sharded(shards, term: str, k: int = 5,
         raise ValueError("no shards")
     from collections import Counter
 
-    from ..functions.patterns import levenshtein_py
-    from ..functions.tokenize import tokenize_py
-    toks = tokenize_py(term)
-    if len(toks) != 1:
-        raise ValueError(
-            f"suggest takes one term; {term!r} normalizes to {toks}")
-    base = toks[0]
+    from ..functions.patterns import rank_suggestions, suggest_base
+    base = suggest_base(term)
     agg: Counter = Counter()
     for s in shards:
         agg.update(s._expand_candidates("fuzzy", base, int(max_dist)))
-    scored = sorted(
-        (levenshtein_py(t, base, int(max_dist)), -int(df), t)
-        for t, df in agg.items() if t != base)
-    return [(t, d, -ndf) for d, ndf, t in scored[:k]]
+    return rank_suggestions(agg, base, k, max_dist)
 
 
 def match_count_sharded(shards, text: str, mode: str = "or",

@@ -44,28 +44,9 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("donkey_delete").getOrCreate()
     if a.query:
-        import re
-        range_re = re.compile(r"^(-?\d+)?\.\.(-?\d+)?$")
-
-        def parse_value(v):
-            m = range_re.match(v)
-            if m and (m.group(1) or m.group(2)):
-                return {"range": [int(m.group(1)) if m.group(1) else None,
-                                  int(m.group(2)) if m.group(2) else None]}
-            return None
-
-        filters = {}
-        for f in a.filter:
-            if "!=" in f:
-                c, v = f.split("!=", 1)
-                rng = parse_value(v)
-                filters[c] = {"not": rng if rng else v.split(",")}
-            else:
-                c, v = f.split("=", 1)
-                rng = parse_value(v)
-                filters[c] = rng or (v.split(",") if "," in v else v)
+        from donkey_spark.functions.filters import parse_filter_specs
         n = delete_by_query(spark, a.index, a.query, mode=a.mode,
-                            filters=filters or None)
+                            filters=parse_filter_specs(a.filter))
     else:
         docs = (spark.read.parquet(a.keys) if a.keys
                 else [int(x) for x in a.ids.split(",") if x])

@@ -118,27 +118,8 @@ def main() -> None:
     else:
         batch = [(int(r["query_id"]), r["query"], int(r["k"]))
                  for r in spark.read.parquet(a.queries).collect()]
-    import re
-    range_re = re.compile(r"^(-?\d+)?\.\.(-?\d+)?$")
-
-    def parse_value(v):
-        m = range_re.match(v)
-        if m and (m.group(1) or m.group(2)):
-            return {"range": [int(m.group(1)) if m.group(1) else None,
-                              int(m.group(2)) if m.group(2) else None]}
-        return None
-
-    filters = {}
-    for f in a.filter:
-        if "!=" in f:
-            c, v = f.split("!=", 1)
-            rng = parse_value(v)
-            filters[c] = {"not": rng if rng else v.split(",")}
-        else:
-            c, v = f.split("=", 1)
-            rng = parse_value(v)
-            filters[c] = rng or (v.split(",") if "," in v else v)
-    filters = filters or None
+    from donkey_spark.functions.filters import parse_filter_specs
+    filters = parse_filter_specs(a.filter)
     if a.bin_shift is not None and not a.facet_counts:
         ap.error("--bin-shift needs --facet-counts COL")
     if a.count:

@@ -379,3 +379,46 @@ def test_mid_stream_range_backfill_survives_next_epoch(spark, tmp_path):
               .where(F.col("chunk") == "stream1").collect()}
     full = {r[2] for r in idx.search_rows([(0, "def return", n)])}
     assert got == (epoch1 & full) and got
+
+
+def test_facet_kinds_are_mutually_exclusive(spark, tmp_path):
+    """A column is ONE kind of facet: add_range_facet refuses an
+    equality-facet column, add_facet refuses a range-facet column —
+    otherwise reconcile_meta would commit a meta where BOTH histogram
+    surfaces reject the column and a streaming epoch carrying it
+    projects it twice (ambiguous-column analysis error). Also: an
+    index whose meta PREDATES range facets (no range_step column)
+    must backfill with the default step, not crash with KeyError."""
+    from donkey_spark.operators.ranges import RANGE_STEP
+    from donkey_spark.plans.add_facet import add_facet, add_range_facet
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    pdf = gen_corpus(100, seed=29)
+    corpus = spark.createDataFrame(pdf)
+    rich = corpus.withColumn("n_chars", F.length("content"))
+    out = str(tmp_path / "both")
+    build_index(spark, rich, out, range_size=64, facets=("lang",),
+                range_facets=("n_chars",))
+    docs = spark.read.parquet(f"{out}/docs")
+    svals = docs.select("doc_id", F.lit("x").alias("value"))
+    nvals = docs.select("doc_id", F.col("dl").alias("value"))
+    with pytest.raises(ValueError, match="EQUALITY facet"):
+        add_range_facet(spark, out, "lang", values=nvals)
+    with pytest.raises(ValueError, match="RANGE facet"):
+        add_facet(spark, out, "n_chars", values=svals)
+    # pre-range-facet meta: simulate by dropping range_step from meta
+    old = str(tmp_path / "old")
+    build_index(spark, corpus, old, range_size=64)
+    meta = spark.read.parquet(f"{old}/meta").drop(
+        "range_step", "range_facets").toPandas()
+    spark.createDataFrame(meta).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{old}/meta")
+    vals = spark.read.parquet(f"{old}/docs").select(
+        "doc_id", F.col("dl").alias("value"))
+    add_range_facet(spark, old, "dl", values=vals)   # no KeyError
+    idx = Index(spark, old)
+    assert idx.range_facets == ("dl",) and idx.range_step == RANGE_STEP
+    n = idx.n_docs
+    got = {r[2] for r in idx.search_rows(
+        [(0, "def return", n)], filters={"dl": {"range": [1, 10**9]}})}
+    assert got == {r[2] for r in idx.search_rows([(0, "def return", n)])}

@@ -369,3 +369,44 @@ def test_suggest_matches_bruteforce_ranking(spark, pat_setup):
     assert idx.suggest("zzqxv") == []
     with pytest.raises(ValueError, match="one term"):
         idx.suggest("two words")
+
+
+def test_parse_filter_specs_grammar():
+    """The ONE CLI --filter parser (functions/filters.py) shared by
+    scripts/query.py and scripts/delete_docs.py — a takedown must parse
+    the same string to the same dict the operator previewed with."""
+    from donkey_spark.functions.filters import parse_filter_specs
+    assert parse_filter_specs([]) is None
+    assert parse_filter_specs(None) is None
+    assert parse_filter_specs(["lang=en"]) == {"lang": "en"}
+    assert parse_filter_specs(["lang=en,de"]) == {"lang": ["en", "de"]}
+    assert parse_filter_specs(["lang!=en"]) == {"lang": {"not": ["en"]}}
+    assert parse_filter_specs(["lang!=en,de"]) == {
+        "lang": {"not": ["en", "de"]}}
+    assert parse_filter_specs(["n=100..200"]) == {
+        "n": {"range": [100, 200]}}
+    assert parse_filter_specs(["n=..200"]) == {"n": {"range": [None, 200]}}
+    assert parse_filter_specs(["n=-5.."]) == {"n": {"range": [-5, None]}}
+    assert parse_filter_specs(["n!=100..200"]) == {
+        "n": {"not": {"range": [100, 200]}}}
+    # multiple flags AND together; later flag on the same column wins
+    assert parse_filter_specs(["lang=en", "n=1..2"]) == {
+        "lang": "en", "n": {"range": [1, 2]}}
+    # '..' with neither bound is NOT a range — falls through to equality
+    assert parse_filter_specs(["tag=.."]) == {"tag": ".."}
+
+
+def test_rank_suggestions_ordering():
+    """(distance ASC, df DESC, term ASC), base excluded, cap applied —
+    the shared helper both Index.suggest and suggest_sharded rank with."""
+    from donkey_spark.functions.patterns import (rank_suggestions,
+                                                 suggest_base)
+    cand = {"spark": 50, "sparks": 9, "spare": 9, "shark": 3, "stark": 9}
+    out = rank_suggestions(cand, "spark", k=3, max_dist=1)
+    # distance 1 everywhere except the excluded base; the df-9
+    # three-way tie breaks on term ASC; k=3 cuts the df-3 'shark'
+    assert out == [("spare", 1, 9), ("sparks", 1, 9), ("stark", 1, 9)]
+    assert rank_suggestions({}, "spark", 5, 2) == []
+    with pytest.raises(ValueError):
+        suggest_base("two words")
+    assert suggest_base("Spark") == "spark"
