@@ -31,15 +31,27 @@ def _parse_value(v: str):
 def parse_filter_specs(specs) -> dict | None:
     """Parse a list of ``COL=V[,V...] | COL!=... | COL=LO..HI`` strings
     into the filters dict accepted by Index.search / match_ids /
-    facet_counts (None when no specs — the unfiltered fast path)."""
+    facet_counts (None when no specs — the unfiltered fast path).
+
+    The FIRST separator wins (`a!=b` negates on column a; `msg=a!=b`
+    requires msg equal to "a!=b") and a spec with no separator or an
+    empty column name raises a ValueError naming the bad spec, not a
+    bare tuple-unpack traceback (fourth review)."""
     filters: dict = {}
     for f in specs or ():
-        if "!=" in f:
-            c, v = f.split("!=", 1)
+        i_eq = f.find("=")
+        if i_eq < 1:
+            raise ValueError(
+                f"bad --filter spec {f!r}: expected COL=VALUE[,...], "
+                f"COL!=..., or COL=LO..HI")
+        if f[i_eq - 1] == "!":          # the '=' belongs to a '!='
+            c, v = f[:i_eq - 1], f[i_eq + 1:]
             rng = _parse_value(v)
             filters[c] = {"not": rng if rng else v.split(",")}
         else:
-            c, v = f.split("=", 1)
+            c, v = f[:i_eq], f[i_eq + 1:]
             rng = _parse_value(v)
             filters[c] = rng or (v.split(",") if "," in v else v)
+        if not c:
+            raise ValueError(f"bad --filter spec {f!r}: empty column")
     return filters or None

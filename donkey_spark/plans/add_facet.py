@@ -64,9 +64,9 @@ def add_facet(spark: SparkSession, index_dir: str, column: str,
         raise ValueError(f"{index_dir} is not an index (no meta)")
     _check_dictionary_layout(spark, index_dir)
     m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
-    facets = tuple(f for f in (m.get("facets") or "").split(",") if f)
-    rfacets = tuple(f for f in (m.get("range_facets") or "").split(",")
-                    if f)
+    from ..streaming.ingest import split_facets
+    facets = split_facets(m, "facets")
+    rfacets = split_facets(m, "range_facets")
     if column in rfacets:
         raise ValueError(
             f"{column!r} is already a RANGE facet (range_facets="
@@ -142,13 +142,13 @@ def add_range_facet(spark: SparkSession, index_dir: str, column: str,
         raise ValueError(f"{index_dir} is not an index (no meta)")
     _check_dictionary_layout(spark, index_dir)
     m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
-    rfacets = tuple(f for f in (m.get("range_facets") or "").split(",")
-                    if f)
+    from ..streaming.ingest import split_facets
+    rfacets = split_facets(m, "range_facets")
     # pre-range-facet meta has no range_step column — default like every
     # other reader (plans/query.py Index, streaming _base_state) so the
     # headline use case (add a range filter to an OLD index) works
     step = int(m.get("range_step") or RANGE_STEP)
-    facets = tuple(f for f in (m.get("facets") or "").split(",") if f)
+    facets = split_facets(m, "facets")
     if column in facets:
         raise ValueError(
             f"{column!r} is already an EQUALITY facet (facets={facets}) —"

@@ -151,6 +151,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     OR of node postings regardless of the column's value cardinality.
     Same co-located-posting properties as ``facets``; values are cast
     to long (declare only integral columns)."""
+    from ..streaming.ingest import check_facet_kinds
+    check_facet_kinds(facets, range_facets)   # fail before any work
     t0 = time.monotonic()
     if resume:
         # fail fast (before the expensive extract phase): resuming must

@@ -19,7 +19,8 @@ def index_info(spark: SparkSession, index_dir: str) -> dict:
     """A JSON-serializable report over an index directory."""
     from ..fsutil import chunk_dirs, fs_exists, hadoop_fs
     from ..streaming.ingest import (active_dictionary_chunks,
-                                    dictionary_chunks, journal_df)
+                                    dictionary_chunks, journal_df,
+                                    split_facets)
     if not fs_exists(spark, f"{index_dir}/meta"):
         raise ValueError(f"{index_dir} is not an index (no meta)")
     m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
@@ -35,9 +36,8 @@ def index_info(spark: SparkSession, index_dir: str) -> dict:
         "block_size": int(m["block_size"]),
         "codec": m["codec"],
         "n_buckets": int(m["n_buckets"]),
-        "facets": [f for f in (m.get("facets") or "").split(",") if f],
-        "range_facets": [f for f in (m.get("range_facets") or "")
-                         .split(",") if f],
+        "facets": list(split_facets(m, "facets")),
+        "range_facets": list(split_facets(m, "range_facets")),
     }
 
     tables = {}

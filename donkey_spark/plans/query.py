@@ -418,13 +418,12 @@ class Index:
         self.codec = m["codec"]
         self.n_buckets = int(m["n_buckets"])
         md = m.asDict()
-        self.facets = tuple(f for f in (md.get("facets") or "").split(",")
-                            if f)
+        from ..streaming.ingest import split_facets
+        self.facets = split_facets(md, "facets")
         # numeric range facets (§2.14 T25) — the trie step is a layout
         # property: query decomposition must split where the build did
         from ..operators.ranges import RANGE_STEP
-        self.range_facets = tuple(
-            f for f in (md.get("range_facets") or "").split(",") if f)
+        self.range_facets = split_facets(md, "range_facets")
         self.range_step = int(md.get("range_step") or RANGE_STEP)
         # the distributed scorer's scan runs on an ISOLATED child session
         # (shared SparkContext, own SQL conf) so its split sizing never

@@ -89,13 +89,11 @@ def _base_state(spark: SparkSession, index_dir: str) -> dict:
         base["rsize"] = int(m["range_size"])
         # epochs over a facet-enabled batch index keep indexing the same
         # facets, so filtered queries stay correct across the stream
-        base["facets"] = tuple(f for f in (m.get("facets") or "").split(",")
-                               if f)
+        base["facets"] = split_facets(m, "facets")
         # range facets (and the trie step — a LAYOUT property like
         # n_buckets: epoch tags must split where the build's did) carry
         # across the stream the same way
-        base["range_facets"] = tuple(
-            f for f in (m.get("range_facets") or "").split(",") if f)
+        base["range_facets"] = split_facets(m, "range_facets")
         base["range_step"] = int(m.get("range_step") or RANGE_STEP)
         # the bucket count is a LAYOUT property fixed at build time —
         # meta rewrites must carry the index's own value, never the
@@ -122,6 +120,28 @@ META_DDL = ("version int, n_docs long, avgdl double, n_postings long, "
             "range_facets string, range_step int")
 
 
+def split_facets(m: dict, key: str) -> tuple[str, ...]:
+    """Decode one of meta's comma-joined facet-list columns ("facets" /
+    "range_facets") from a collected meta row dict — the ONE reader of
+    the format write_meta/check_facet_kinds own, tolerant of metas that
+    predate the column (fourth review: the inline idiom had spread to
+    seven call sites across four modules)."""
+    return tuple(f for f in (m.get(key) or "").split(",") if f)
+
+
+def check_facet_kinds(facets, range_facets) -> None:
+    """A column is ONE kind of facet. Enforced at every meta writer
+    (build_index validates pre-work too, for a fast user-facing error):
+    a dual registration would leave the column unservable by BOTH
+    histogram surfaces and make a streaming epoch carrying it project
+    it twice (ambiguous-column analysis error)."""
+    both = sorted(set(facets) & set(range_facets))
+    if both:
+        raise ValueError(
+            f"column(s) {both} appear in BOTH facets and range_facets "
+            f"— a column is one kind of facet, not both")
+
+
 def write_meta(spark: SparkSession, index_dir: str, *, version: int,
                n_docs: int, avgdl: float, n_postings: int,
                range_size: int, block_size: int, codec: str,
@@ -134,6 +154,7 @@ def write_meta(spark: SparkSession, index_dir: str, *, version: int,
     (third review: stamping the constant would re-route every term
     probe into the wrong dirs if the constant ever changes)."""
     from ..operators.ranges import RANGE_STEP
+    check_facet_kinds(facets, range_facets)
     (spark.createDataFrame(
         [(int(version), int(n_docs), float(avgdl), int(n_postings),
           int(range_size), int(block_size), codec, int(n_buckets),
@@ -373,8 +394,8 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
             cur = (spark.read.parquet(f"{index_dir}/meta")
                    .collect()[0].asDict())
             for key in ("facets", "range_facets"):
-                extra = tuple(f for f in (cur.get(key) or "").split(",")
-                              if f and f not in base[key])
+                extra = tuple(f for f in split_facets(cur, key)
+                              if f not in base[key])
                 if extra:
                     base[key] = tuple(base[key]) + extra
     n_before, sum_dl = base["n"], base["dl"]
@@ -595,11 +616,9 @@ def compact_index(spark: SparkSession, corpus: DataFrame,
     if fs_exists(spark, f"{index_dir}/meta"):
         m = spark.read.parquet(f"{index_dir}/meta").collect()[0].asDict()
         if "facets" not in build_opts:
-            build_opts["facets"] = tuple(
-                f for f in (m.get("facets") or "").split(",") if f)
+            build_opts["facets"] = split_facets(m, "facets")
         if "range_facets" not in build_opts:
-            build_opts["range_facets"] = tuple(
-                f for f in (m.get("range_facets") or "").split(",") if f)
+            build_opts["range_facets"] = split_facets(m, "range_facets")
         if "positions" not in build_opts:
             # a compaction keeps phrase support too (format version 3)
             from ..plans.positions import POSITIONS_VERSION

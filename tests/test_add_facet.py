@@ -406,6 +406,10 @@ def test_facet_kinds_are_mutually_exclusive(spark, tmp_path):
         add_range_facet(spark, out, "lang", values=nvals)
     with pytest.raises(ValueError, match="RANGE facet"):
         add_facet(spark, out, "n_chars", values=svals)
+    # the build entry point refuses the dual registration BEFORE work
+    with pytest.raises(ValueError, match="one kind of facet"):
+        build_index(spark, rich, str(tmp_path / "dual"), range_size=64,
+                    facets=("n_chars",), range_facets=("n_chars",))
     # pre-range-facet meta: simulate by dropping range_step from meta
     old = str(tmp_path / "old")
     build_index(spark, corpus, old, range_size=64)

@@ -394,6 +394,14 @@ def test_parse_filter_specs_grammar():
         "lang": "en", "n": {"range": [1, 2]}}
     # '..' with neither bound is NOT a range — falls through to equality
     assert parse_filter_specs(["tag=.."]) == {"tag": ".."}
+    # FIRST separator wins: '=' before '!=' is an equality whose value
+    # happens to contain '!=' — the column name never swallows a '='
+    assert parse_filter_specs(["msg=a!=b"]) == {"msg": "a!=b"}
+    # malformed specs fail loudly with the spec named, not a bare
+    # tuple-unpack traceback
+    for bad in ("lang", "", "=en", "!=en"):
+        with pytest.raises(ValueError, match="filter spec"):
+            parse_filter_specs([bad])
 
 
 def test_rank_suggestions_ordering():
