@@ -28,8 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (76 since
-    r5 — adds numeric range facets (trie presence postings; BETWEEN and
+    """One entry per implemented ◇ operator from SURVEY.md §2 (84 since
+    r5 — adds sort-by-field search (match set ordered by a docs
+    metadata column, unified AND federated — the oracle re-derives
+    match + key + order from first principles),
+    numeric range facets (trie presence postings; BETWEEN and
     NOT BETWEEN twins, range-filtered facet counts, binned range
     histograms), the metadata-filtered ANN, exact-phrase, embedding- and
     simhash-near-dup pairs, the IVF coarse-quantizer ANN, hybrid

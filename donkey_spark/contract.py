@@ -1419,6 +1419,79 @@ LEFT JOIN andc ON andc.query_id = grid.query_id
 """
 
 
+def q_sorted_topk(spark, sf_dir):
+    """r5 §2.14 — sort-by-field search (plans/sortby.sorted_topk, the
+    ES `sort` clause): the flagship query's match set ordered by
+    document length instead of BM25 score, under BOTH match modes.
+    The match set comes from the same pruned per-salt kernel as
+    match_count/match_ids; the order comes from a column-pruned docs
+    join + TakeOrderedAndProject — scores never computed. The oracle
+    recomputes match + dl + ordering from first principles."""
+    from .plans.query import Index
+    from .plans.sortby import sorted_topk
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = [(m,) + r for m in ("or", "and")
+            for r in sorted_topk(idx, BM25_QUERIES[0][1], by="dl",
+                                 k=20, descending=True, mode=m)]
+    return spark.createDataFrame(
+        rows, "mode string, rank int, doc_id long, dl long, "
+              "repo string, path string")
+
+
+def q_sorted_topk_sharded(spark, sf_dir):
+    """r5 §2.14 — the federated twin (plans/sharded.sorted_topk_sharded)
+    vs the SAME unified-corpus oracle: sharding must be invisible to a
+    field ordering. No doc_id in the output (a federation has no global
+    id; (repo, path) is the identity), and no stats phase exists — a
+    field order has no corpus-global inputs."""
+    from .plans.query import Index
+    from .plans.sharded import sorted_topk_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = [(m, rk, key, repo, path) for m in ("or", "and")
+            for rk, _si, _did, key, repo, path in
+            sorted_topk_sharded(shards, BM25_QUERIES[0][1], by="dl",
+                                k=20, descending=True, mode=m)]
+    return spark.createDataFrame(
+        rows, "mode string, rank int, dl long, repo string, path string")
+
+
+def _sorted_oracle_sql(with_doc_id: bool) -> str:
+    """Field-sort twin: docs containing ANY ('or') / EVERY ('and')
+    flagship-query term, ordered dl DESC with the doc_id (== (repo,
+    path) by dense-id construction) tie-break, top 20 per mode."""
+    from .functions.tokenize import tokenize_py
+    terms = sorted(set(tokenize_py(BM25_QUERIES[0][1])))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    cols = ("mode, rank, d AS doc_id, dl, repo, path" if with_doc_id
+            else "mode, rank, dl, repo, path")
+    return f"""
+WITH ordered AS (
+  SELECT row_number() OVER (ORDER BY source,
+                            'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS d,
+         source AS repo, 'doc/'||CAST(doc_id AS VARCHAR) AS path, text
+  FROM documents
+), base AS (
+  SELECT d, repo, path, len({_TOKS_SQL})::BIGINT AS dl FROM ordered
+), dd AS (
+  SELECT DISTINCT d, term FROM (
+    SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered)
+), qt(term) AS (VALUES {vals}),
+m_or AS (SELECT DISTINCT d FROM dd JOIN qt USING (term)),
+m_and AS (SELECT d FROM dd JOIN qt USING (term)
+          GROUP BY d HAVING count(DISTINCT term) = {len(terms)}),
+merged AS (
+  SELECT 'or' AS mode, row_number() OVER (
+           ORDER BY dl DESC, d ASC)::INT AS rank, d, dl, repo, path
+  FROM base JOIN m_or USING (d)
+  UNION ALL
+  SELECT 'and' AS mode, row_number() OVER (
+           ORDER BY dl DESC, d ASC)::INT AS rank, d, dl, repo, path
+  FROM base JOIN m_and USING (d)
+)
+SELECT {cols} FROM merged WHERE rank <= 20
+"""
+
+
 #: did-you-mean probe set — misspellings of common document-prose
 #: terms, plus one ("zzqx") with no dictionary term within distance 2
 #: (zero rows on both engines)
@@ -2661,6 +2734,8 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_facet_backfill": _BM25_FILTERED_ORACLE,
     "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
     "match_counts": _match_counts_oracle_sql(),
+    "sorted_topk": _sorted_oracle_sql(with_doc_id=True),
+    "sorted_topk_sharded": _sorted_oracle_sql(with_doc_id=False),
     "term_suggest": _term_suggest_oracle_sql(),
     "emb_neardup_pairs": _emb_neardup_oracle_sql(
         threshold=EMB_NEARDUP_THRESHOLD),
@@ -2864,6 +2939,8 @@ QUERIES = {
     "bm25_topk_facet_backfill": q_bm25_topk_facet_backfill,
     "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
     "match_counts": q_match_counts,
+    "sorted_topk": q_sorted_topk,
+    "sorted_topk_sharded": q_sorted_topk_sharded,
     "term_suggest": q_term_suggest,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,

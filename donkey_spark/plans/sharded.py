@@ -423,6 +423,39 @@ def match_count_sharded(shards, text: str, mode: str = "or",
                for s in shards)
 
 
+def sorted_topk_sharded(shards, text: str, by: str = "dl", k: int = 10,
+                        descending: bool = True, mode: str = "or",
+                        filters: dict | None = None) -> list[tuple]:
+    """Field-sorted top-k over the federation — [(rank, shard, doc_id,
+    key, repo, path)] (plans/sortby.sorted_topk's sharded twin; doc_id
+    is shard-local like every federated row). The <= shards*k merge is
+    EXACT by the ranked-search containment argument: shards partition
+    the corpus, so any doc in the global field-ordered top-k is in its
+    own shard's — and it needs NO stats phase, because a field order
+    (unlike BM25) has no corpus-global inputs. Ties merge on
+    (repo, path), which equals the unified index's doc_id tie-break by
+    the dense-id construction."""
+    if not shards:
+        raise ValueError("no shards")
+    from .sortby import sorted_topk
+    per_shard = _fanout(
+        lambda idx: sorted_topk(idx, text, by=by, k=k,
+                                descending=descending, mode=mode,
+                                filters=filters),
+        shards)
+    rows = [(key, repo, path, si, did)
+            for si, rs in enumerate(per_shard)
+            for _rk, did, key, repo, path in rs]
+    present = [r for r in rows if r[0] is not None]
+    absent = sorted((r for r in rows if r[0] is None),
+                    key=lambda r: (r[1], r[2]))
+    present.sort(key=lambda r: (r[1], r[2]))      # (repo, path) ties
+    present.sort(key=lambda r: r[0], reverse=descending)  # stable
+    return [(rk, si, did, key, repo, path)
+            for rk, (key, repo, path, si, did)
+            in enumerate((present + absent)[:k], start=1)]
+
+
 def facet_counts_sharded(shards, text: str, facet, mode: str = "or",
                          filters: dict | None = None):
     """Facet histogram over the federation's match set — the search-UI

@@ -1,0 +1,99 @@
+"""Sort-by-field search: the match set ordered by a document METADATA
+column instead of BM25 relevance — the `sort: [{dl: desc}]` clause
+every search UI grows ("newest first", "longest first"). donkey serves
+hits ranked by score only; this is the §2.14 bulk-surface that turns
+the distributed match set (plans/facet_counts.match_ids) into a
+field-ordered page.
+
+Plan shape (SCALE.md §15): the match set comes from the SAME pruned
+per-salt kernel as match_count/match_ids — one bucket-dir +
+term-row-group pruned segment scan, O(posting bytes touched), match
+ids never materializing as scored rows — then joins the
+COLUMN-PRUNED docs table (doc_id + sort key + identity columns, never
+content) and runs through ``orderBy(key).limit(k)``, which Catalyst
+executes as TakeOrderedAndProject: a k-heap per partition plus a
+<= partitions*k driver merge, never a global sort shuffle. The join is
+the honest cost of field sorting — every engine reads one doc value
+per matching doc (Lucene doc-values work the same way) — and AQE
+turns it into a broadcast join when the match set is selective.
+
+Sortable columns are exactly the docs side-table's metadata schema
+(doc_id, repo, path, commit, lang, dl, sha256 — plans/build.py
+docs_write); sorting by a content-derived quantity that is not stored
+is a build-time decision (add it as a docs column), not a query-time
+one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: result row shape of sorted_topk_df (``key`` is cast to string so one
+#: stable schema serves every sortable column; the rows variant keeps
+#: the column's native type)
+SORTED_SCHEMA = ("rank int, doc_id long, key string, repo string, "
+                 "path string")
+
+
+def _sorted_df(index, text: str, by: str, k: int, descending: bool,
+               mode: str, filters: dict | None) -> DataFrame:
+    """The un-ranked <=k-row frame: match ids joined to the pruned docs
+    columns, field-ordered with the deterministic doc_id tie-break."""
+    from .facet_counts import match_ids
+    doc_cols = index._docs.columns
+    if by not in doc_cols:
+        raise ValueError(
+            f"cannot sort by {by!r}: not a docs metadata column "
+            f"(sortable: {sorted(doc_cols)})")
+    ids = match_ids(index, text, mode, filters)
+    key = F.col(by)
+    order = [key.desc_nulls_last() if descending else key.asc_nulls_last(),
+             F.asc("doc_id")]
+    sel = list(dict.fromkeys(["doc_id", by, "repo", "path"]))
+    return (index._docs.select(*sel)          # column-pruned, no content
+            .join(ids, "doc_id")
+            .orderBy(*order)                  # TakeOrderedAndProject
+            .limit(int(k)))
+
+
+def _rank_rows(rows: list[tuple], descending: bool) -> list[tuple]:
+    """Deterministic 1..k ranking of (doc_id, key, repo, path) tuples on
+    (key desc|asc nulls-last, doc_id asc) — type-agnostic: python's
+    stable sort keeps the doc_id tie-break under ``reverse=``, and
+    nulls sort last in BOTH directions (matching the plan's
+    desc_nulls_last/asc_nulls_last)."""
+    present = [r for r in rows if r[1] is not None]
+    absent = sorted((r for r in rows if r[1] is None),
+                    key=lambda r: r[0])
+    present.sort(key=lambda r: r[0])
+    present.sort(key=lambda r: r[1], reverse=descending)
+    return [(rk, *r) for rk, r in enumerate(present + absent, start=1)]
+
+
+def sorted_topk(index, text: str, by: str = "dl", k: int = 10,
+                descending: bool = True, mode: str = "or",
+                filters: dict | None = None) -> list[tuple]:
+    """Top-k matching docs of ``text`` ordered by the docs column
+    ``by`` — rows [(rank, doc_id, key, repo, path)], rank 1..k on
+    (key desc|asc, doc_id). ``mode``/``filters`` are search's grammar
+    (OR/AND match; equality / OR / NOT / range facets) and tombstoned
+    docs are excluded — the result is EXACTLY ``search``'s match set
+    re-ordered by the field, scores never computed."""
+    got = _sorted_df(index, text, by, k, descending, mode,
+                     filters).collect()
+    # re-rank on the driver (<= k rows): collect() order is the plan's,
+    # but the rank must be deterministic by contract, not by physics
+    return _rank_rows([(r["doc_id"], r[by], r["repo"], r["path"])
+                       for r in got], descending)
+
+
+def sorted_topk_df(index, text: str, by: str = "dl", k: int = 10,
+                   descending: bool = True, mode: str = "or",
+                   filters: dict | None = None) -> DataFrame:
+    """DataFrame wrapper over sorted_topk (SORTED_SCHEMA; the key is
+    stringified for a column-independent schema)."""
+    rows = [(rk, did, None if key is None else str(key), repo, path)
+            for rk, did, key, repo, path in
+            sorted_topk(index, text, by, k, descending, mode, filters)]
+    return index.spark.createDataFrame(rows, SORTED_SCHEMA)

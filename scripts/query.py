@@ -74,6 +74,12 @@ def main() -> None:
                     help="with --facet-counts over a RANGE-facet column: "
                          "print a binned histogram with 2^S-wide bins "
                          "(S must be a multiple of the index's trie step)")
+    ap.add_argument("--sort", default=None, metavar="COL[:asc|desc]",
+                    help="order the match set by this docs metadata "
+                         "column (e.g. dl:desc — longest matching docs "
+                         "first) instead of BM25 score; respects "
+                         "--mode or/and and --filter; works on --index "
+                         "and --shards")
     ap.add_argument("--snippets", default=None, metavar="CORPUS",
                     help="annotate each hit with a context snippet "
                          "fetched from this corpus parquet path "
@@ -122,6 +128,39 @@ def main() -> None:
     filters = parse_filter_specs(a.filter)
     if a.bin_shift is not None and not a.facet_counts:
         ap.error("--bin-shift needs --facet-counts COL")
+    if a.sort:
+        if (a.queries or a.phrase or a.facet_counts or a.snippets
+                or a.count or a.mode not in ("or", "and")):
+            ap.error("--sort takes a single --query with --mode or/and "
+                     "and --filter only")
+        col, _, direction = a.sort.partition(":")
+        if direction not in ("", "asc", "desc"):
+            ap.error(f"--sort direction must be asc or desc, "
+                     f"got {direction!r}")
+        desc_ = direction != "asc"
+        if a.shards:
+            from donkey_spark.plans.sharded import (open_shards,
+                                                    sorted_topk_sharded)
+            rows = [(rk, si, did, None if key is None else str(key),
+                     repo, path)
+                    for rk, si, did, key, repo, path in
+                    sorted_topk_sharded(
+                        open_shards(spark, a.shards.split(",")), a.query,
+                        by=col, k=a.k, descending=desc_, mode=a.mode,
+                        filters=filters)]
+            res = spark.createDataFrame(
+                rows, "rank int, shard int, doc_id long, key string, "
+                      "repo string, path string")
+        else:
+            from donkey_spark.plans.sortby import sorted_topk_df
+            res = sorted_topk_df(idx, a.query, by=col, k=a.k,
+                                 descending=desc_, mode=a.mode,
+                                 filters=filters)
+        if a.out:
+            res.write.mode("overwrite").parquet(a.out)
+        else:
+            res.show(100, truncate=False)
+        return
     if a.count:
         if a.queries or a.phrase or a.facet_counts or a.snippets:
             ap.error("--count takes a single --query (with --mode/"
