@@ -71,6 +71,47 @@ def _rank_rows(rows: list[tuple], descending: bool) -> list[tuple]:
     return [(rk, *r) for rk, r in enumerate(present + absent, start=1)]
 
 
+def _local_key_rows(index, ids, by: str, k: int, descending: bool):
+    """The driver-local (doc_id, key) top-k: the sort-key column joined
+    to the match ids and pyarrow-sorted (nulls at end, doc_id ties
+    ascending). When the docs table is small enough (n_docs × 16 B
+    within ``local_bytes``) the (doc_id, key) pair is memoized on the
+    Index sorted by doc_id, so each query is one searchsorted + one
+    bounded take instead of a docs-table scan; larger tables fall back
+    to a per-query id-filtered two-column read. Identity columns are
+    NOT read here — the caller fetches (repo, path) for only the top-k
+    through _doc_meta, like ranked search does."""
+    import numpy as np
+    import pyarrow as pa
+    order = [("key", "descending" if descending else "ascending"),
+             ("doc_id", "ascending")]
+    cols = list(dict.fromkeys(["doc_id", by]))   # by may BE doc_id
+    if index.n_docs * 16 <= index.local_bytes:
+        memo = index.__dict__.setdefault("_sortkey_memo", {})
+        ent = memo.get(by)
+        if ent is None:
+            t = index._pa_dataset("docs").to_table(columns=cols)
+            did = np.asarray(t["doc_id"], dtype=np.int64)
+            pos = np.argsort(did, kind="stable")
+            ent = memo[by] = (
+                did[pos],
+                t.column(by).combine_chunks().take(pa.array(pos)))
+        all_ids, all_keys = ent
+        at = np.searchsorted(all_ids, ids)
+        at[at == all_ids.size] = 0            # out-of-range guard...
+        found = all_ids[at] == ids            # ...masked out here
+        at, ids = at[found], ids[found]
+        sub = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                        "key": all_keys.take(pa.array(at))})
+        return sub.sort_by(order).slice(0, k)
+    import pyarrow.dataset as ds
+    t = index._pa_dataset("docs").to_table(
+        columns=cols, filter=ds.field("doc_id").isin(pa.array(ids)))
+    return (pa.table({"doc_id": t.column("doc_id"),
+                      "key": t.column(by)})
+            .sort_by(order).slice(0, k))
+
+
 def sorted_topk(index, text: str, by: str = "dl", k: int = 10,
                 descending: bool = True, mode: str = "or",
                 filters: dict | None = None) -> list[tuple]:
@@ -79,7 +120,32 @@ def sorted_topk(index, text: str, by: str = "dl", k: int = 10,
     (key desc|asc, doc_id). ``mode``/``filters`` are search's grammar
     (OR/AND match; equality / OR / NOT / range facets) and tombstoned
     docs are excluded — the result is EXACTLY ``search``'s match set
-    re-ordered by the field, scores never computed."""
+    re-ordered by the field, scores never computed.
+
+    Like ranked search, a query whose posting bytes fit the index's
+    ``local_bytes`` budget runs driver-local (the match_ids_local
+    pyarrow path + an id-filtered docs read + a pyarrow sort — zero
+    Spark jobs); over budget it runs the distributed plan above.
+    Measured at 400k docs/32 cores the local path cuts the ~0.76
+    s/query Spark-job floor to tens of ms (BENCH/BASELINE.md
+    §Sort-by-field)."""
+    from .facet_counts import match_ids_local
+    doc_cols = index._docs.columns
+    if by not in doc_cols:
+        raise ValueError(
+            f"cannot sort by {by!r}: not a docs metadata column "
+            f"(sortable: {sorted(doc_cols)})")
+    ids = match_ids_local(index, text, mode, filters)
+    if ids is not None:
+        if ids.size == 0:
+            return []
+        sub = _local_key_rows(index, ids, by, int(k), descending)
+        top = sub["doc_id"].to_pylist()
+        meta = index._doc_meta(top, use_local=True)
+        return _rank_rows([(d, key, *meta.get(d, (None, None)))
+                           for d, key in zip(top,
+                                             sub["key"].to_pylist())],
+                          descending)
     got = _sorted_df(index, text, by, k, descending, mode,
                      filters).collect()
     # re-rank on the driver (<= k rows): collect() order is the plan's,

@@ -50,28 +50,54 @@ def test_sorted_matches_bruteforce_all_modes(spark, sort_setup):
     from donkey_spark.plans.query import Index
     from donkey_spark.plans.sortby import sorted_topk
     _, out, docs = sort_setup
-    idx = Index(spark, out)
+    # local_bytes=64MB -> the driver-local pyarrow path; 0 -> the
+    # distributed match-ids + docs-join + TakeOrdered plan. Both must
+    # produce identical rows (the local path reuses the same per-salt
+    # helpers, but the docs read and ordering machinery differ).
+    for local_bytes in (64 << 20, 0):
+        idx = Index(spark, out, local_bytes=local_bytes)
+        for mode in ("or", "and"):
+            for desc in (True, False):
+                got = sorted_topk(idx, "def return", by="dl", k=12,
+                                  descending=desc, mode=mode)
+                exp = _expected(idx, docs, "def return", 0, 12, desc,
+                                mode)
+                assert [(rk, d, key)
+                        for rk, d, key, _r, _p in got] == exp, \
+                    (mode, desc, local_bytes)
+                # identity columns come from the docs table
+                assert all((r, p) == docs[d][2:]
+                           for _, d, _, r, p in got)
+
+
+def test_match_count_local_equals_distributed(spark, sort_setup):
+    from donkey_spark.plans.facet_counts import match_count
+    from donkey_spark.plans.query import Index
+    _, out, docs = sort_setup
+    target = docs[0][1]
+    loc = Index(spark, out)                      # local fast path
+    dist = Index(spark, out, local_bytes=0)      # distributed kernel
     for mode in ("or", "and"):
-        for desc in (True, False):
-            got = sorted_topk(idx, "def return", by="dl", k=12,
-                              descending=desc, mode=mode)
-            exp = _expected(idx, docs, "def return", 0, 12, desc, mode)
-            assert [(rk, d, key) for rk, d, key, _r, _p in got] == exp, \
-                (mode, desc)
-            # identity columns come from the docs table
-            assert all((r, p) == docs[d][2:] for _, d, _, r, p in got)
+        for filt in (None, {"lang": target}):
+            assert match_count(loc, "def return", mode=mode,
+                               filters=filt) \
+                == match_count(dist, "def return", mode=mode,
+                               filters=filt), (mode, filt)
+    assert match_count(loc, "zzqx") == 0
 
 
 def test_sorted_string_key_desc_and_asc(spark, sort_setup):
     from donkey_spark.plans.query import Index
     from donkey_spark.plans.sortby import sorted_topk
     _, out, docs = sort_setup
-    idx = Index(spark, out)
-    for desc in (True, False):
-        got = sorted_topk(idx, "def return", by="lang", k=15,
-                          descending=desc, mode="or")
-        exp = _expected(idx, docs, "def return", 1, 15, desc, "or")
-        assert [(rk, d, key) for rk, d, key, _r, _p in got] == exp, desc
+    for local_bytes in (64 << 20, 0):
+        idx = Index(spark, out, local_bytes=local_bytes)
+        for desc in (True, False):
+            got = sorted_topk(idx, "def return", by="lang", k=15,
+                              descending=desc, mode="or")
+            exp = _expected(idx, docs, "def return", 1, 15, desc, "or")
+            assert [(rk, d, key) for rk, d, key, _r, _p in got] == exp, \
+                (desc, local_bytes)
 
 
 def test_sorted_respects_filters(spark, sort_setup):
