@@ -28,8 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (84 since
-    r5 — adds sort-by-field search (match set ordered by a docs
+    """One entry per implemented ◇ operator from SURVEY.md §2 (85 since
+    r5 — adds cursor pagination (search_after: page-1 boundary rows
+    continue to the SAME rank-11..20 oracle the offset pair uses),
+    sort-by-field search (match set ordered by a docs
     metadata column, unified AND federated — the oracle re-derives
     match + key + order from first principles),
     numeric range facets (trie presence postings; BETWEEN and

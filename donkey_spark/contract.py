@@ -568,6 +568,33 @@ def q_bm25_topk_page2(spark, sf_dir):
     return _rank_rows(spark, rows)
 
 
+def q_bm25_topk_after(spark, sf_dir):
+    """r5 §2.14 T32 — cursor pagination (Index.search_rows_after, the
+    ES search_after shape): page 1 (k=10) of the flagship set runs
+    first, each query's LAST row becomes its (score, doc_id) cursor,
+    and the continuation must reproduce page 2 EXACTLY — the same rows
+    the offset twin (and the DuckDB rank-11..20 oracle) produce. This
+    certifies the kernel-level cursor filter (score < cs, or == with
+    doc_id after), the exact float boundary re-scoring, and the
+    re-rank arithmetic; queries whose rankings end inside page 1 (the
+    OOV query) contribute a no-cursor first page that must come back
+    empty-beyond-end through the same path."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    p1 = idx.search_rows(BM25_QUERIES)
+    after = {}
+    for qid, _, _ in BM25_QUERIES:
+        rows = [r for r in p1 if r[0] == qid]
+        if rows:
+            after[qid] = (rows[-1][3], rows[-1][2])
+    rows = idx.search_rows_after(BM25_QUERIES, after)
+    # drop queries with NO cursor (their "page 2" via cursors is their
+    # first page): the oracle slices rank 11..20, which for an OOV
+    # query is empty — matching semantics
+    rows = [r for r in rows if r[0] in after]
+    return _rank_rows(spark, rows)
+
+
 def q_bm25_topk_delete_query(spark, sf_dir):
     """r5 §2.14 — delete-by-query (plans/delete.delete_by_query, the
     takedown/GDPR shape): a dedicated index copy tombstones EVERY doc
@@ -2701,6 +2728,9 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_delete_query": _BM25_DELETE_QUERY_ORACLE,
     "bm25_topk_page2": _BM25_PAGE2_ORACLE,
+    # the cursor continuation must land on the SAME rows as offset
+    # paging — one oracle, two engine paths certified against it
+    "bm25_topk_after": _BM25_PAGE2_ORACLE,
     "bm25_topk_filtered": _BM25_FILTERED_ORACLE,
     "bm25_topk_range": _BM25_RANGE_ORACLE,
     "bm25_topk_range_not": _BM25_RANGE_NOT_ORACLE,
@@ -2900,6 +2930,7 @@ QUERIES = {
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_delete_query": q_bm25_topk_delete_query,
     "bm25_topk_page2": q_bm25_topk_page2,
+    "bm25_topk_after": q_bm25_topk_after,
     "bm25_topk_filtered_or": q_bm25_topk_filtered_or,
     "bm25_topk_filtered_not": q_bm25_topk_filtered_not,
     "bm25_topk_filtered": q_bm25_topk_filtered,

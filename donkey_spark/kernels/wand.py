@@ -111,12 +111,26 @@ def _span_maxima(acc: np.ndarray, lo: np.ndarray,
     return out
 
 
+def _cursor_keep(ids: np.ndarray, sc: np.ndarray, base: int,
+                 cursor: tuple[float, int]) -> np.ndarray:
+    """Bool mask of candidates strictly AFTER ``cursor`` = (score,
+    doc_id) in the ranking order (score DESC, doc_id ASC): keep docs
+    with a lower score, or the same score and a higher GLOBAL doc id.
+    Score equality is exact float comparison — the cursor is the
+    engine's own emitted score, and both scorer paths are bit-identical
+    by construction, so the previous page's boundary re-scores to the
+    same double here."""
+    cs, cd = cursor
+    return (sc < cs) | ((sc == cs) & (ids + base > cd))
+
+
 def score_range_topk(base: int, size: int,
                      terms: list[TermBlocks], avgdl: float, k: int,
                      stats: dict | None = None,
                      cache: dict | None = None,
                      dead: np.ndarray | None = None,
-                     allowed: np.ndarray | None = None):
+                     allowed: np.ndarray | None = None,
+                     cursor: tuple[float, int] | None = None):
     """Exact top-k for one query within one doc range.
 
     Doc lengths come from each block's own dls_blob (co-stored with the
@@ -127,8 +141,15 @@ def score_range_topk(base: int, size: int,
     ``allowed`` (bool mask over the range, facet filters — built ONCE per
     salt by the caller, query-independent): only allowed docs may rank;
     the mask is applied after each accumulation, exactly like ``dead``,
-    so θ and potentials stay tight over the allowed docs. Returns
-    (doc_ids int64, scores float64) with score desc, doc_id asc.
+    so θ and potentials stay tight over the allowed docs. ``cursor``
+    (cursor pagination, plans/query.search_rows_after): only docs
+    strictly AFTER (score, doc_id) in ranking order may rank; because a
+    partially-accumulated score cannot prove a doc will stay under the
+    cursor, θ over the post-cursor set is unknowable mid-loop and
+    score-threshold block skipping is DISABLED for the query (presence
+    skipping — bucket/row-group pruning, facet masks — still applies);
+    the filter runs once on the final scores. Returns (doc_ids int64,
+    scores float64) with score desc, doc_id asc.
     """
     if not terms or k <= 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
@@ -179,9 +200,11 @@ def score_range_topk(base: int, size: int,
                                            + len(keep))
                 stats["postings_scored"] = (stats.get("postings_scored", 0)
                                             + ids.size)
-        if np.count_nonzero(acc) >= k:
+        if cursor is None and np.count_nonzero(acc) >= k:
             theta = np.partition(acc, acc.size - k)[acc.size - k]
     nz = np.flatnonzero(acc)
+    if cursor is not None and nz.size:
+        nz = nz[_cursor_keep(nz, acc[nz], base, cursor)]
     if nz.size == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if nz.size > k:  # bounded selection before the full sort (op 36)
@@ -199,9 +222,15 @@ def score_range_topk_and(base: int, size: int,
                          stats: dict | None = None,
                          cache: dict | None = None,
                          dead: np.ndarray | None = None,
-                         allowed: np.ndarray | None = None):
+                         allowed: np.ndarray | None = None,
+                         cursor: tuple[float, int] | None = None):
     """Exact conjunctive (AND) top-k within one doc range (SURVEY op 32 /
     K4 intersection fast path).
+
+    ``cursor`` (cursor pagination): exactly score_range_topk's contract
+    — the span-skip intersection (presence-based, score-independent)
+    still prunes, the last-term θ batch cutoff is disabled, and the
+    (score, doc_id) filter runs once on the qualifying docs.
 
     A doc qualifies only if EVERY query term hits it, so the driving
     structure is the rarest term's posting blocks: their [first_doc_id,
@@ -306,7 +335,7 @@ def score_range_topk_and(base: int, size: int,
         pos = 0
         while pos < dec_order.size:
             batch_ix = dec_order[pos:pos + BATCH]
-            if nqual >= k and pots[batch_ix[0]] < theta:
+            if cursor is None and nqual >= k and pots[batch_ix[0]] < theta:
                 # potentials are sorted descending and θ only grows —
                 # every remaining block is unbeatable
                 if stats is not None:
@@ -338,6 +367,8 @@ def score_range_topk_and(base: int, size: int,
             pos += BATCH
 
     hit = np.flatnonzero(cnt == n_query_terms)
+    if cursor is not None and hit.size:
+        hit = hit[_cursor_keep(hit, acc[hit], base, cursor)]
     if hit.size == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if hit.size > k:

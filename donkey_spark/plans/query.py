@@ -93,7 +93,8 @@ def _eval_bool_mask(tree, by_term, base, size, avgdl, cache):
 
 def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                        tombstones=None, required_groups=None,
-                       pot_scale: float = 1.0, bool_trees=None):
+                       pot_scale: float = 1.0, bool_trees=None,
+                       cursors=None):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results.
@@ -109,7 +110,10 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
     mask (_eval_bool_mask) ANDed into ``allowed``; scoring runs the
     ordinary disjunctive kernel over the query's POSITIVE terms —
     guardedness (functions/boolquery.py) guarantees the mask never
-    admits a doc without one."""
+    admits a doc without one. ``cursors`` ({qid: (score, doc_id)},
+    cursor pagination — see Index.search_rows_after): per query, only
+    docs strictly after the cursor in ranking order may rank; the
+    kernels disable score-threshold block skipping for such queries."""
     import numpy as np
 
     def score_group(salt: int, by_term: dict[str, list[dict]],
@@ -162,6 +166,7 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                    for t in terms if t in by_term]
             if not tbs:
                 continue
+            cur = cursors.get(qid) if cursors else None
             if mode == "bool":
                 m = _eval_bool_mask(bool_trees[qid], by_term, base,
                                     base_mult, avgdl, bcache)
@@ -174,15 +179,15 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                 # reuse those, not re-decode (bit-equal either way)
                 ids, sc = score_range_topk(base, base_mult, tbs, avgdl,
                                            k, cache=bcache, dead=dead,
-                                           allowed=m)
+                                           allowed=m, cursor=cur)
             elif mode == "and":
                 ids, sc = score_range_topk_and(
                     base, base_mult, tbs, avgdl, k, len(terms),
-                    cache=cache, dead=dead, allowed=allowed)
+                    cache=cache, dead=dead, allowed=allowed, cursor=cur)
             else:
                 ids, sc = score_range_topk(base, base_mult, tbs, avgdl, k,
                                            cache=cache, dead=dead,
-                                           allowed=allowed)
+                                           allowed=allowed, cursor=cur)
             out_q.extend([qid] * len(ids))
             out_d.extend(ids.tolist())
             out_s.extend(sc.tolist())
@@ -269,14 +274,15 @@ def _score_block_table(tbl, score_group, codec: str, avgdl: float,
 
 def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
                        tombstones=None, required_groups=None,
-                       pot_scale: float = 1.0, bool_trees=None):
+                       pot_scale: float = 1.0, bool_trees=None,
+                       cursors=None):
     """mapInArrow partition function for the distributed path: each
     partition holds complete salts (repartition("salt") upstream), blobs
     stay Arrow buffers end to end — no pandas object conversion of
     posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
     score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                                      tombstones, required_groups, pot_scale,
-                                     bool_trees)
+                                     bool_trees, cursors)
     prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
     def score_arrow(batches):
@@ -802,7 +808,8 @@ class Index:
                     mode: str = "or",
                     filters: dict | None = None,
                     stats: dict | None = None,
-                    bool_trees: dict | None = None) -> list[tuple]:
+                    bool_trees: dict | None = None,
+                    cursors: dict | None = None) -> list[tuple]:
         """queries: [(query_id, text, k)] -> fully-materialized result rows
         [(query_id, rank, doc_id, score, repo, path)] sorted by
         (query_id, rank) — the serving-layer surface (donkey's Hits
@@ -827,7 +834,9 @@ class Index:
         ``stats``: global corpus-stats override for federated sharded
         search (see _plan_search / plans/sharded.py). ``bool_trees``:
         internal — parsed trees for mode="bool"; use search_rows_bool,
-        which parses query texts and supplies them."""
+        which parses query texts and supplies them. ``cursors``:
+        internal — {query_id: (score, doc_id)} cursor-pagination
+        boundaries; use search_rows_after, which validates them."""
         plan = self._plan_search(queries, mode, filters, stats,
                                  bool_trees=bool_trees)
         if plan is None:
@@ -846,7 +855,8 @@ class Index:
             scorer = _make_group_scorer(qplan, idf_map, mode,
                                         self.range_size, avgdl,
                                         self._tombstones, required,
-                                        pot_scale, plan["trees"])
+                                        pot_scale, plan["trees"],
+                                        cursors)
             cand = self._local_candidates(
                 needed, buckets, scorer,
                 prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES,
@@ -856,7 +866,8 @@ class Index:
                                              self.range_size, self.codec,
                                              avgdl,
                                              self._tombstones_bc, required,
-                                             pot_scale, plan["trees"])
+                                             pot_scale, plan["trees"],
+                                             cursors)
             seg = (self._seg
                    .where(F.col("bucket").isin(buckets)      # dir prune
                           & F.col("term").isin(needed))
@@ -1028,8 +1039,10 @@ class Index:
         retrieval of offset+k rows per query — the industry-standard
         deep-paging cost (Elasticsearch caps from+size at 10k for the
         same reason); this engine inherits the same guidance: paginate
-        UIs, don't bulk-export (use plans/facet_counts.match_ids for
-        "every matching doc" workloads — distributed, rank-free)."""
+        UIs with from+size, walk deep or exhaustive RANKED pages with
+        search_rows_after (constant per-page cost — BENCH/BASELINE.md
+        §Paging), and bulk-export rank-free with
+        plans/facet_counts.match_ids (distributed)."""
         off = int(offset)
         if off < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
@@ -1038,6 +1051,56 @@ class Index:
         big = [(qid, text, int(k) + off) for qid, text, k in queries]
         rows = self.search_rows(big, mode=mode, filters=filters)
         return [(r[0], r[1] - off, *r[2:]) for r in rows if r[1] > off]
+
+    def search_rows_after(self, queries: list[tuple[int, str, int]],
+                          after: dict, mode: str = "or",
+                          filters: dict | None = None) -> list[tuple]:
+        """Cursor pagination (§2.14 T32 — the ES ``search_after`` shape):
+        ``after`` maps query_id -> (score, doc_id), the LAST row of the
+        query's previous page exactly as search_rows emitted it; returns
+        the next k rows per query, re-ranked 1..k in search_rows' result
+        schema. A query absent from ``after`` (or mapped to None) gets
+        its FIRST page. An exhausted ranking returns no rows for that
+        query. The score comparison is exact float equality — engine
+        scores are deterministic and bit-identical across the local and
+        distributed paths, so the boundary doc re-scores to the same
+        double and the page tiling is exact, ties included.
+
+        Scale shape vs search_rows_page: per-page cost is CONSTANT in
+        page depth — candidates stay ≤ k per doc range and the driver
+        merge stays O(Σk), where offset paging retrieves (and merges)
+        offset+k rows per query. The trade: a cursor disables
+        score-threshold (θ) block skipping for that query, since a
+        partially-accumulated score cannot prove a doc will stay under
+        the cursor; presence-based pruning (bucket dirs, term row
+        groups, AND span intersection, facet masks, tombstones) is
+        unaffected. This is the ES guidance verbatim: from+size for
+        shallow UI pages, search_after for deep or exhaustive walks."""
+        cursors: dict[int, tuple[float, int]] = {}
+        qids = {qid for qid, _, _ in queries}
+        for qid, cur in (after or {}).items():
+            if cur is None:
+                continue
+            if qid not in qids:
+                raise ValueError(f"after has unknown query_id {qid!r}")
+            try:
+                cs, cd = cur
+                cursors[qid] = (float(cs), int(cd))
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    f"after[{qid!r}] must be (score, doc_id), got "
+                    f"{cur!r}") from e
+        trees = None
+        if mode == "bool":   # boolean expressions paginate too
+            from ..functions.boolquery import parse_bool_text
+            trees = {qid: parse_bool_text(text) for qid, text, _ in queries}
+        elif mode not in ("or", "and"):
+            raise ValueError(
+                f"search_rows_after supports modes or/and/bool, got "
+                f"{mode!r}")
+        return self.search_rows(queries, mode=mode, filters=filters,
+                                bool_trees=trees,
+                                cursors=cursors or None)
 
     def suggest(self, term: str, k: int = 5,
                 max_dist: int = 2) -> list[tuple[str, int, int]]:

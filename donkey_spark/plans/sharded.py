@@ -116,6 +116,90 @@ def search_rows_sharded(shards, queries: list[tuple[int, str, int]],
     return _merge_ranked(per_shard, {qid: k for qid, _, k in queries})
 
 
+def search_after_sharded(shards, queries: list[tuple[int, str, int]],
+                         after: dict, mode: str = "or",
+                         filters: dict | None = None) -> list[tuple]:
+    """Cursor pagination over the federation (§2.14 T32 —
+    `Index.search_rows_after`'s sharded twin). ``after`` maps
+    query_id -> (score, repo, path): the MERGE ORDERING KEY of the last
+    row of the query's previous federated page (row[4], row[5],
+    row[6]). There is no global doc id in a federation, so the cursor
+    is the (repo, path) identity the merge already breaks ties on —
+    exactly Elasticsearch's "sort values + unique tiebreak field"
+    search_after contract. Returns the next k rows per query in the
+    7-column federated shape, re-ranked 1..k; queries absent from
+    ``after`` get their first page.
+
+    Exactness: every shard runs the kernel's cursor path with a
+    SCORE-ONLY boundary (doc_id floor −1), so a shard keeps its docs
+    tied at the boundary score — those ties are a PREFIX of the
+    shard's filtered ranking (the boundary score is the highest score
+    a post-cursor doc can have), and the driver then applies the full
+    (score, repo, path) predicate before the ordinary ≤ shards·k
+    merge. If a shard came back truncated (returned exactly its k
+    and lost rows to the prefix filter while still under k kept), its
+    k doubles and the query re-runs on that shard — the prefix is
+    finite, so the loop terminates with the shard either exhausted,
+    unfiltered, or holding k genuinely-after rows, any of which makes
+    the merge exact by the standard containment argument. The retry
+    triggers only when distinct (repo, path) docs tie at the exact
+    float64 boundary score — duplicate-content corpora."""
+    ks = {qid: k for qid, _, k in queries}
+    qtext = {qid: text for qid, text, _ in queries}
+    curs: dict[int, tuple[float, str, str]] = {}
+    for qid, cur in (after or {}).items():
+        if qid not in ks:
+            raise ValueError(f"after has unknown query_id {qid!r}")
+        if cur is None:
+            continue
+        try:
+            cs, repo_b, path_b = cur
+            curs[qid] = (float(cs), str(repo_b), str(path_b))
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"after[{qid!r}] must be (score, repo, "
+                             f"path), got {cur!r}") from e
+    if not curs:
+        return search_rows_sharded(shards, queries, mode=mode,
+                                   filters=filters)
+    terms = [t for _, text, _ in queries for t in tokenize_py(text)]
+    stats = global_stats(shards, terms)
+
+    def _after_boundary(qid: int, row: tuple) -> bool:
+        c = curs.get(qid)
+        if c is None:
+            return True
+        _, _, _, sc, repo, path = row
+        cs, rb, pb = c
+        return sc < cs or (sc == cs and (repo, path) > (rb, pb))
+
+    def _shard_rows(idx) -> list[tuple]:
+        pending = dict(ks)
+        got: list[tuple] = []
+        while pending:
+            rows = idx.search_rows(
+                [(q, qtext[q], kk) for q, kk in pending.items()],
+                mode=mode, filters=filters, stats=stats,
+                cursors={q: (curs[q][0], -1) for q in pending
+                         if q in curs} or None)
+            by_q: dict[int, list] = {}
+            for r in rows:
+                by_q.setdefault(r[0], []).append(r)
+            nxt = {}
+            for q, kk in pending.items():
+                rws = by_q.get(q, [])
+                kept = [r for r in rws if _after_boundary(q, r)]
+                if (q in curs and len(rws) == kk and len(kept) < len(rws)
+                        and len(kept) < ks[q]):
+                    nxt[q] = kk * 2     # boundary-tie truncation: widen
+                else:
+                    got.extend(kept[:ks[q]])
+            pending = nxt
+        return got
+
+    per_shard = _fanout(_shard_rows, shards)
+    return _merge_ranked(per_shard, ks)
+
+
 def search_bool_sharded(shards, queries: list[tuple[int, str, int]],
                         filters: dict | None = None) -> list[tuple]:
     """Boolean expressions over the federation (§2.14 T24 —
