@@ -221,10 +221,11 @@ def match_count(index, text: str, mode: str = "or",
     never a scored materialization of the match set."""
     if mode not in ("or", "and"):
         raise ValueError(mode)
-    got_local = match_ids_local(index, text, mode, filters)
-    if got_local is not None:      # within the driver-local budget
-        return int(got_local.size)
-    fgroups = _compile_filters(index, filters)
+    arrs, fgroups = _salt_matches_local(index, text, mode, filters)
+    if arrs is not None:           # within the driver-local budget:
+        # the count needs only the per-salt sizes (salts partition the
+        # id space) — no concat, no sort
+        return int(sum(a.size for a in arrs))
     agg = _count_tag_overlaps(index, text, mode, fgroups,
                               lambda: [], count_total=True)
     if agg is None:
@@ -334,6 +335,56 @@ def _resolve_match_terms(index, text: str, mode: str,
     return live, fgroups, tags
 
 
+def _salt_matches_local(index, text: str, mode: str,
+                        filters: dict | None):
+    """Core of the driver-local match-set path: (per-salt id arrays,
+    compiled fgroups). Arrays is None when the distributed path should
+    run (over the local_bytes budget, or the index is not on a local
+    filesystem — Index zeroes local_bytes then); an empty LIST is a
+    real result (provably empty match set). fgroups are returned even
+    on the None path so the distributed fallback never recompiles the
+    filter spec (a range filter decomposes into up to ~480 trie
+    tags)."""
+    if mode not in ("or", "and"):
+        raise ValueError(mode)
+    fgroups = _compile_filters(index, filters)
+    resolved = _resolve_match_terms(index, text, mode, fgroups)
+    if resolved is None:
+        return [], fgroups
+    live, rgroups, _ = resolved
+    ftags = sorted({t for _, g in rgroups for t in g})
+    dfs = index._lookup_terms(sorted(set(live) | set(ftags)))
+    from .query import _BYTES_PER_POSTING
+    est = sum(dfs.values()) * _BYTES_PER_POSTING
+    if not (0 < est <= index.local_bytes):
+        return None, fgroups
+    import pyarrow.dataset as ds
+    needed = sorted(set(live) | set(ftags))
+    buckets = sorted({term_bucket_py(t, index.n_buckets)
+                      for t in needed})
+    tbl = index._pa_dataset("segments").to_table(
+        columns=["term", "salt", "docids_blob"],
+        filter=ds.field("bucket").isin(buckets)
+        & ds.field("term").isin(needed))
+    if tbl.num_rows == 0:
+        return [], fgroups
+    terms = tbl.column("term").to_pylist()
+    salts = tbl.column("salt").to_pylist()
+    blobs = tbl.column("docids_blob").combine_chunks()
+    per_salt: dict[int, dict[str, list]] = {}
+    for i, (t, s) in enumerate(zip(terms, salts)):
+        per_salt.setdefault(s, {}).setdefault(t, []).append(i)
+    tomb = index._tombstones if index._tombstones.size else None
+    qset, n_q = frozenset(live), len(live)
+    arrs = []
+    for _s, by_term in per_salt.items():
+        m = _salt_match(_salt_ids_fn(by_term, blobs, index.codec),
+                        by_term, qset, n_q, mode == "and", tomb, rgroups)
+        if m.size:
+            arrs.append(m)
+    return arrs, fgroups
+
+
 def match_ids_local(index, text: str, mode: str = "or",
                     filters: dict | None = None) -> np.ndarray | None:
     """Driver-local match ids (sorted int64) when the query's posting
@@ -347,43 +398,9 @@ def match_ids_local(index, text: str, mode: str = "or",
     selective count/sort is ONE bounded pyarrow read instead of a
     Spark job — same cost model (Σ df · bytes/posting ≤ local_bytes)
     as ``_plan_search``."""
-    if mode not in ("or", "and"):
-        raise ValueError(mode)
-    fgroups = _compile_filters(index, filters)
-    resolved = _resolve_match_terms(index, text, mode, fgroups)
-    if resolved is None:
-        return _EMPTY_IDS
-    live, fgroups, _ = resolved
-    ftags = sorted({t for _, g in fgroups for t in g})
-    dfs = index._lookup_terms(sorted(set(live) | set(ftags)))
-    from .query import _BYTES_PER_POSTING
-    est = sum(dfs.values()) * _BYTES_PER_POSTING
-    if not (0 < est <= index.local_bytes):
+    arrs, _ = _salt_matches_local(index, text, mode, filters)
+    if arrs is None:
         return None
-    import pyarrow.dataset as ds
-    needed = sorted(set(live) | set(ftags))
-    buckets = sorted({term_bucket_py(t, index.n_buckets)
-                      for t in needed})
-    tbl = index._pa_dataset("segments").to_table(
-        columns=["term", "salt", "docids_blob"],
-        filter=ds.field("bucket").isin(buckets)
-        & ds.field("term").isin(needed))
-    if tbl.num_rows == 0:
-        return _EMPTY_IDS
-    terms = tbl.column("term").to_pylist()
-    salts = tbl.column("salt").to_pylist()
-    blobs = tbl.column("docids_blob").combine_chunks()
-    per_salt: dict[int, dict[str, list]] = {}
-    for i, (t, s) in enumerate(zip(terms, salts)):
-        per_salt.setdefault(s, {}).setdefault(t, []).append(i)
-    tomb = index._tombstones if index._tombstones.size else None
-    qset, n_q = frozenset(live), len(live)
-    arrs = []
-    for _s, by_term in per_salt.items():
-        m = _salt_match(_salt_ids_fn(by_term, blobs, index.codec),
-                        by_term, qset, n_q, mode == "and", tomb, fgroups)
-        if m.size:
-            arrs.append(m)
     if not arrs:
         return _EMPTY_IDS
     return np.sort(np.concatenate(arrs))   # salts partition id ranges

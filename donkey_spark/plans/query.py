@@ -1079,10 +1079,11 @@ class Index:
         cursors: dict[int, tuple[float, int]] = {}
         qids = {qid for qid, _, _ in queries}
         for qid, cur in (after or {}).items():
+            if qid not in qids:    # before the None skip: a stale qid
+                # is a caller bug whether or not it carries a cursor
+                raise ValueError(f"after has unknown query_id {qid!r}")
             if cur is None:
                 continue
-            if qid not in qids:
-                raise ValueError(f"after has unknown query_id {qid!r}")
             try:
                 cs, cd = cur
                 cursors[qid] = (float(cs), int(cd))

@@ -158,10 +158,21 @@ def search_after_sharded(shards, queries: list[tuple[int, str, int]],
         except (TypeError, ValueError) as e:
             raise ValueError(f"after[{qid!r}] must be (score, repo, "
                              f"path), got {cur!r}") from e
+    trees = None
+    if mode == "bool":     # boolean expressions paginate federated too
+        from ..functions.boolquery import bool_terms, parse_bool_text
+        trees = {qid: parse_bool_text(text) for qid, text, _ in queries}
+        terms = [t for tr in trees.values() for t in bool_terms(tr)]
+    elif mode in ("or", "and"):
+        terms = [t for _, text, _ in queries for t in tokenize_py(text)]
+    else:
+        raise ValueError(f"search_after_sharded supports modes "
+                         f"or/and/bool, got {mode!r}")
     if not curs:
+        if mode == "bool":
+            return search_bool_sharded(shards, queries, filters=filters)
         return search_rows_sharded(shards, queries, mode=mode,
                                    filters=filters)
-    terms = [t for _, text, _ in queries for t in tokenize_py(text)]
     stats = global_stats(shards, terms)
 
     def _after_boundary(qid: int, row: tuple) -> bool:
@@ -179,6 +190,7 @@ def search_after_sharded(shards, queries: list[tuple[int, str, int]],
             rows = idx.search_rows(
                 [(q, qtext[q], kk) for q, kk in pending.items()],
                 mode=mode, filters=filters, stats=stats,
+                bool_trees=trees,
                 cursors={q: (curs[q][0], -1) for q in pending
                          if q in curs} or None)
             by_q: dict[int, list] = {}

@@ -74,12 +74,15 @@ def _rank_rows(rows: list[tuple], descending: bool) -> list[tuple]:
 def _local_key_rows(index, ids, by: str, k: int, descending: bool):
     """The driver-local (doc_id, key) top-k: the sort-key column joined
     to the match ids and pyarrow-sorted (nulls at end, doc_id ties
-    ascending). When the docs table is small enough (n_docs × 16 B
-    within ``local_bytes``) the (doc_id, key) pair is memoized on the
-    Index sorted by doc_id, so each query is one searchsorted + one
-    bounded take instead of a docs-table scan; larger tables fall back
-    to a per-query id-filtered two-column read. Identity columns are
-    NOT read here — the caller fetches (repo, path) for only the top-k
+    ascending). When the docs table is small enough (n_docs × 16 B as
+    the cheap pre-read gate, then the column pair's ACTUAL bytes —
+    string keys can be many times 8 B/doc — both within
+    ``local_bytes``) the (doc_id, key) pair is memoized on the Index
+    sorted by doc_id, so each query is one searchsorted + one bounded
+    take instead of a docs-table scan; an over-budget pair is used for
+    the current query but NOT retained, and larger tables fall back to
+    a per-query id-filtered two-column read. Identity columns are NOT
+    read here — the caller fetches (repo, path) for only the top-k
     through _doc_meta, like ranked search does."""
     import numpy as np
     import pyarrow as pa
@@ -93,9 +96,12 @@ def _local_key_rows(index, ids, by: str, k: int, descending: bool):
             t = index._pa_dataset("docs").to_table(columns=cols)
             did = np.asarray(t["doc_id"], dtype=np.int64)
             pos = np.argsort(did, kind="stable")
-            ent = memo[by] = (
-                did[pos],
-                t.column(by).combine_chunks().take(pa.array(pos)))
+            ent = (did[pos],
+                   t.column(by).combine_chunks().take(pa.array(pos)))
+            # memoize only if the REAL footprint honors the budget the
+            # 16 B/doc estimate promised (wide string keys break it)
+            if ent[0].nbytes + ent[1].nbytes <= index.local_bytes:
+                memo[by] = ent
         all_ids, all_keys = ent
         at = np.searchsorted(all_ids, ids)
         at[at == all_ids.size] = 0            # out-of-range guard...

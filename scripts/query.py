@@ -80,6 +80,18 @@ def main() -> None:
                          "first) instead of BM25 score; respects "
                          "--mode or/and and --filter; works on --index "
                          "and --shards")
+    ap.add_argument("--offset", type=int, default=0,
+                    help="offset pagination: print ranking rows "
+                         "offset+1..offset+k, re-ranked 1..k (the ES "
+                         "from+size shape — deep pages pay offset+k "
+                         "retrieval; --index only, --mode or/and)")
+    ap.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
+                    help="cursor pagination: print the k ranking rows "
+                         "strictly AFTER this cursor — the previous "
+                         "page's last row — at depth-independent cost; "
+                         "on --index the cursor is SCORE:DOC_ID, on "
+                         "--shards SCORE:REPO:PATH (the federated "
+                         "merge ordering key); --mode or/and/bool")
     ap.add_argument("--snippets", default=None, metavar="CORPUS",
                     help="annotate each hit with a context snippet "
                          "fetched from this corpus parquet path "
@@ -128,6 +140,54 @@ def main() -> None:
     filters = parse_filter_specs(a.filter)
     if a.bin_shift is not None and not a.facet_counts:
         ap.error("--bin-shift needs --facet-counts COL")
+    if a.after is not None:
+        if (a.queries or a.phrase or a.facet_counts or a.snippets
+                or a.count or a.sort or a.offset
+                or a.mode == "pattern"):
+            ap.error("--after takes a single --query with --mode "
+                     "or/and/bool and --filter only")
+        if a.shards:
+            from donkey_spark.plans.sharded import (RESULT_SCHEMA,
+                                                    open_shards,
+                                                    search_after_sharded)
+            parts = a.after.split(":", 2)
+            if len(parts) != 3:
+                ap.error("--after with --shards takes SCORE:REPO:PATH")
+            cur = (float(parts[0]), parts[1], parts[2])
+            res = spark.createDataFrame(
+                search_after_sharded(open_shards(spark,
+                                                 a.shards.split(",")),
+                                     batch, {0: cur}, mode=a.mode,
+                                     filters=filters), RESULT_SCHEMA)
+        else:
+            from donkey_spark.plans.query import _RESULT_SCHEMA
+            s, _, d = a.after.partition(":")
+            if not d:
+                ap.error("--after takes SCORE:DOC_ID")
+            res = spark.createDataFrame(
+                idx.search_rows_after(batch, {0: (float(s), int(d))},
+                                      mode=a.mode, filters=filters),
+                _RESULT_SCHEMA)
+        if a.out:
+            res.write.mode("overwrite").parquet(a.out)
+        else:
+            res.show(100, truncate=False)
+        return
+    if a.offset:
+        if (a.shards or a.phrase or a.facet_counts or a.snippets
+                or a.count or a.sort or a.mode not in ("or", "and")):
+            ap.error("--offset works on --index with --mode or/and "
+                     "and --filter only (deep walks: use --after, "
+                     "which is also the federated pager)")
+        from donkey_spark.plans.query import _RESULT_SCHEMA
+        res = spark.createDataFrame(
+            idx.search_rows_page(batch, offset=a.offset, mode=a.mode,
+                                 filters=filters), _RESULT_SCHEMA)
+        if a.out:
+            res.write.mode("overwrite").parquet(a.out)
+        else:
+            res.show(100, truncate=False)
+        return
     if a.sort:
         if (a.queries or a.phrase or a.facet_counts or a.snippets
                 or a.count or a.mode not in ("or", "and")):

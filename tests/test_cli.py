@@ -74,6 +74,20 @@ def test_cli_build_query_delete_roundtrip(cli_corpus):
     assert len(df) == 5 and (df["score"] > 0).all()
     top_ids = df.sort_values("rank")["doc_id"].tolist()
 
+    # pagination: the --after cursor (page 1's last row) and --offset 5
+    # must print the SAME page 2
+    last = df.sort_values("rank").iloc[-1]
+    res2 = str(base / "res2")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "5", "--after", f"{last['score']!r}:{last['doc_id']}",
+          "--out", res2])
+    page_cur = pd.read_parquet(res2).sort_values("rank")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "5", "--offset", "5", "--out", res2])
+    page_off = pd.read_parquet(res2).sort_values("rank")
+    assert page_cur["doc_id"].tolist() == page_off["doc_id"].tolist()
+    assert not set(page_cur["doc_id"]) & set(top_ids)
+
     # every filter form parses and runs
     for filt in (["--filter", "lang=en"],
                  ["--filter", "lang=en,de"],

@@ -92,11 +92,13 @@ def test_cursor_equals_offset_pages(spark, after_setup):
 def test_cursor_composes_with_filters(spark, after_setup):
     from donkey_spark.plans.query import Index
     pdf, out = after_setup
-    idx = Index(spark, out)
     filt = {"lang": pdf["lang"].iloc[0]}
-    full = idx.search_rows([(0, TEXT, 10_000)], filters=filt)
-    walked = _walk(idx, TEXT, 4, filters=filt)
-    assert [(r[2], r[3]) for r in walked] == [(r[2], r[3]) for r in full]
+    for local_bytes in (64 << 20, 0):   # driver-local AND distributed
+        idx = Index(spark, out, local_bytes=local_bytes)
+        full = idx.search_rows([(0, TEXT, 10_000)], filters=filt)
+        walked = _walk(idx, TEXT, 4, filters=filt)
+        assert [(r[2], r[3]) for r in walked] \
+            == [(r[2], r[3]) for r in full], local_bytes
 
 
 def test_cursor_respects_tombstones(spark, after_setup, tmp_path):
@@ -110,22 +112,26 @@ def test_cursor_respects_tombstones(spark, after_setup, tmp_path):
     dead = (spark.read.parquet(f"{out}/docs")
             .where(F.col("doc_id") % 5 == 0).select("doc_id"))
     delete_docs(spark, out, dead)
-    idx = Index(spark, out)
-    full = idx.search_rows([(0, TEXT, 10_000)])
-    assert full and all(r[2] % 5 != 0 for r in full)
-    walked = _walk(idx, TEXT, 6)
-    assert [(r[2], r[3]) for r in walked] == [(r[2], r[3]) for r in full]
+    for local_bytes in (64 << 20, 0):   # driver-local AND distributed
+        idx = Index(spark, out, local_bytes=local_bytes)
+        full = idx.search_rows([(0, TEXT, 10_000)])
+        assert full and all(r[2] % 5 != 0 for r in full)
+        walked = _walk(idx, TEXT, 6)
+        assert [(r[2], r[3]) for r in walked] \
+            == [(r[2], r[3]) for r in full], local_bytes
 
 
 def test_cursor_bool_mode(spark, after_setup):
     from donkey_spark.plans.query import Index
     _, out = after_setup
-    idx = Index(spark, out)
     expr = "def AND (return OR class) AND NOT zzqx"
-    full = idx.search_rows_bool([(0, expr, 10_000)])
-    assert len(full) > 2 * K
-    walked = _walk(idx, expr, K, mode="bool")
-    assert [(r[2], r[3]) for r in walked] == [(r[2], r[3]) for r in full]
+    for local_bytes in (64 << 20, 0):   # driver-local AND distributed
+        idx = Index(spark, out, local_bytes=local_bytes)
+        full = idx.search_rows_bool([(0, expr, 10_000)])
+        assert len(full) > 2 * K
+        walked = _walk(idx, expr, K, mode="bool")
+        assert [(r[2], r[3]) for r in walked] \
+            == [(r[2], r[3]) for r in full], local_bytes
 
 
 def test_after_edge_shapes(spark, after_setup):
@@ -194,3 +200,30 @@ def test_sharded_cursor_walk_equals_unified(spark, after_setup,
         search_after_sharded(shards, [(0, TEXT, 5)], {9: (1.0, "a", "b")})
     with pytest.raises(ValueError):
         search_after_sharded(shards, [(0, TEXT, 5)], {0: (1.0, "a")})
+    with pytest.raises(ValueError):
+        search_after_sharded(shards, [(0, TEXT, 5)],
+                             {0: (1.0, "a", "b")}, mode="phrase")
+
+
+def test_sharded_cursor_bool_mode(spark, after_setup, after_shards):
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import (open_shards,
+                                            search_after_sharded)
+    _, uni_dir = after_setup
+    uni = Index(spark, uni_dir)
+    shards = open_shards(spark, after_shards)
+    expr = "def AND (return OR class) AND NOT zzqx"
+    full = uni.search_rows_bool([(0, expr, 10_000)])
+    want = [(r[4], r[5], round(r[3], 9)) for r in full]
+    walked, cur = [], None
+    for _ in range(1000):
+        page = search_after_sharded(shards, [(0, expr, 5)],
+                                    {0: cur} if cur else {},
+                                    mode="bool")
+        if not page:
+            break
+        walked.extend(page)
+        cur = (page[-1][4], page[-1][5], page[-1][6])
+    got = [(repo, path, round(s, 9))
+           for _, _, _, _, s, repo, path in walked]
+    assert got == want

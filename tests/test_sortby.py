@@ -104,14 +104,15 @@ def test_sorted_respects_filters(spark, sort_setup):
     from donkey_spark.plans.query import Index
     from donkey_spark.plans.sortby import sorted_topk
     _, out, docs = sort_setup
-    idx = Index(spark, out)
     target = docs[0][1]
-    got = sorted_topk(idx, "def return", by="dl", k=10,
-                      filters={"lang": target})
-    exp = _expected(idx, docs, "def return", 0, 10, True, "or",
-                    keep=lambda d: docs[d][1] == target)
-    assert exp and [(rk, d, key)
-                    for rk, d, key, _r, _p in got] == exp
+    for local_bytes in (64 << 20, 0):   # driver-local AND distributed
+        idx = Index(spark, out, local_bytes=local_bytes)
+        got = sorted_topk(idx, "def return", by="dl", k=10,
+                          filters={"lang": target})
+        exp = _expected(idx, docs, "def return", 0, 10, True, "or",
+                        keep=lambda d: docs[d][1] == target)
+        assert exp and [(rk, d, key)
+                        for rk, d, key, _r, _p in got] == exp, local_bytes
 
 
 def test_sorted_excludes_tombstones(spark, sort_setup, tmp_path):
@@ -127,19 +128,23 @@ def test_sorted_excludes_tombstones(spark, sort_setup, tmp_path):
     before = sorted_topk(idx, "def return", by="dl", k=5)
     victim = before[0][1]
     delete_docs(spark, dup, [victim])
-    after = sorted_topk(Index(spark, dup), "def return", by="dl", k=5)
-    assert victim not in [r[1] for r in after]
-    assert [r[1] for r in after][:4] == [r[1] for r in before[1:5]]
+    for local_bytes in (64 << 20, 0):   # driver-local AND distributed
+        after = sorted_topk(Index(spark, dup, local_bytes=local_bytes),
+                            "def return", by="dl", k=5)
+        assert victim not in [r[1] for r in after], local_bytes
+        assert [r[1] for r in after][:4] \
+            == [r[1] for r in before[1:5]], local_bytes
 
 
 def test_sorted_oov_empty_and_bad_column(spark, sort_setup):
     from donkey_spark.plans.query import Index
     from donkey_spark.plans.sortby import sorted_topk
     _, out, _ = sort_setup
-    idx = Index(spark, out)
-    assert sorted_topk(idx, "zzqx", by="dl", k=5) == []
-    with pytest.raises(ValueError, match="sortable"):
-        sorted_topk(idx, "def", by="content", k=5)
+    for local_bytes in (64 << 20, 0):
+        idx = Index(spark, out, local_bytes=local_bytes)
+        assert sorted_topk(idx, "zzqx", by="dl", k=5) == []
+        with pytest.raises(ValueError, match="sortable"):
+            sorted_topk(idx, "def", by="content", k=5)
 
 
 def test_sorted_sharded_equals_unified(spark, sort_setup,
