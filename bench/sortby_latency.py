@@ -95,6 +95,10 @@ def main() -> None:
     out["ranked_batch_s"] = med(lambda: idx.search_rows(qs))
     out["count_each_s"] = med(
         lambda: [match_count(idx, text) for _, text, _ in qs])
+    from donkey_spark.plans.facet_counts import match_stats
+    out["stats_dl_each_s"] = med(
+        lambda: [match_stats(idx, text, by="dl")
+                 for _, text, _ in qs])
     out["sorted_dl_each_s"] = med(lambda: run_sorted("dl"))
     out["sorted_lang_each_s"] = med(lambda: run_sorted("lang"))
     out["sorted_dl_filtered_each_s"] = med(

@@ -1446,6 +1446,85 @@ LEFT JOIN andc ON andc.query_id = grid.query_id
 """
 
 
+def q_match_stats(spark, sf_dir):
+    """r5 §2.14 — stats aggregation over the match set
+    (plans/facet_counts.match_stats, the ES `stats` agg): min / max /
+    sum / count of document length over everything matching each
+    flagship query, under BOTH match modes, WITHOUT materializing the
+    match set. n_docs is the same number match_count reports (same
+    per-salt kernel); the doc-values read is the memoized (doc_id, dl)
+    pair sort-by-field shares within the local budget, a column-pruned
+    docs join above it. avg is rounded Spark-side (F.round, HALF_UP —
+    the same convention every score column uses against DuckDB)."""
+    from .plans.facet_counts import match_stats
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = [(qid, m, *(lambda s: (
+                s["n_docs"], s["n_values"], s["sum"], s["min"],
+                s["max"]))(match_stats(idx, text, by="dl", mode=m)))
+            for m in ("or", "and")
+            for qid, text, _k in BM25_QUERIES]
+    df = spark.createDataFrame(
+        rows, "query_id int, mode string, n_docs long, n_values long, "
+              "sum_dl long, min_dl long, max_dl long")
+    return df.withColumn(
+        "avg_dl",
+        F.when(F.col("n_values") > 0,
+               F.round(F.col("sum_dl") / F.col("n_values"), 6)))
+
+
+def _match_stats_oracle_sql() -> str:
+    """Stats twin: the match_counts match sets joined to the
+    first-principles dl, aggregated; the (query, mode) grid preserves
+    empty match sets as 0-count / NULL-stat rows."""
+    from .functions.tokenize import tokenize_py
+    vals = ",\n  ".join(
+        f"({qid}, '{t}')"
+        for qid, text, _k in BM25_QUERIES
+        for t in sorted(set(tokenize_py(text))))
+    return f"""
+WITH ordered AS (
+  SELECT row_number() OVER (ORDER BY source,
+                            'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS d,
+         text
+  FROM documents
+), base AS (
+  SELECT d, len({_TOKS_SQL})::BIGINT AS dl FROM ordered
+), dd AS (
+  SELECT DISTINCT d, term FROM (
+    SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered)
+), qset(query_id, term) AS (VALUES
+  {vals}
+), qn AS (
+  SELECT query_id, count(DISTINCT term) AS nt FROM qset GROUP BY 1
+), per AS (
+  SELECT q.query_id, dd.d, count(DISTINCT dd.term) AS nm
+  FROM qset q JOIN dd ON dd.term = q.term
+  GROUP BY 1, 2
+), m AS (
+  SELECT 'or' AS mode, query_id, d FROM per
+  UNION ALL
+  SELECT 'and' AS mode, per.query_id, per.d
+  FROM per JOIN qn USING (query_id) WHERE per.nm = qn.nt
+), agg AS (
+  SELECT query_id, mode,
+         count(*)::BIGINT AS n_docs, count(dl)::BIGINT AS n_values,
+         sum(dl)::BIGINT AS sum_dl, min(dl)::BIGINT AS min_dl,
+         max(dl)::BIGINT AS max_dl,
+         round(sum(dl) / count(dl), 6)::DOUBLE AS avg_dl
+  FROM m JOIN base USING (d) GROUP BY 1, 2
+), grid AS (
+  SELECT query_id, 'or' AS mode FROM qn
+  UNION ALL SELECT query_id, 'and' FROM qn
+)
+SELECT grid.query_id, grid.mode,
+       COALESCE(agg.n_docs, 0)::BIGINT AS n_docs,
+       COALESCE(agg.n_values, 0)::BIGINT AS n_values,
+       agg.sum_dl, agg.min_dl, agg.max_dl, agg.avg_dl
+FROM grid LEFT JOIN agg USING (query_id, mode)
+"""
+
+
 def q_sorted_topk(spark, sf_dir):
     """r5 §2.14 — sort-by-field search (plans/sortby.sorted_topk, the
     ES `sort` clause): the flagship query's match set ordered by
@@ -2764,6 +2843,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_facet_backfill": _BM25_FILTERED_ORACLE,
     "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
     "match_counts": _match_counts_oracle_sql(),
+    "match_stats": _match_stats_oracle_sql(),
     "sorted_topk": _sorted_oracle_sql(with_doc_id=True),
     "sorted_topk_sharded": _sorted_oracle_sql(with_doc_id=False),
     "term_suggest": _term_suggest_oracle_sql(),
@@ -2970,6 +3050,7 @@ QUERIES = {
     "bm25_topk_facet_backfill": q_bm25_topk_facet_backfill,
     "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
     "match_counts": q_match_counts,
+    "match_stats": q_match_stats,
     "sorted_topk": q_sorted_topk,
     "sorted_topk_sharded": q_sorted_topk_sharded,
     "term_suggest": q_term_suggest,

@@ -234,6 +234,75 @@ def match_count(index, text: str, mode: str = "or",
     return int(got)
 
 
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint",
+                   "float", "double", "decimal")
+
+
+def match_stats(index, text: str, by: str = "dl", mode: str = "or",
+                filters: dict | None = None) -> dict:
+    """Numeric summary of the match set over a docs metadata column —
+    the ES ``stats`` aggregation (min/max/sum/avg/count of file size,
+    line count, ... over everything matching a query), the number a
+    dashboard or a numeric-slider UI needs WITHOUT materializing the
+    match set. Returns ``{"n_docs", "n_values", "sum", "min", "max",
+    "avg"}``: n_docs is the match-set size (== match_count — same
+    per-salt kernel, same mode/filter grammar, same tombstone mask),
+    n_values counts docs with a non-NULL ``by`` value, and
+    min/max/sum/avg aggregate those (None when n_values is 0, the
+    empty-match or all-NULL case).
+
+    Cost shape mirrors sorted_topk's: within the ``local_bytes``
+    budget, one bounded pyarrow read (the memoized doc-values pair
+    sortby shares) + pyarrow.compute aggregation — zero Spark jobs;
+    over budget, the distributed match-ids frame joins the
+    column-pruned docs table into a single count/sum/min/max agg (one
+    shuffle of int64 ids, the same doc-values read every engine pays,
+    broadcast when selective)."""
+    dtype = dict(index._docs.dtypes).get(by)
+    if dtype is None:
+        raise ValueError(
+            f"cannot aggregate {by!r}: not a docs metadata column "
+            f"(available: {sorted(dict(index._docs.dtypes))})")
+    if not dtype.startswith(_NUMERIC_DTYPES):
+        raise ValueError(
+            f"cannot aggregate {by!r}: column is {dtype}, not numeric")
+    arrs, fgroups = _salt_matches_local(index, text, mode, filters)
+    if arrs is not None:           # driver-local doc-values path
+        n_docs = int(sum(a.size for a in arrs))
+        if n_docs == 0:
+            return {"n_docs": 0, "n_values": 0, "sum": None,
+                    "min": None, "max": None, "avg": None}
+        import pyarrow.compute as pc
+        from .sortby import _local_ids_keys
+        keys = _local_ids_keys(
+            index, np.sort(np.concatenate(arrs)), by)["key"]
+        n_vals = int(pc.count(keys).as_py())
+        if n_vals == 0:
+            return {"n_docs": n_docs, "n_values": 0, "sum": None,
+                    "min": None, "max": None, "avg": None}
+        mm = pc.min_max(keys)
+        s = pc.sum(keys).as_py()
+        return {"n_docs": n_docs, "n_values": n_vals, "sum": s,
+                "min": mm["min"].as_py(), "max": mm["max"].as_py(),
+                "avg": s / n_vals}
+    ids = _match_ids_distributed(index, text, mode, fgroups)
+    if ids is None:
+        return {"n_docs": 0, "n_values": 0, "sum": None,
+                "min": None, "max": None, "avg": None}
+    cols = list(dict.fromkeys(["doc_id", by]))   # by may BE doc_id
+    row = (index._docs.select(*cols)             # column-pruned
+           .join(ids, "doc_id")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.count(by).alias("n_values"),
+                F.sum(by).alias("sum"),
+                F.min(by).alias("min"),
+                F.max(by).alias("max")).collect()[0])
+    n_vals = int(row["n_values"])
+    return {"n_docs": int(row["n_docs"]), "n_values": n_vals,
+            "sum": row["sum"], "min": row["min"], "max": row["max"],
+            "avg": (row["sum"] / n_vals) if n_vals else None}
+
+
 _EMPTY_IDS = np.empty(0, dtype=np.int64)
 
 
@@ -419,10 +488,23 @@ def match_ids(index, text: str, mode: str = "or",
     if mode not in ("or", "and"):
         raise ValueError(mode)
     fgroups = _compile_filters(index, filters)
-    spark = index.spark
+    got = _match_ids_distributed(index, text, mode, fgroups)
+    if got is None:
+        return index.spark.createDataFrame([], "doc_id long")
+    return got
+
+
+def _match_ids_distributed(index, text: str, mode: str,
+                           fgroups) -> DataFrame | None:
+    """``match_ids`` past the filter-spec compilation: the distributed
+    (doc_id) frame from already-compiled presence-tag groups, or None
+    when the match set is provably empty (OOV terms, a dead 'any'
+    group). Split out so ``match_stats``'s over-budget path — which
+    compiled fgroups once in ``_salt_matches_local`` — never pays the
+    range-trie decomposition twice."""
     resolved = _resolve_match_terms(index, text, mode, fgroups)
     if resolved is None:
-        return spark.createDataFrame([], "doc_id long")
+        return None
     live, fgroups, _ = resolved
     ftags = [t for _, g in fgroups for t in g]
 

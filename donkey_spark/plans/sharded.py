@@ -519,6 +519,33 @@ def match_count_sharded(shards, text: str, mode: str = "or",
                for s in shards)
 
 
+def match_stats_sharded(shards, text: str, by: str = "dl",
+                        mode: str = "or",
+                        filters: dict | None = None) -> dict:
+    """Numeric match-set summary over the federation
+    (plans/facet_counts.match_stats's sharded twin). Stats compose
+    exactly because shards partition the corpus: counts and sums add,
+    min/max fold, avg recomputes from the folded sum — one 6-field
+    dict per shard crosses the driver, nothing else."""
+    if not shards:
+        raise ValueError("no shards")
+    from .facet_counts import match_stats
+    per = _fanout(
+        lambda s: match_stats(s, text, by=by, mode=mode,
+                              filters=filters), shards)
+    out = {"n_docs": sum(p["n_docs"] for p in per),
+           "n_values": sum(p["n_values"] for p in per)}
+    vals = [p for p in per if p["n_values"]]
+    if not vals:
+        return {**out, "sum": None, "min": None, "max": None,
+                "avg": None}
+    s = sum(p["sum"] for p in vals)
+    return {**out, "sum": s,
+            "min": min(p["min"] for p in vals),
+            "max": max(p["max"] for p in vals),
+            "avg": s / out["n_values"]}
+
+
 def sorted_topk_sharded(shards, text: str, by: str = "dl", k: int = 10,
                         descending: bool = True, mode: str = "or",
                         filters: dict | None = None) -> list[tuple]:

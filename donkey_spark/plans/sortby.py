@@ -71,23 +71,20 @@ def _rank_rows(rows: list[tuple], descending: bool) -> list[tuple]:
     return [(rk, *r) for rk, r in enumerate(present + absent, start=1)]
 
 
-def _local_key_rows(index, ids, by: str, k: int, descending: bool):
-    """The driver-local (doc_id, key) top-k: the sort-key column joined
-    to the match ids and pyarrow-sorted (nulls at end, doc_id ties
-    ascending). When the docs table is small enough (n_docs × 16 B as
-    the cheap pre-read gate, then the column pair's ACTUAL bytes —
-    string keys can be many times 8 B/doc — both within
-    ``local_bytes``) the (doc_id, key) pair is memoized on the Index
-    sorted by doc_id, so each query is one searchsorted + one bounded
-    take instead of a docs-table scan; an over-budget pair is used for
-    the current query but NOT retained, and larger tables fall back to
-    a per-query id-filtered two-column read. Identity columns are NOT
-    read here — the caller fetches (repo, path) for only the top-k
-    through _doc_meta, like ranked search does."""
+def _local_ids_keys(index, ids, by: str):
+    """Driver-local (doc_id, key) pyarrow table for the match ids —
+    the doc-values read shared by field sorting and stats aggregation.
+    When the docs table is small enough (n_docs × 16 B as the cheap
+    pre-read gate, then the column pair's ACTUAL bytes — string keys
+    can be many times 8 B/doc — both within ``local_bytes``) the pair
+    is memoized on the Index sorted by doc_id, so each query is one
+    searchsorted + one bounded take instead of a docs-table scan; an
+    over-budget pair is used for the current query but NOT retained,
+    and larger tables fall back to a per-query id-filtered two-column
+    read. Identity columns are NOT read here — callers fetch
+    (repo, path) for only their top-k through _doc_meta."""
     import numpy as np
     import pyarrow as pa
-    order = [("key", "descending" if descending else "ascending"),
-             ("doc_id", "ascending")]
     cols = list(dict.fromkeys(["doc_id", by]))   # by may BE doc_id
     if index.n_docs * 16 <= index.local_bytes:
         memo = index.__dict__.setdefault("_sortkey_memo", {})
@@ -107,15 +104,21 @@ def _local_key_rows(index, ids, by: str, k: int, descending: bool):
         at[at == all_ids.size] = 0            # out-of-range guard...
         found = all_ids[at] == ids            # ...masked out here
         at, ids = at[found], ids[found]
-        sub = pa.table({"doc_id": pa.array(ids, pa.int64()),
-                        "key": all_keys.take(pa.array(at))})
-        return sub.sort_by(order).slice(0, k)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "key": all_keys.take(pa.array(at))})
     import pyarrow.dataset as ds
     t = index._pa_dataset("docs").to_table(
         columns=cols, filter=ds.field("doc_id").isin(pa.array(ids)))
-    return (pa.table({"doc_id": t.column("doc_id"),
-                      "key": t.column(by)})
-            .sort_by(order).slice(0, k))
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "key": t.column(by)})
+
+
+def _local_key_rows(index, ids, by: str, k: int, descending: bool):
+    """The driver-local (doc_id, key) top-k: _local_ids_keys
+    pyarrow-sorted (nulls at end, doc_id ties ascending), sliced."""
+    order = [("key", "descending" if descending else "ascending"),
+             ("doc_id", "ascending")]
+    return _local_ids_keys(index, ids, by).sort_by(order).slice(0, k)
 
 
 def sorted_topk(index, text: str, by: str = "dl", k: int = 10,

@@ -64,6 +64,13 @@ def main() -> None:
                     help="print the TOTAL HITS of --query (respecting "
                          "--mode or/and and --filter) instead of "
                          "ranking — works on --index and --shards")
+    ap.add_argument("--stats", default=None, metavar="COL",
+                    help="print a JSON stats aggregation (n_docs, "
+                         "n_values, sum, min, max, avg) of this NUMERIC "
+                         "docs column over --query's FULL match set "
+                         "(respecting --mode or/and and --filter) "
+                         "instead of ranking — works on --index and "
+                         "--shards")
     ap.add_argument("--facet-counts", default=None, metavar="COL",
                     help="instead of top-k rows, print the per-value "
                          "document counts of this facet column over the "
@@ -117,7 +124,7 @@ def main() -> None:
     spark = SparkSession.builder.appName("donkey_query").getOrCreate()
     idx = Index(spark, a.index) if a.index else None
     if a.suggest:
-        if (a.query or a.queries or a.count or a.phrase
+        if (a.query or a.queries or a.count or a.stats or a.phrase
                 or a.facet_counts or a.snippets or a.filter):
             ap.error("--suggest TERM stands alone (optionally -k)")
         if a.shards:
@@ -142,7 +149,7 @@ def main() -> None:
         ap.error("--bin-shift needs --facet-counts COL")
     if a.after is not None:
         if (a.queries or a.phrase or a.facet_counts or a.snippets
-                or a.count or a.sort or a.offset
+                or a.count or a.stats or a.sort or a.offset
                 or a.mode == "pattern"):
             ap.error("--after takes a single --query with --mode "
                      "or/and/bool and --filter only")
@@ -175,7 +182,8 @@ def main() -> None:
         return
     if a.offset:
         if (a.shards or a.phrase or a.facet_counts or a.snippets
-                or a.count or a.sort or a.mode not in ("or", "and")):
+                or a.count or a.stats or a.sort
+                or a.mode not in ("or", "and")):
             ap.error("--offset works on --index with --mode or/and "
                      "and --filter only (deep walks: use --after, "
                      "which is also the federated pager)")
@@ -190,7 +198,7 @@ def main() -> None:
         return
     if a.sort:
         if (a.queries or a.phrase or a.facet_counts or a.snippets
-                or a.count or a.mode not in ("or", "and")):
+                or a.count or a.stats or a.mode not in ("or", "and")):
             ap.error("--sort takes a single --query with --mode or/and "
                      "and --filter only")
         col, _, direction = a.sort.partition(":")
@@ -222,10 +230,11 @@ def main() -> None:
             res.show(100, truncate=False)
         return
     if a.count:
-        if a.queries or a.phrase or a.facet_counts or a.snippets:
+        if a.queries or a.phrase or a.facet_counts or a.snippets \
+                or a.stats:
             ap.error("--count takes a single --query (with --mode/"
                      "--filter) and no --phrase/--facet-counts/"
-                     "--snippets")
+                     "--snippets/--stats")
         if a.mode not in ("or", "and"):
             ap.error("--count supports --mode or/and")
         if a.shards:
@@ -239,6 +248,27 @@ def main() -> None:
             from donkey_spark.plans.facet_counts import match_count
             n = match_count(idx, a.query, mode=a.mode, filters=filters)
         print(n)
+        return
+    if a.stats:
+        if a.queries or a.phrase or a.facet_counts or a.snippets:
+            ap.error("--stats COL takes a single --query (with "
+                     "--mode/--filter) and no --phrase/"
+                     "--facet-counts/--snippets")
+        if a.mode not in ("or", "and"):
+            ap.error("--stats supports --mode or/and")
+        if a.shards:
+            from donkey_spark.plans.sharded import (match_stats_sharded,
+                                                    open_shards)
+            s = match_stats_sharded(open_shards(spark,
+                                                a.shards.split(",")),
+                                    a.query, by=a.stats, mode=a.mode,
+                                    filters=filters)
+        else:
+            from donkey_spark.plans.facet_counts import match_stats
+            s = match_stats(idx, a.query, by=a.stats, mode=a.mode,
+                            filters=filters)
+        import json
+        print(json.dumps(s))
         return
     if a.shards:
         from donkey_spark.plans.sharded import (RESULT_SCHEMA,

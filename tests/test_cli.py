@@ -177,6 +177,21 @@ def test_cli_facet_counts_snippets_upsert(cli_corpus):
     assert fdf2.to_dict() == {v: c for v, c in full.to_dict().items()
                               if v in langs}
 
+    # --stats: JSON numeric aggregation over the SAME match set (every
+    # gen_corpus doc has a lang, so the histogram total is the match
+    # count) — filtered form rides the same --filter grammar
+    out = _run(["scripts/query.py", "--index", idx, "--query",
+                "def return", "--stats", "dl"])
+    s = json.loads(out.strip().splitlines()[-1])
+    assert s["n_docs"] == s["n_values"] == int(full.sum())
+    assert s["min"] <= s["avg"] <= s["max"] \
+        and s["avg"] == s["sum"] / s["n_values"]
+    out = _run(["scripts/query.py", "--index", idx, "--query",
+                "def return", "--stats", "dl",
+                "--filter", f"lang={langs[0]}"])
+    sf = json.loads(out.strip().splitlines()[-1])
+    assert sf["n_docs"] == int(full[langs[0]]) and sf["sum"] < s["sum"]
+
     sres = str(base / "snips")
     _run(["scripts/query.py", "--index", idx, "--query", "def return",
           "-k", "5", "--snippets", str(base / "corpus.parquet"),

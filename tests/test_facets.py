@@ -657,3 +657,64 @@ def test_pagination_tiles_the_full_ranking(spark, facet_setup):
     assert page2 == [(r[0], r[1] - 10, *r[2:]) for r in ffull[10:20]]
     with pytest.raises(ValueError, match="offset"):
         idx.search_rows_page(qs, offset=-1)
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_match_stats_equals_bruteforce(spark, facet_setup, mode):
+    """match_stats aggregates EXACTLY the docs an unbounded search
+    would rank — brute-forced from the engine's own (oracle-certified)
+    ranking plus the docs parquet — on both the driver-local pyarrow
+    path and the distributed join path, across filters and deletions."""
+    from donkey_spark.plans.delete import clear_tombstones, delete_docs
+    from donkey_spark.plans.facet_counts import match_stats
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    dl = {r["doc_id"]: r["dl"] for r in
+          spark.read.parquet(f"{faceted}/docs").collect()}
+    text = "def return class"
+    langs = sorted(set(lang.values()))[:2]
+
+    def want(idx, filt):
+        ids = [r[2] for r in idx.search_rows(
+            [(0, text, idx.n_docs)], mode=mode, filters=filt)]
+        vals = [dl[d] for d in ids]
+        if not vals:
+            return {"n_docs": 0, "n_values": 0, "sum": None,
+                    "min": None, "max": None, "avg": None}
+        return {"n_docs": len(ids), "n_values": len(vals),
+                "sum": sum(vals), "min": min(vals), "max": max(vals),
+                "avg": sum(vals) / len(vals)}
+
+    # 64MB budget -> driver-local pyarrow; 0 -> distributed ids+join
+    for local_bytes in (64 << 20, 0):
+        idx = Index(spark, faceted, local_bytes=local_bytes)
+        for filt in (None, {"lang": langs[0]}, {"lang": langs},
+                     {"lang": {"not": langs}}):
+            got = match_stats(idx, text, by="dl", mode=mode,
+                              filters=filt)
+            assert got == want(idx, filt), (local_bytes, filt)
+        # by may BE doc_id (the column-pair dedupe edge)
+        got = match_stats(idx, text, by="doc_id", mode=mode)
+        assert got["n_docs"] == got["n_values"] \
+            and got["max"] >= got["min"], got
+        # empty match set
+        assert match_stats(idx, "zz_totally_oov", by="dl",
+                           mode=mode)["n_docs"] == 0
+        # non-numeric / unknown columns raise
+        with pytest.raises(ValueError, match="not numeric"):
+            match_stats(idx, text, by="repo")
+        with pytest.raises(ValueError, match="metadata column"):
+            match_stats(idx, text, by="nope")
+
+    # tombstoned docs leave the aggregate (same mask as search)
+    idx = Index(spark, faceted)
+    base = match_stats(idx, text, by="dl", mode=mode)
+    victims = [r[2] for r in idx.search_rows([(0, text, 3)], mode=mode)]
+    delete_docs(spark, faceted, victims)
+    try:
+        got = match_stats(Index(spark, faceted), text, by="dl",
+                          mode=mode)
+        assert got["n_docs"] == base["n_docs"] - len(victims)
+        assert got["sum"] == base["sum"] - sum(dl[d] for d in victims)
+    finally:
+        clear_tombstones(spark, faceted)

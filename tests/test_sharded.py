@@ -436,6 +436,28 @@ def test_sharded_match_count_sums_exactly(spark, sh_setup):
     assert match_count_sharded(shards, "zz_totally_oov") == 0
 
 
+def test_sharded_match_stats_folds_exactly(spark, sh_setup):
+    """Federated stats agg ≡ the unified index's: counts and sums add,
+    min/max fold, avg recomputes — shards partition the corpus."""
+    from donkey_spark.plans.facet_counts import match_stats
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import match_stats_sharded
+    uni_dir, parts, pdf = sh_setup
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d) for d in parts]
+    text = "def return"
+    lang0 = sorted(set(pdf["lang"]))[0]
+    for mode, filt in (("or", None), ("and", None),
+                       ("or", {"lang": lang0}),
+                       ("and", {"lang": {"not": [lang0]}})):
+        want = match_stats(uni, text, by="dl", mode=mode, filters=filt)
+        got = match_stats_sharded(shards, text, by="dl", mode=mode,
+                                  filters=filt)
+        assert got == want and want["n_docs"] > 0, (mode, filt)
+    empty = match_stats_sharded(shards, "zz_totally_oov")
+    assert empty["n_docs"] == 0 and empty["sum"] is None
+
+
 def test_sharded_suggest_matches_unified(spark, sh_setup):
     """Federated did-you-mean ≡ the unified index's: uncapped per-shard
     candidates, dfs summed, ranked once globally."""
