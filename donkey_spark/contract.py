@@ -122,6 +122,19 @@ BM25_BOOL_QUERIES: list[tuple[int, str, int]] = [
     (6, "sort AND NOT NOT value", 10),
 ]
 
+#: boosted query set (§2.14 — the Lucene term^W knob,
+#: functions/boosts.py): up- and down-weights that REORDER the flagship
+#: rankings, a duplicate atom certifying the largest-wins rule, a
+#: fractional weight, and a boost on an OOV term (weight on a term
+#: nobody has must change nothing — it drops with the term).
+BM25_BOOST_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spark^2 join filter", 10),
+    (1, "group sort^0.25 merge", 10),
+    (2, "customer^3 row^0.5", 10),
+    (3, "window^2 window", 10),
+    (4, "stream^1.5 batch value^0.5 zz_oov_token^9", 10),
+]
+
 #: fuzzy-pattern query set (§2.14 T23) — each ~D atom expands via edit
 #: distance over the dictionary (engine: banded DP / Spark levenshtein;
 #: oracle: DuckDB levenshtein). `dup~1` hits the rare tail term, and
@@ -593,6 +606,40 @@ def q_bm25_topk_after(spark, sf_dir):
     # query is empty — matching semantics
     rows = [r for r in rows if r[0] in after]
     return _rank_rows(spark, rows)
+
+
+def q_bm25_topk_boosted(spark, sf_dir):
+    """r5 §2.14 — per-term boosted queries (Index.search_rows_boosted,
+    the Lucene ``term^W`` knob): each term's BM25 contribution scales
+    by its weight, applied inside the kernel by scaling the term's idf
+    so block-max pruning potentials scale with it (skips stay safe —
+    functions/boosts.py). The DuckDB twin multiplies the SAME weights
+    into its from-first-principles per-term sum (weighted qset), so
+    the pair certifies the whole boosted ranking, reordered rows,
+    fractional weights, the largest-wins duplicate rule, and the
+    boosted-OOV no-op."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    return _rank_rows(spark, idx.search_rows_boosted(BM25_BOOST_QUERIES))
+
+
+def q_bm25_topk_boosted_sharded(spark, sf_dir):
+    """r5 §2.14 — boosted queries over the federation
+    (plans/sharded.search_boosted_sharded): global-stats idf × the same
+    per-term weights in every shard ⇒ scores equal the unified boosted
+    index's exactly; compared against the SAME weighted oracle mapped
+    to (repo, path) identity like every federated pair."""
+    from .plans.query import Index
+    from .plans.sharded import RESULT_SCHEMA, search_boosted_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = search_boosted_sharded(shards, BM25_BOOST_QUERIES)
+    df = spark.createDataFrame(rows, RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "repo", "path"))
 
 
 def q_bm25_topk_delete_query(spark, sf_dir):
@@ -2070,7 +2117,8 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
                      pre_cte: str = "",
                      ordered_sql: str = _ORDERED_SQL,
                      qset_sql: str | None = None,
-                     page_offset: int = 0) -> str:
+                     page_offset: int = 0,
+                     weighted: bool = False) -> str:
     """From-first-principles DuckDB BM25 over the documents view for the
     given query set; conjunctive=True keeps only docs matched by EVERY
     query term (HAVING count = per-query term count); deleted_pred (a
@@ -2086,8 +2134,14 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
     engine's position verification). Containment is a delimited
     substring test over the space-joined token stream: §T tokens
     contain no spaces, so `' w1 w2 ' ⊆ ' '||join(toks,' ')||' '` holds
-    iff the tokens occur consecutively."""
+    iff the tokens occur consecutively.
+
+    weighted=True (boosted pairs): ``qset_sql`` must supply a fourth
+    ``w`` column (see _boost_qset_sql) and each term's contribution is
+    multiplied by it — the oracle's arithmetic twin of the engine's
+    idf-scaling boost."""
     assert not (deleted_pred and keep_sql)
+    assert not (weighted and qset_sql is None)
     if deleted_pred:
         keep_sql = f"NOT ({deleted_pred})"
     from .functions.tokenize import tokenize_py
@@ -2135,7 +2189,7 @@ WITH {pre_cte}ordered AS (
   SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1
 ), {qset_block}{qn_cte}{phrase_cte}, scored AS (
   SELECT q.query_id, q.k, dt.d AS doc_id,
-         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         sum( {"q.w * " if weighted else ""}ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
               * dt.tf * 2.2
               / (dt.tf + 1.2 * (1 - 0.75 + 0.75 * dl2.dl / s.avgdl)) )
          AS score
@@ -2221,6 +2275,24 @@ def _bool_qset_sql(queries: list[tuple[int, str, int]]) -> str:
 )"""
 
 
+def _boost_qset_sql(queries: list[tuple[int, str, int]]) -> str:
+    """The weighted qset for boosted pairs: the SAME ``term^W`` parse
+    the engine runs (functions/boosts.parse_boost_text — largest-wins
+    duplicates, implicit 1.0) rendered as a fourth VALUES column; the
+    oracle's scoring arithmetic then applies the weights independently
+    (``weighted=True`` multiplies them into the per-term sum)."""
+    from .functions.boosts import parse_boost_text
+    rows = []
+    for qid, text, k in queries:
+        terms, bw = parse_boost_text(text)
+        rows.extend(f"({qid}, '{t}', {k}, {float(bw.get(t, 1.0))!r})"
+                    for t in terms)
+    vals = ",\n  ".join(rows)
+    return f"""qset(query_id, term, k, w) AS (VALUES
+  {vals}
+)"""
+
+
 def _bool_keep_sql(queries: list[tuple[int, str, int]]) -> str:
     """Per-query boolean match predicate over the scored candidates:
     tree_to_sql renders THE SAME parsed tree the engine masks with,
@@ -2280,6 +2352,10 @@ _BM25_BOOL_ORACLE = _bm25_oracle_sql(
     keep_sql=_bool_keep_sql(BM25_BOOL_QUERIES),
     qset_sql=_bool_qset_sql(BM25_BOOL_QUERIES))
 _BM25_BOOL_SHARDED_ORACLE = _sharded_wrap(_BM25_BOOL_ORACLE)
+_BM25_BOOST_ORACLE = _bm25_oracle_sql(
+    BM25_BOOST_QUERIES,
+    qset_sql=_boost_qset_sql(BM25_BOOST_QUERIES), weighted=True)
+_BM25_BOOST_SHARDED_ORACLE = _sharded_wrap(_BM25_BOOST_ORACLE)
 _BM25_DELETED_ORACLE = _bm25_oracle_sql(BM25_QUERIES,
                                         deleted_pred="doc_id % 7 = 0")
 #: page-2 twin: rank 11..20 of the same ranking, re-numbered 1..10
@@ -2804,6 +2880,8 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_prefix_sharded": _BM25_PREFIX_SHARDED_ORACLE,
     "bm25_topk_bool": _BM25_BOOL_ORACLE,
     "bm25_topk_bool_sharded": _BM25_BOOL_SHARDED_ORACLE,
+    "bm25_topk_boosted": _BM25_BOOST_ORACLE,
+    "bm25_topk_boosted_sharded": _BM25_BOOST_SHARDED_ORACLE,
     "bm25_topk_deleted": _BM25_DELETED_ORACLE,
     "bm25_topk_delete_query": _BM25_DELETE_QUERY_ORACLE,
     "bm25_topk_page2": _BM25_PAGE2_ORACLE,
@@ -3007,6 +3085,8 @@ QUERIES = {
     "bm25_topk_prefix_sharded": q_bm25_topk_prefix_sharded,
     "bm25_topk_bool": q_bm25_topk_bool,
     "bm25_topk_bool_sharded": q_bm25_topk_bool_sharded,
+    "bm25_topk_boosted": q_bm25_topk_boosted,
+    "bm25_topk_boosted_sharded": q_bm25_topk_boosted_sharded,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_delete_query": q_bm25_topk_delete_query,
     "bm25_topk_page2": q_bm25_topk_page2,

@@ -234,8 +234,8 @@ def match_count(index, text: str, mode: str = "or",
     return int(got)
 
 
-_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint",
-                   "float", "double", "decimal")
+_NUMERIC_DTYPES = frozenset(
+    ("tinyint", "smallint", "int", "bigint", "float", "double"))
 
 
 def match_stats(index, text: str, by: str = "dl", mode: str = "or",
@@ -263,7 +263,9 @@ def match_stats(index, text: str, by: str = "dl", mode: str = "or",
         raise ValueError(
             f"cannot aggregate {by!r}: not a docs metadata column "
             f"(available: {sorted(dict(index._docs.dtypes))})")
-    if not dtype.startswith(_NUMERIC_DTYPES):
+    # exact names + the parameterized decimal(p,s) — a bare prefix test
+    # would also accept "interval day to second" via "int"
+    if not (dtype in _NUMERIC_DTYPES or dtype.startswith("decimal(")):
         raise ValueError(
             f"cannot aggregate {by!r}: column is {dtype}, not numeric")
     arrs, fgroups = _salt_matches_local(index, text, mode, filters)

@@ -94,7 +94,7 @@ def _eval_bool_mask(tree, by_term, base, size, avgdl, cache):
 def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                        tombstones=None, required_groups=None,
                        pot_scale: float = 1.0, bool_trees=None,
-                       cursors=None):
+                       cursors=None, boosts=None):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results.
@@ -113,7 +113,12 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
     admits a doc without one. ``cursors`` ({qid: (score, doc_id)},
     cursor pagination — see Index.search_rows_after): per query, only
     docs strictly after the cursor in ranking order may rank; the
-    kernels disable score-threshold block skipping for such queries."""
+    kernels disable score-threshold block skipping for such queries.
+    ``boosts`` ({qid: {term: w}}, w > 0 — functions/boosts.py): a
+    query's term scores as w·idf·tf_part, applied by scaling the
+    TermBlocks idf, so the kernel's block-max potentials (derived from
+    the same idf) scale with it and every skip stays a safe
+    upper-bound test; boost 1.0 / absent is bit-identical to before."""
     import numpy as np
 
     def score_group(salt: int, by_term: dict[str, list[dict]],
@@ -162,7 +167,9 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
             {} if bool_trees else None)
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in qplan:
-            tbs = [TermBlocks(idf_map[t], by_term[t], pot_scale)
+            bw = boosts.get(qid) if boosts else None
+            tbs = [TermBlocks(idf_map[t] * (bw.get(t, 1.0) if bw else 1.0),
+                              by_term[t], pot_scale)
                    for t in terms if t in by_term]
             if not tbs:
                 continue
@@ -275,14 +282,14 @@ def _score_block_table(tbl, score_group, codec: str, avgdl: float,
 def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
                        tombstones=None, required_groups=None,
                        pot_scale: float = 1.0, bool_trees=None,
-                       cursors=None):
+                       cursors=None, boosts=None):
     """mapInArrow partition function for the distributed path: each
     partition holds complete salts (repartition("salt") upstream), blobs
     stay Arrow buffers end to end — no pandas object conversion of
     posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
     score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                                      tombstones, required_groups, pot_scale,
-                                     bool_trees, cursors)
+                                     bool_trees, cursors, boosts)
     prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
     def score_arrow(batches):
@@ -809,7 +816,8 @@ class Index:
                     filters: dict | None = None,
                     stats: dict | None = None,
                     bool_trees: dict | None = None,
-                    cursors: dict | None = None) -> list[tuple]:
+                    cursors: dict | None = None,
+                    boosts: dict | None = None) -> list[tuple]:
         """queries: [(query_id, text, k)] -> fully-materialized result rows
         [(query_id, rank, doc_id, score, repo, path)] sorted by
         (query_id, rank) — the serving-layer surface (donkey's Hits
@@ -836,7 +844,13 @@ class Index:
         internal — parsed trees for mode="bool"; use search_rows_bool,
         which parses query texts and supplies them. ``cursors``:
         internal — {query_id: (score, doc_id)} cursor-pagination
-        boundaries; use search_rows_after, which validates them."""
+        boundaries; use search_rows_after, which validates them.
+        ``boosts`` ({query_id: {term: w}}, every w > 0): per-term
+        relevance weights — the query's term scores w·idf·tf_part (see
+        functions/boosts.py; search_rows_boosted parses the ``term^w``
+        text syntax into this)."""
+        from ..functions.boosts import validate_boosts
+        validate_boosts(boosts, "search_rows")
         plan = self._plan_search(queries, mode, filters, stats,
                                  bool_trees=bool_trees)
         if plan is None:
@@ -856,7 +870,7 @@ class Index:
                                         self.range_size, avgdl,
                                         self._tombstones, required,
                                         pot_scale, plan["trees"],
-                                        cursors)
+                                        cursors, boosts)
             cand = self._local_candidates(
                 needed, buckets, scorer,
                 prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES,
@@ -867,7 +881,7 @@ class Index:
                                              avgdl,
                                              self._tombstones_bc, required,
                                              pot_scale, plan["trees"],
-                                             cursors)
+                                             cursors, boosts)
             seg = (self._seg
                    .where(F.col("bucket").isin(buckets)      # dir prune
                           & F.col("term").isin(needed))
@@ -964,6 +978,29 @@ class Index:
         trees = {qid: parse_bool_text(text) for qid, text, _ in queries}
         return self.search_rows(queries, mode="bool", filters=filters,
                                 stats=stats, bool_trees=trees)
+
+    def search_rows_boosted(self, queries: list[tuple[int, str, int]],
+                            mode: str = "or",
+                            filters: dict | None = None,
+                            stats: dict | None = None) -> list[tuple]:
+        """Per-term boosted queries (§2.14 — the Lucene ``term^2.5``
+        relevance knob): each query text may weight atoms with a
+        trailing ``^W`` (W a positive decimal), e.g.
+        ``"wand^2 block max^0.5"`` — that term's BM25 contribution is
+        multiplied by W. Parsing, the largest-wins duplicate rule, and
+        why pruning stays exact live in functions/boosts.py. ``mode``
+        or/and and ``filters`` compose exactly as on search_rows; an
+        all-unweighted text is bit-identical to the plain query."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"search_rows_boosted supports modes "
+                             f"or/and, got {mode!r}")
+        from ..functions.boosts import parse_boost_text
+        parsed = {qid: parse_boost_text(text) for qid, text, _ in queries}
+        boosts = {qid: bw for qid, (_, bw) in parsed.items() if bw}
+        return self.search_rows(
+            [(qid, parsed[qid][0], k) for qid, _, k in queries],
+            mode=mode, filters=filters, stats=stats,
+            boosts=boosts or None)
 
     def search_rows_mixed(self, specs: list[tuple]) -> list[tuple]:
         """Serving-loop surface for a batch with PER-QUERY modes/filters:

@@ -305,6 +305,32 @@ def search_pattern_sharded(shards, queries: list[tuple[int, str, int]],
     return _merge_ranked(per_shard, {qid: k for qid, _, k in queries})
 
 
+def search_boosted_sharded(shards, queries: list[tuple[int, str, int]],
+                           mode: str = "or",
+                           filters: dict | None = None) -> list[tuple]:
+    """Per-term boosted queries over the federation
+    (`Index.search_rows_boosted`'s sharded twin — ``term^W`` atoms in
+    each query text, functions/boosts.py grammar). Boosts scale each
+    term's idf IDENTICALLY in every shard, and idf here comes from the
+    shared global stats, so federated boosted scores equal a unified
+    index's exactly — the same containment argument as plain federated
+    search, weights riding along."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"search_boosted_sharded supports modes "
+                         f"or/and, got {mode!r}")
+    from ..functions.boosts import parse_boost_text
+    parsed = {qid: parse_boost_text(text) for qid, text, _ in queries}
+    boosts = {qid: bw for qid, (_, bw) in parsed.items() if bw}
+    tqueries = [(qid, parsed[qid][0], k) for qid, _, k in queries]
+    stats = global_stats(shards, [t for ts, _ in parsed.values()
+                                  for t in ts])
+    per_shard = _fanout(
+        lambda idx: idx.search_rows(tqueries, mode=mode, filters=filters,
+                                    stats=stats, boosts=boosts or None),
+        shards)
+    return _merge_ranked(per_shard, {qid: k for qid, _, k in queries})
+
+
 def open_shards(spark, index_dirs: list[str], **index_opts) -> list:
     """Convenience: Index objects over a list of shard dirs."""
     from .query import Index

@@ -56,6 +56,12 @@ def main() -> None:
                          "column (either bound may be omitted; COL!=LO..HI "
                          "negates); index must be built with --facets / "
                          "--range-facets")
+    ap.add_argument("--boost", action="store_true",
+                    help="parse trailing ^W weights on query atoms "
+                         "(term^2, term^0.5 — W a positive decimal): "
+                         "that term's BM25 contribution is multiplied "
+                         "by W; works on --index and --shards with "
+                         "--mode or/and, --filter and --queries")
     ap.add_argument("--suggest", default=None, metavar="TERM",
                     help="print did-you-mean suggestions for TERM "
                          "(top -k by distance then df) instead of "
@@ -117,6 +123,14 @@ def main() -> None:
         # stack — refuse the combination at the argparse level instead
         ap.error(f"--mode {a.mode} composes with --filter only, not "
                  "--facet-counts/--snippets/--phrase")
+    if a.boost and (a.phrase or a.facet_counts or a.snippets or a.count
+                    or a.stats or a.sort or a.offset or a.after
+                    or a.mode not in ("or", "and")):
+        # later branches dispatch on those flags first and would
+        # silently drop the ^W weights — refuse instead (argparse-cheap,
+        # before Spark starts)
+        ap.error("--boost composes with --mode or/and, --filter and "
+                 "--queries only")
 
     from pyspark.sql import SparkSession
     from donkey_spark.plans.query import Index
@@ -125,7 +139,7 @@ def main() -> None:
     idx = Index(spark, a.index) if a.index else None
     if a.suggest:
         if (a.query or a.queries or a.count or a.stats or a.phrase
-                or a.facet_counts or a.snippets or a.filter):
+                or a.facet_counts or a.snippets or a.filter or a.boost):
             ap.error("--suggest TERM stands alone (optionally -k)")
         if a.shards:
             from donkey_spark.plans.sharded import (open_shards,
@@ -318,6 +332,12 @@ def main() -> None:
                     open_shards(spark, a.shards.split(",")), batch,
                     filters=filters),
                 RESULT_SCHEMA)
+        elif a.boost:
+            from donkey_spark.plans.sharded import search_boosted_sharded
+            res = spark.createDataFrame(
+                search_boosted_sharded(
+                    open_shards(spark, a.shards.split(",")), batch,
+                    mode=a.mode, filters=filters), RESULT_SCHEMA)
         else:
             res = search_sharded(spark, a.shards.split(","), batch,
                                  mode=a.mode, filters=filters)
@@ -358,6 +378,11 @@ def main() -> None:
         from donkey_spark.plans.query import _RESULT_SCHEMA
         res = spark.createDataFrame(
             idx.search_rows_bool(batch, filters=filters), _RESULT_SCHEMA)
+    elif a.boost:
+        from donkey_spark.plans.query import _RESULT_SCHEMA
+        res = spark.createDataFrame(
+            idx.search_rows_boosted(batch, mode=a.mode, filters=filters),
+            _RESULT_SCHEMA)
     else:
         res = idx.search_batch(batch, mode=a.mode, filters=filters)
     if a.out:

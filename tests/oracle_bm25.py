@@ -55,14 +55,18 @@ class OracleIndex:
         df = len(self.postings.get(term, ()))
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def search(self, query: str, k: int) -> list[tuple[int, int, float]]:
-        """→ [(rank, doc_id, score)] ordered by (score desc, doc_id asc)."""
+    def search(self, query: str, k: int,
+               boosts: dict[str, float] | None = None
+               ) -> list[tuple[int, int, float]]:
+        """→ [(rank, doc_id, score)] ordered by (score desc, doc_id asc).
+        ``boosts`` ({term: w}): the term's contribution is w·idf·part —
+        the per-term boost twin (functions/boosts.py semantics)."""
         acc: dict[int, float] = {}
         for term in sorted(set(tokenize(query))):
             plist = self.postings.get(term)
             if not plist:
                 continue
-            w = self.idf(term)
+            w = self.idf(term) * (boosts.get(term, 1.0) if boosts else 1.0)
             for doc_id, tf in plist:
                 dl = self.dl[doc_id]
                 part = tf * (BM25_K1 + 1.0) / (
@@ -71,7 +75,9 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
 
-    def search_and(self, query: str, k: int) -> list[tuple[int, int, float]]:
+    def search_and(self, query: str, k: int,
+                   boosts: dict[str, float] | None = None
+                   ) -> list[tuple[int, int, float]]:
         """Conjunctive twin of search(): only docs containing EVERY query
         term score; a query with any unindexed term matches nothing."""
         terms = sorted(set(tokenize(query)))
@@ -80,7 +86,7 @@ class OracleIndex:
         acc: dict[int, float] = {}
         hit: dict[int, int] = {}
         for term in terms:
-            w = self.idf(term)
+            w = self.idf(term) * (boosts.get(term, 1.0) if boosts else 1.0)
             for doc_id, tf in self.postings[term]:
                 dl = self.dl[doc_id]
                 part = tf * (BM25_K1 + 1.0) / (

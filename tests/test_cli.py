@@ -105,6 +105,24 @@ def test_cli_build_query_delete_roundtrip(cli_corpus):
     bdf = pd.read_parquet(res)
     assert len(bdf) >= 1 and (bdf["score"] > 0).all()
 
+    # per-term boosting end to end: ^9 on a term must reorder the page
+    # (equality with the unboosted ranking would mean the weights were
+    # dropped); --boost with a ranking-incompatible flag is an
+    # argparse-level error
+    _run(["scripts/query.py", "--index", idx, "--query",
+          "def return^9", "-k", "5", "--boost", "--out", res])
+    boosted = pd.read_parquet(res).sort_values("rank")
+    assert (boosted["score"] > 0).all()
+    # every ranked doc matches the query, so every score carries the
+    # 9x return component — the score SETS cannot coincide
+    assert (set(zip(boosted["doc_id"], boosted["score"]))
+            != set(zip(df["doc_id"], df["score"])))
+    bad = subprocess.run(
+        [sys.executable, "scripts/query.py", "--index", idx, "--query",
+         "def^2", "--boost", "--phrase"],
+        capture_output=True, text=True, cwd=ROOT, timeout=120)
+    assert bad.returncode == 2 and "--boost composes" in bad.stderr
+
     out = _run(["scripts/delete_docs.py", "--index", idx,
                 "--ids", f"{top_ids[0]},{top_ids[1]}"])
     assert "tombstones: 2" in out
