@@ -1520,6 +1520,87 @@ def q_match_stats(spark, sf_dir):
                F.round(F.col("sum_dl") / F.col("n_values"), 6)))
 
 
+_PCT_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_match_percentiles(spark, sf_dir):
+    """r5 §2.14 — EXACT percentiles over the match set
+    (plans/facet_counts.match_percentiles, the ES `percentiles` agg):
+    the p25/p50/p75/p95 of document length over everything matching
+    each flagship query, under BOTH match modes, without
+    materializing the match set — linear interpolation at rank
+    q·(n−1), the convention numpy, Spark's exact `percentile` and
+    DuckDB's `quantile_cont` share, which is what lets the twin be
+    value-exact. Empty/OOV match sets surface as 0-count NULL rows
+    through the same grid as the stats pair."""
+    from .plans.facet_counts import match_percentiles
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = []
+    for m in ("or", "and"):
+        for qid, text, _k in BM25_QUERIES:
+            s = match_percentiles(idx, text, by="dl", qs=_PCT_QS, mode=m)
+            rows.append((qid, m, s["n_docs"], s["n_values"],
+                         *(s["percentiles"][q] for q in _PCT_QS)))
+    df = spark.createDataFrame(
+        rows, "query_id int, mode string, n_docs long, n_values long, "
+              "p25 double, p50 double, p75 double, p95 double")
+    return df.select("query_id", "mode", "n_docs", "n_values",
+                     *[F.round(F.col(c), 6).alias(c)
+                       for c in ("p25", "p50", "p75", "p95")])
+
+
+def _match_percentiles_oracle_sql() -> str:
+    """Percentiles twin: the match_stats oracle's match sets joined to
+    the first-principles dl, aggregated with quantile_cont; the
+    (query, mode) grid preserves empty match sets as 0-count/NULL
+    rows."""
+    from .functions.tokenize import tokenize_py
+    vals = ",\n  ".join(
+        f"({qid}, '{t}')"
+        for qid, text, _k in BM25_QUERIES
+        for t in sorted(set(tokenize_py(text))))
+    pcols = ",\n         ".join(
+        f"round(quantile_cont(dl, {q}), 6)::DOUBLE AS p{int(q * 100)}"
+        for q in _PCT_QS)
+    return f"""
+WITH ordered AS (
+  {_ORDERED_SQL}
+), base AS (
+  SELECT d, len({_TOKS_SQL})::BIGINT AS dl FROM ordered
+), dd AS (
+  SELECT DISTINCT d, term FROM (
+    SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered)
+), qset(query_id, term) AS (VALUES
+  {vals}
+), qn AS (
+  SELECT query_id, count(DISTINCT term) AS nt FROM qset GROUP BY 1
+), per AS (
+  SELECT q.query_id, dd.d, count(DISTINCT dd.term) AS nm
+  FROM qset q JOIN dd ON dd.term = q.term
+  GROUP BY 1, 2
+), m AS (
+  SELECT 'or' AS mode, query_id, d FROM per
+  UNION ALL
+  SELECT 'and' AS mode, per.query_id, per.d
+  FROM per JOIN qn USING (query_id) WHERE per.nm = qn.nt
+), agg AS (
+  SELECT query_id, mode,
+         count(*)::BIGINT AS n_docs, count(dl)::BIGINT AS n_values,
+         {pcols}
+  FROM m JOIN base USING (d) GROUP BY 1, 2
+), grid AS (
+  SELECT query_id, 'or' AS mode FROM qn
+  UNION ALL SELECT query_id, 'and' FROM qn
+)
+SELECT grid.query_id, grid.mode,
+       COALESCE(agg.n_docs, 0)::BIGINT AS n_docs,
+       COALESCE(agg.n_values, 0)::BIGINT AS n_values,
+       agg.p25, agg.p50, agg.p75, agg.p95
+FROM grid LEFT JOIN agg USING (query_id, mode)
+"""
+
+
 def _match_stats_oracle_sql() -> str:
     """Stats twin: the match_counts match sets joined to the
     first-principles dl, aggregated; the (query, mode) grid preserves
@@ -2922,6 +3003,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
     "match_counts": _match_counts_oracle_sql(),
     "match_stats": _match_stats_oracle_sql(),
+    "match_percentiles": _match_percentiles_oracle_sql(),
     "sorted_topk": _sorted_oracle_sql(with_doc_id=True),
     "sorted_topk_sharded": _sorted_oracle_sql(with_doc_id=False),
     "term_suggest": _term_suggest_oracle_sql(),
@@ -3131,6 +3213,7 @@ QUERIES = {
     "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
     "match_counts": q_match_counts,
     "match_stats": q_match_stats,
+    "match_percentiles": q_match_percentiles,
     "sorted_topk": q_sorted_topk,
     "sorted_topk_sharded": q_sorted_topk_sharded,
     "term_suggest": q_term_suggest,

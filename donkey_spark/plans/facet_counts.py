@@ -238,6 +238,22 @@ _NUMERIC_DTYPES = frozenset(
     ("tinyint", "smallint", "int", "bigint", "float", "double"))
 
 
+def _require_numeric_column(index, by: str, caller: str) -> None:
+    """Shared argument check for the doc-values aggregations: ``by``
+    must be a NUMERIC docs metadata column."""
+    dtype = dict(index._docs.dtypes).get(by)
+    if dtype is None:
+        raise ValueError(
+            f"{caller}: cannot aggregate {by!r}: not a docs metadata "
+            f"column (available: {sorted(dict(index._docs.dtypes))})")
+    # exact names + the parameterized decimal(p,s) — a bare prefix test
+    # would also accept "interval day to second" via "int"
+    if not (dtype in _NUMERIC_DTYPES or dtype.startswith("decimal(")):
+        raise ValueError(
+            f"{caller}: cannot aggregate {by!r}: column is {dtype}, "
+            f"not numeric")
+
+
 def match_stats(index, text: str, by: str = "dl", mode: str = "or",
                 filters: dict | None = None) -> dict:
     """Numeric summary of the match set over a docs metadata column —
@@ -258,16 +274,7 @@ def match_stats(index, text: str, by: str = "dl", mode: str = "or",
     column-pruned docs table into a single count/sum/min/max agg (one
     shuffle of int64 ids, the same doc-values read every engine pays,
     broadcast when selective)."""
-    dtype = dict(index._docs.dtypes).get(by)
-    if dtype is None:
-        raise ValueError(
-            f"cannot aggregate {by!r}: not a docs metadata column "
-            f"(available: {sorted(dict(index._docs.dtypes))})")
-    # exact names + the parameterized decimal(p,s) — a bare prefix test
-    # would also accept "interval day to second" via "int"
-    if not (dtype in _NUMERIC_DTYPES or dtype.startswith("decimal(")):
-        raise ValueError(
-            f"cannot aggregate {by!r}: column is {dtype}, not numeric")
+    _require_numeric_column(index, by, "match_stats")
     arrs, fgroups = _salt_matches_local(index, text, mode, filters)
     if arrs is not None:           # driver-local doc-values path
         n_docs = int(sum(a.size for a in arrs))
@@ -303,6 +310,75 @@ def match_stats(index, text: str, by: str = "dl", mode: str = "or",
     return {"n_docs": int(row["n_docs"]), "n_values": n_vals,
             "sum": row["sum"], "min": row["min"], "max": row["max"],
             "avg": (row["sum"] / n_vals) if n_vals else None}
+
+
+def _check_qs(qs) -> list[float]:
+    out = [float(q) for q in qs]
+    if not out or any(not (0.0 <= q <= 1.0) for q in out):
+        raise ValueError(f"percentile fractions must lie in [0, 1], "
+                         f"got {list(qs)!r}")
+    return out
+
+
+def match_percentiles(index, text: str, by: str = "dl",
+                      qs=(0.25, 0.5, 0.75, 0.95), mode: str = "or",
+                      filters: dict | None = None) -> dict:
+    """EXACT percentiles of a numeric docs column over the match set —
+    the ES ``percentiles`` aggregation ("median file size of everything
+    matching", the p95 a latency/size SLO dashboard plots). Returns
+    ``{"n_docs", "n_values", "percentiles": {q: value}}``; values are
+    linearly interpolated at rank q·(n−1) over the non-NULL sorted
+    values (the numpy/Spark/DuckDB ``quantile_cont`` convention — all
+    three agree, which is what makes the oracle exact), None when the
+    match set is empty or all-NULL.
+
+    Shares the T27/T33 match kernel (same modes, filter grammar,
+    tombstone mask — the count, the stats and the percentiles can
+    never disagree on what matches) and the cost shape: within
+    ``local_bytes``, the memoized doc-values read + one numpy
+    ``quantile`` — zero Spark jobs; over budget, the distributed
+    match-ids frame joins the column-pruned docs table into ONE
+    ``percentile`` aggregate (Spark's exact implementation — an
+    ordered counts map per partition, merged once; memory O(distinct
+    values of ``by``), which for doc-length-like columns is tiny at
+    any corpus size)."""
+    qs = _check_qs(qs)
+    _require_numeric_column(index, by, "match_percentiles")
+    empty = {"n_docs": 0, "n_values": 0,
+             "percentiles": {q: None for q in qs}}
+    arrs, fgroups = _salt_matches_local(index, text, mode, filters)
+    if arrs is not None:           # driver-local doc-values path
+        n_docs = int(sum(a.size for a in arrs))
+        if n_docs == 0:
+            return empty
+        from .sortby import _local_ids_keys
+        keys = _local_ids_keys(
+            index, np.sort(np.concatenate(arrs)), by)["key"]
+        vals = keys.combine_chunks().drop_null().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        if vals.size == 0:
+            return {**empty, "n_docs": n_docs}
+        pct = np.quantile(vals, qs)     # linear interpolation (default)
+        return {"n_docs": n_docs, "n_values": int(vals.size),
+                "percentiles": dict(zip(qs, (float(p) for p in pct)))}
+    ids = _match_ids_distributed(index, text, mode, fgroups)
+    if ids is None:
+        return empty
+    cols = list(dict.fromkeys(["doc_id", by]))   # by may BE doc_id
+    row = (index._docs.select(*cols)             # column-pruned
+           .join(ids, "doc_id")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.count(by).alias("n_values"),
+                F.percentile(F.col(by).cast("double"),
+                             F.array(*[F.lit(q) for q in qs]))
+                .alias("pct")).collect()[0])
+    n_vals = int(row["n_values"])
+    if int(row["n_docs"]) == 0:
+        return empty
+    if n_vals == 0:
+        return {**empty, "n_docs": int(row["n_docs"])}
+    return {"n_docs": int(row["n_docs"]), "n_values": n_vals,
+            "percentiles": dict(zip(qs, (float(p) for p in row["pct"])))}
 
 
 _EMPTY_IDS = np.empty(0, dtype=np.int64)

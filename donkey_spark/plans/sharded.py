@@ -572,6 +572,82 @@ def match_stats_sharded(shards, text: str, by: str = "dl",
             "avg": s / out["n_values"]}
 
 
+def match_percentiles_sharded(shards, text: str, by: str = "dl",
+                              qs=(0.25, 0.5, 0.75, 0.95),
+                              mode: str = "or",
+                              filters: dict | None = None) -> dict:
+    """EXACT match-set percentiles over the federation
+    (plans/facet_counts.match_percentiles's sharded twin). Percentiles
+    do NOT fold from per-shard summaries (a median of medians is not
+    the median), so the federation aggregates the union of the shards'
+    matched doc-values: when EVERY shard's match work fits its local
+    budget, the per-shard numpy value arrays concatenate on the driver
+    (bounded by the same budget that bounds each shard's own local
+    path); otherwise ALL shards switch to their distributed match-ids
+    frames, union into one column-pruned doc-values frame, and a
+    single exact ``percentile`` aggregate runs over it — one job for
+    the whole federation, memory O(distinct values of ``by``)."""
+    import numpy as np
+
+    from .facet_counts import (_check_qs, _match_ids_distributed,
+                               _require_numeric_column,
+                               _salt_matches_local)
+    if not shards:
+        raise ValueError("no shards")
+    qs = _check_qs(qs)
+    for s in shards:
+        _require_numeric_column(s, by, "match_percentiles_sharded")
+    per = [_salt_matches_local(s, text, mode, filters) for s in shards]
+    empty = {"n_docs": 0, "n_values": 0,
+             "percentiles": {q: None for q in qs}}
+    if all(arrs is not None for arrs, _ in per):
+        from .sortby import _local_ids_keys
+        n_docs, vals = 0, []
+        for s, (arrs, _) in zip(shards, per):
+            if not arrs:
+                continue
+            ids = np.sort(np.concatenate(arrs))
+            n_docs += int(ids.size)
+            keys = _local_ids_keys(s, ids, by)["key"]
+            vals.append(keys.combine_chunks().drop_null().to_numpy(
+                zero_copy_only=False).astype(np.float64))
+        allv = (np.concatenate(vals) if vals
+                else np.empty(0, dtype=np.float64))
+        if n_docs == 0:
+            return empty
+        if allv.size == 0:
+            return {**empty, "n_docs": n_docs}
+        pct = np.quantile(allv, qs)
+        return {"n_docs": n_docs, "n_values": int(allv.size),
+                "percentiles": dict(zip(qs, (float(p) for p in pct)))}
+    from pyspark.sql import functions as F
+    frames = []
+    for s, (_, fgroups) in zip(shards, per):
+        ids = _match_ids_distributed(s, text, mode, fgroups)
+        if ids is None:
+            continue
+        cols = list(dict.fromkeys(["doc_id", by]))
+        frames.append(s._docs.select(*cols).join(ids, "doc_id")
+                      .select(F.col(by).cast("double").alias("key")))
+    if not frames:
+        return empty
+    uni = frames[0]
+    for f in frames[1:]:
+        uni = uni.unionByName(f)
+    row = uni.agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.count("key").alias("n_values"),
+                  F.percentile(F.col("key"),
+                               F.array(*[F.lit(q) for q in qs]))
+                  .alias("pct")).collect()[0]
+    n_vals = int(row["n_values"])
+    if int(row["n_docs"]) == 0:
+        return empty
+    if n_vals == 0:
+        return {**empty, "n_docs": int(row["n_docs"])}
+    return {"n_docs": int(row["n_docs"]), "n_values": n_vals,
+            "percentiles": dict(zip(qs, (float(p) for p in row["pct"])))}
+
+
 def sorted_topk_sharded(shards, text: str, by: str = "dl", k: int = 10,
                         descending: bool = True, mode: str = "or",
                         filters: dict | None = None) -> list[tuple]:

@@ -77,6 +77,14 @@ def main() -> None:
                          "(respecting --mode or/and and --filter) "
                          "instead of ranking — works on --index and "
                          "--shards")
+    ap.add_argument("--percentiles", default=None,
+                    metavar="COL[:Q,Q,...]",
+                    help="print a JSON EXACT-percentiles aggregation of "
+                         "this NUMERIC docs column over --query's FULL "
+                         "match set (fractions in [0,1], default "
+                         ".25,.5,.75,.95; respecting --mode or/and and "
+                         "--filter) instead of ranking — works on "
+                         "--index and --shards")
     ap.add_argument("--facet-counts", default=None, metavar="COL",
                     help="instead of top-k rows, print the per-value "
                          "document counts of this facet column over the "
@@ -124,8 +132,8 @@ def main() -> None:
         ap.error(f"--mode {a.mode} composes with --filter only, not "
                  "--facet-counts/--snippets/--phrase")
     if a.boost and (a.phrase or a.facet_counts or a.snippets or a.count
-                    or a.stats or a.sort or a.offset or a.after
-                    or a.mode not in ("or", "and")):
+                    or a.stats or a.percentiles or a.sort or a.offset
+                    or a.after or a.mode not in ("or", "and")):
         # later branches dispatch on those flags first and would
         # silently drop the ^W weights — refuse instead (argparse-cheap,
         # before Spark starts)
@@ -138,8 +146,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("donkey_query").getOrCreate()
     idx = Index(spark, a.index) if a.index else None
     if a.suggest:
-        if (a.query or a.queries or a.count or a.stats or a.phrase
-                or a.facet_counts or a.snippets or a.filter or a.boost):
+        if (a.query or a.queries or a.count or a.stats or a.percentiles
+                or a.phrase or a.facet_counts or a.snippets or a.filter
+                or a.boost):
             ap.error("--suggest TERM stands alone (optionally -k)")
         if a.shards:
             from donkey_spark.plans.sharded import (open_shards,
@@ -163,8 +172,8 @@ def main() -> None:
         ap.error("--bin-shift needs --facet-counts COL")
     if a.after is not None:
         if (a.queries or a.phrase or a.facet_counts or a.snippets
-                or a.count or a.stats or a.sort or a.offset
-                or a.mode == "pattern"):
+                or a.count or a.stats or a.percentiles or a.sort
+                or a.offset or a.mode == "pattern"):
             ap.error("--after takes a single --query with --mode "
                      "or/and/bool and --filter only")
         if a.shards:
@@ -196,7 +205,7 @@ def main() -> None:
         return
     if a.offset:
         if (a.shards or a.phrase or a.facet_counts or a.snippets
-                or a.count or a.stats or a.sort
+                or a.count or a.stats or a.percentiles or a.sort
                 or a.mode not in ("or", "and")):
             ap.error("--offset works on --index with --mode or/and "
                      "and --filter only (deep walks: use --after, "
@@ -212,7 +221,8 @@ def main() -> None:
         return
     if a.sort:
         if (a.queries or a.phrase or a.facet_counts or a.snippets
-                or a.count or a.stats or a.mode not in ("or", "and")):
+                or a.count or a.stats or a.percentiles
+                or a.mode not in ("or", "and")):
             ap.error("--sort takes a single --query with --mode or/and "
                      "and --filter only")
         col, _, direction = a.sort.partition(":")
@@ -245,7 +255,7 @@ def main() -> None:
         return
     if a.count:
         if a.queries or a.phrase or a.facet_counts or a.snippets \
-                or a.stats:
+                or a.stats or a.percentiles:
             ap.error("--count takes a single --query (with --mode/"
                      "--filter) and no --phrase/--facet-counts/"
                      "--snippets/--stats")
@@ -262,6 +272,31 @@ def main() -> None:
             from donkey_spark.plans.facet_counts import match_count
             n = match_count(idx, a.query, mode=a.mode, filters=filters)
         print(n)
+        return
+    if a.percentiles:
+        if (a.queries or a.phrase or a.facet_counts or a.snippets
+                or a.stats or a.count or a.sort):
+            ap.error("--percentiles COL takes a single --query (with "
+                     "--mode/--filter) and no other aggregation/"
+                     "ranking flag")
+        if a.mode not in ("or", "and"):
+            ap.error("--percentiles supports --mode or/and")
+        col, _, qpart = a.percentiles.partition(":")
+        pqs = ([float(x) for x in qpart.split(",")] if qpart
+               else (0.25, 0.5, 0.75, 0.95))
+        if a.shards:
+            from donkey_spark.plans.sharded import (
+                match_percentiles_sharded, open_shards)
+            s = match_percentiles_sharded(
+                open_shards(spark, a.shards.split(",")), a.query,
+                by=col, qs=pqs, mode=a.mode, filters=filters)
+        else:
+            from donkey_spark.plans.facet_counts import match_percentiles
+            s = match_percentiles(idx, a.query, by=col, qs=pqs,
+                                  mode=a.mode, filters=filters)
+        import json
+        s["percentiles"] = {str(q): v for q, v in s["percentiles"].items()}
+        print(json.dumps(s))
         return
     if a.stats:
         if a.queries or a.phrase or a.facet_counts or a.snippets:

@@ -392,6 +392,18 @@ def test_cli_backfill_and_count(cli_corpus):
     want = sum(1 for p in hits["path"]
                if truth[p] >= lo and lang_of[p] == "py")
     assert int(out.strip().splitlines()[-1]) == want
+    # --percentiles: exact dl quantiles over the same match set,
+    # checked against numpy on the engine's own docs table
+    out = _run(["scripts/query.py", "--index", idx, "--query",
+                "def return", "--percentiles", "dl:0.5,0.95"])
+    got = json.loads(out.strip().splitlines()[-1])
+    import numpy as np
+    dl_of = pd.read_parquet(f"{idx}/docs").set_index("path")["dl"]
+    vals = dl_of.loc[hits["path"]].to_numpy(dtype=float)
+    assert got["n_docs"] == len(hits) == got["n_values"]
+    for q in ("0.5", "0.95"):
+        assert abs(got["percentiles"][q]
+                   - float(np.quantile(vals, float(q)))) < 1e-9
     # --suggest: top terms by (distance, df) for a misspelling
     out = _run(["scripts/query.py", "--index", idx,
                 "--suggest", "retur", "-k", "3"])

@@ -718,3 +718,60 @@ def test_match_stats_equals_bruteforce(spark, facet_setup, mode):
         assert got["sum"] == base["sum"] - sum(dl[d] for d in victims)
     finally:
         clear_tombstones(spark, faceted)
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_match_percentiles_equals_bruteforce(spark, facet_setup, mode):
+    """match_percentiles returns EXACTLY numpy's linear-interpolated
+    quantiles over the docs an unbounded search would rank — on both
+    the driver-local numpy path and the distributed percentile-agg
+    path (the two interpolate identically to 9 dp), across filters,
+    custom fractions, and the empty/invalid edges."""
+    import numpy as np
+
+    from donkey_spark.plans.facet_counts import match_percentiles
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    dl = {r["doc_id"]: r["dl"] for r in
+          spark.read.parquet(f"{faceted}/docs").collect()}
+    text = "def return class"
+    langs = sorted(set(lang.values()))[:2]
+    QS = (0.0, 0.25, 0.5, 0.9, 1.0)
+
+    def want(idx, filt, qs):
+        ids = [r[2] for r in idx.search_rows(
+            [(0, text, idx.n_docs)], mode=mode, filters=filt)]
+        vals = np.array([dl[d] for d in ids], dtype=np.float64)
+        if not vals.size:
+            return {"n_docs": len(ids), "n_values": 0,
+                    "percentiles": {q: None for q in qs}}
+        return {"n_docs": len(ids), "n_values": int(vals.size),
+                "percentiles": dict(zip(qs, (round(float(p), 9) for p
+                                             in np.quantile(vals, qs))))}
+
+    def rnd(got):
+        return {**got, "percentiles": {
+            q: None if v is None else round(v, 9)
+            for q, v in got["percentiles"].items()}}
+
+    for local_bytes in (64 << 20, 0):
+        idx = Index(spark, faceted, local_bytes=local_bytes)
+        for filt in (None, {"lang": langs[0]}, {"lang": langs},
+                     {"lang": {"not": langs}}):
+            got = match_percentiles(idx, text, qs=QS, mode=mode,
+                                    filters=filt)
+            assert rnd(got) == want(idx, filt, QS), (local_bytes, filt)
+        # default fractions + by=doc_id column-dedupe edge
+        got = match_percentiles(idx, text, by="doc_id", mode=mode)
+        assert got["n_docs"] == got["n_values"] and \
+            got["percentiles"][0.95] >= got["percentiles"][0.25]
+        # empty match set
+        e = match_percentiles(idx, "zz_totally_oov", mode=mode)
+        assert e["n_docs"] == 0 and \
+            all(v is None for v in e["percentiles"].values())
+        with pytest.raises(ValueError, match="not numeric"):
+            match_percentiles(idx, text, by="repo")
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            match_percentiles(idx, text, qs=(0.5, 1.5))
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            match_percentiles(idx, text, qs=())

@@ -474,3 +474,37 @@ def test_sharded_suggest_matches_unified(spark, sh_setup):
     assert hit                            # fixture sanity: real output
     with pytest.raises(ValueError, match="one term"):
         suggest_sharded(shards, "two words")
+
+
+def test_sharded_match_percentiles_exact(spark, sh_setup):
+    """Federated percentiles ≡ the unified index's EXACTLY (to 9 dp):
+    the federation aggregates the union of matched doc-values — all
+    shards driver-local (concatenated arrays) AND all-distributed (one
+    union + percentile agg) must both reproduce the unified numbers,
+    because a fold of per-shard percentiles would be wrong by
+    construction."""
+    from donkey_spark.plans.facet_counts import match_percentiles
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import match_percentiles_sharded
+    uni_dir, parts, pdf = sh_setup
+    text = "def return"
+    lang0 = sorted(set(pdf["lang"]))[0]
+
+    def rnd(got):
+        return {**got, "percentiles": {
+            q: None if v is None else round(v, 9)
+            for q, v in got["percentiles"].items()}}
+
+    for local_bytes in (64 << 20, 0):
+        uni = Index(spark, uni_dir, local_bytes=local_bytes)
+        shards = [Index(spark, d, local_bytes=local_bytes)
+                  for d in parts]
+        for mode, filt in (("or", None), ("and", None),
+                           ("or", {"lang": lang0})):
+            want = match_percentiles(uni, text, mode=mode, filters=filt)
+            got = match_percentiles_sharded(shards, text, mode=mode,
+                                            filters=filt)
+            assert rnd(got) == rnd(want) and want["n_docs"] > 0, \
+                (local_bytes, mode, filt)
+        empty = match_percentiles_sharded(shards, "zz_totally_oov")
+        assert empty["n_docs"] == 0
