@@ -93,11 +93,20 @@ def main() -> None:
         n_rows[key or f"sorted_{by}"] = sum(len(r) for r in got)
 
     out["ranked_batch_s"] = med(lambda: idx.search_rows(qs))
+    # per-term boosting: same kernel, weights folded into idf — its
+    # batch must price AT the plain ranked batch (the no-cost claim)
+    bqs = [(qid, f"{text.split()[0]}^2 {' '.join(text.split()[1:])}"
+            if " " in text else f"{text}^2", k) for qid, text, k in qs]
+    out["boosted_batch_s"] = med(lambda: idx.search_rows_boosted(bqs))
     out["count_each_s"] = med(
         lambda: [match_count(idx, text) for _, text, _ in qs])
-    from donkey_spark.plans.facet_counts import match_stats
+    from donkey_spark.plans.facet_counts import (match_percentiles,
+                                                 match_stats)
     out["stats_dl_each_s"] = med(
         lambda: [match_stats(idx, text, by="dl")
+                 for _, text, _ in qs])
+    out["pct_dl_each_s"] = med(
+        lambda: [match_percentiles(idx, text, by="dl")
                  for _, text, _ in qs])
     out["sorted_dl_each_s"] = med(lambda: run_sorted("dl"))
     out["sorted_lang_each_s"] = med(lambda: run_sorted("lang"))

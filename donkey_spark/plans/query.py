@@ -1005,7 +1005,9 @@ class Index:
     def search_rows_mixed(self, specs: list[tuple]) -> list[tuple]:
         """Serving-loop surface for a batch with PER-QUERY modes/filters:
         ``specs`` = [(query_id, text, k, mode, filters)] (mode/filters
-        may be None → "or" / unfiltered). Queries sharing (mode, filter)
+        may be None → "or" / unfiltered; modes "boosted"/"boosted-and"
+        parse `term^W` weights in the text — search_rows_boosted).
+        Queries sharing (mode, filter)
         run as one sub-batch through search_rows — the per-salt filter
         masks and the prefill decode cache amortize within each group,
         and the Index-level dictionary memo amortizes across groups —
@@ -1025,6 +1027,11 @@ class Index:
             elif mode == "bool":      # r5: boolean expression specs
                 out.extend(self.search_rows_bool(
                     [(q, t, k) for q, t, k, _ in qs],
+                    filters=qs[0][3]))
+            elif mode in ("boosted", "boosted-and"):   # r5: term^W specs
+                out.extend(self.search_rows_boosted(
+                    [(q, t, k) for q, t, k, _ in qs],
+                    mode="and" if mode == "boosted-and" else "or",
                     filters=qs[0][3]))
             else:
                 out.extend(self.search_rows(

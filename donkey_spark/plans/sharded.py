@@ -351,7 +351,9 @@ def search_rows_mixed_sharded(shards, specs: list[tuple]) -> list[tuple]:
     batch with PER-QUERY modes/filters over shard indexes. ``specs`` =
     [(query_id, text, k, mode, filters)] (mode/filters may be None →
     "or" / unfiltered; mode "phrase" routes through
-    `search_phrase_sharded` and takes no filters). Queries sharing a
+    `search_phrase_sharded` and takes no filters;
+    "boosted"/"boosted-and" parse `term^W` weights —
+    `search_boosted_sharded`). Queries sharing a
     (mode, filters) signature run as ONE `search_rows_sharded` call, so
     the per-shard stats probes, filter masks and decode caches amortize
     within each group exactly as they do on a single index — and the
@@ -373,6 +375,11 @@ def search_rows_mixed_sharded(shards, specs: list[tuple]) -> list[tuple]:
         elif mode == "bool":      # r5 T24: boolean expression specs
             out.extend(search_bool_sharded(
                 shards, [(q, t, k) for q, t, k, _ in qs],
+                filters=qs[0][3]))
+        elif mode in ("boosted", "boosted-and"):   # r5 T34: term^W specs
+            out.extend(search_boosted_sharded(
+                shards, [(q, t, k) for q, t, k, _ in qs],
+                mode="and" if mode == "boosted-and" else "or",
                 filters=qs[0][3]))
         else:
             out.extend(search_rows_sharded(

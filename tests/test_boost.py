@@ -163,3 +163,38 @@ def test_boost_rejects_bad_modes_and_weights(spark, boost_setup):
         idx.search_rows_boosted([(0, "def^2", 10)], mode="bool")
     with pytest.raises(ValueError, match="positive"):
         idx.search_rows([(0, ["def"], 10)], boosts={0: {"def": -2.0}})
+
+
+def test_mixed_batch_routes_boosted(spark, boost_setup, tmp_path):
+    """search_rows_mixed accepts mode='boosted'/'boosted-and' specs
+    alongside plain ones, and the federated mixed batch routes them
+    through search_boosted_sharded."""
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import (search_boosted_sharded,
+                                            search_rows_mixed_sharded)
+    pdf, _, out, _ = boost_setup
+    idx = Index(spark, out)
+    specs = [(0, "def^2 return", 10, "boosted", None),
+             (1, "def^2 return", 10, "boosted-and", None),
+             (2, "def^3 class", 10, "boosted", {"lang": ["py"]}),
+             (3, "def return", 10, None, None)]
+    got = idx.search_rows_mixed(specs)
+    want = sorted(
+        idx.search_rows_boosted([(0, specs[0][1], 10)])
+        + idx.search_rows_boosted([(1, specs[1][1], 10)], mode="and")
+        + idx.search_rows_boosted([(2, specs[2][1], 10)],
+                                  filters=specs[2][4])
+        + idx.search_rows([(3, "def return", 10)]))
+    assert sorted(got) == want
+    sdirs = []
+    for i, part in enumerate((pdf[pdf.index % 2 == 0],
+                              pdf[pdf.index % 2 == 1])):
+        d = str(tmp_path / f"mshard{i}")
+        build_index(spark, spark.createDataFrame(part), d, range_size=64,
+                    facets=("lang",))
+        sdirs.append(d)
+    shards = [Index(spark, d) for d in sdirs]
+    spec = [(0, "def^2 return", 10, "boosted", None)]
+    assert (search_rows_mixed_sharded(shards, spec)
+            == search_boosted_sharded(shards, [(0, spec[0][1], 10)]))
