@@ -599,45 +599,71 @@ def match_percentiles_sharded(shards, text: str, by: str = "dl",
     from .facet_counts import (_check_qs, _match_ids_distributed,
                                _require_numeric_column,
                                _salt_matches_local)
+    from .sortby import _local_ids_keys
     if not shards:
         raise ValueError("no shards")
     qs = _check_qs(qs)
     for s in shards:
         _require_numeric_column(s, by, "match_percentiles_sharded")
-    per = [_salt_matches_local(s, text, mode, filters) for s in shards]
     empty = {"n_docs": 0, "n_values": 0,
              "percentiles": {q: None for q in qs}}
-    if all(arrs is not None for arrs, _ in per):
-        from .sortby import _local_ids_keys
-        n_docs, vals = 0, []
-        for s, (arrs, _) in zip(shards, per):
-            if not arrs:
-                continue
-            ids = np.sort(np.concatenate(arrs))
-            n_docs += int(ids.size)
-            keys = _local_ids_keys(s, ids, by)["key"]
-            vals.append(keys.combine_chunks().drop_null().to_numpy(
-                zero_copy_only=False).astype(np.float64))
-        allv = (np.concatenate(vals) if vals
-                else np.empty(0, dtype=np.float64))
-        if n_docs == 0:
+    # per-shard match + doc-values read through the same fan-out knob
+    # every federated surface uses (FANOUT_THREADS; serial by measured
+    # default) — latency shape matches the stats/count twins
+    per = _fanout(lambda s: _salt_matches_local(s, text, mode, filters),
+                  shards)
+
+    def _vals(sa):
+        """(non-null float64 values, n_matched) for one within-budget
+        shard — its already-computed local match, never re-run."""
+        s, arrs = sa
+        if not arrs:
+            return np.empty(0, dtype=np.float64), 0
+        ids = np.sort(np.concatenate(arrs))
+        keys = _local_ids_keys(s, ids, by)["key"]
+        return (keys.combine_chunks().drop_null().to_numpy(
+            zero_copy_only=False).astype(np.float64), int(ids.size))
+
+    local_pairs = [(s, arrs) for s, (arrs, _) in zip(shards, per)
+                   if arrs is not None]
+    got_local = _fanout(_vals, local_pairs) if local_pairs else []
+    n_docs_local = sum(n for _, n in got_local)
+    vals_local = [v for v, _ in got_local if v.size]
+    if len(local_pairs) == len(shards):
+        # every shard within budget → pure driver-side numpy
+        if n_docs_local == 0:
             return empty
-        if allv.size == 0:
-            return {**empty, "n_docs": n_docs}
+        if not vals_local:
+            return {**empty, "n_docs": n_docs_local}
+        allv = np.concatenate(vals_local)
         pct = np.quantile(allv, qs)
-        return {"n_docs": n_docs, "n_values": int(allv.size),
+        return {"n_docs": n_docs_local, "n_values": int(allv.size),
                 "percentiles": dict(zip(qs, (float(p) for p in pct)))}
+    # mixed/over-budget: ONLY the shards the budget refused re-match
+    # distributed; the within-budget shards' already-read values ship
+    # as one literal frame (bounded by each shard's own local budget),
+    # so their segment scans never run twice. Their null-valued match
+    # rows stay a driver-side count (n_docs correction below) rather
+    # than shipped NULL rows.
     from pyspark.sql import functions as F
     frames = []
-    for s, (_, fgroups) in zip(shards, per):
+    for s, (arrs, fgroups) in zip(shards, per):
+        if arrs is not None:
+            continue
         ids = _match_ids_distributed(s, text, mode, fgroups)
         if ids is None:
             continue
         cols = list(dict.fromkeys(["doc_id", by]))
         frames.append(s._docs.select(*cols).join(ids, "doc_id")
                       .select(F.col(by).cast("double").alias("key")))
+    n_null_local = n_docs_local - sum(int(v.size) for v in vals_local)
+    if vals_local:
+        import pandas as pd
+        frames.append(shards[0].spark.createDataFrame(
+            pd.DataFrame({"key": np.concatenate(vals_local)}),
+            "key double"))
     if not frames:
-        return empty
+        return {**empty, "n_docs": n_docs_local}
     uni = frames[0]
     for f in frames[1:]:
         uni = uni.unionByName(f)
@@ -646,12 +672,13 @@ def match_percentiles_sharded(shards, text: str, by: str = "dl",
                   F.percentile(F.col("key"),
                                F.array(*[F.lit(q) for q in qs]))
                   .alias("pct")).collect()[0]
+    n_docs = int(row["n_docs"]) + n_null_local
     n_vals = int(row["n_values"])
-    if int(row["n_docs"]) == 0:
+    if n_docs == 0:
         return empty
     if n_vals == 0:
-        return {**empty, "n_docs": int(row["n_docs"])}
-    return {"n_docs": int(row["n_docs"]), "n_values": n_vals,
+        return {**empty, "n_docs": n_docs}
+    return {"n_docs": n_docs, "n_values": n_vals,
             "percentiles": dict(zip(qs, (float(p) for p in row["pct"])))}
 
 

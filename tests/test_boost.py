@@ -40,18 +40,23 @@ def test_parse_boost_text():
     # an atom tokenizing into several terms boosts them all
     terms, bw = parse_boost_text("block-max^3")
     assert terms == ["block", "max"] and bw == {"block": 3.0, "max": 3.0}
-    # ^ without a numeric weight stays ordinary text for the tokenizer
-    terms, bw = parse_boost_text("a^b cd")
-    assert bw == {} and terms == ["cd"]  # 'a','b' fall below MIN_TOKEN_LEN
-    with pytest.raises(ValueError, match="boost 0"):
+    # any OTHER ^ shape is refused loudly — a malformed weight running
+    # unboosted (or keeping only its last weight) would mis-rank with
+    # no error
+    for bad in ("a^b cd", "rust^2^3", "x^1e2", "x^1.", "x^2,5", "^2"):
+        with pytest.raises(ValueError, match="malformed boost atom"):
+            parse_boost_text(bad)
+    with pytest.raises(ValueError, match="positive finite"):
         parse_boost_text("foo^0")
+    with pytest.raises(ValueError, match="positive finite"):
+        parse_boost_text("foo^1" + "0" * 400)   # float overflow → inf
 
 
 def test_validate_boosts():
     from donkey_spark.functions.boosts import validate_boosts
     validate_boosts(None, "t")
     validate_boosts({0: {"a": 2.0}}, "t")
-    for bad in (-1.0, 0, "2", None):
+    for bad in (-1.0, 0, "2", None, True, float("inf"), float("nan")):
         with pytest.raises(ValueError):
             validate_boosts({0: {"a": bad}}, "t")
 

@@ -508,3 +508,27 @@ def test_sharded_match_percentiles_exact(spark, sh_setup):
                 (local_bytes, mode, filt)
         empty = match_percentiles_sharded(shards, "zz_totally_oov")
         assert empty["n_docs"] == 0
+
+
+def test_sharded_match_percentiles_mixed_budget(spark, sh_setup):
+    """One shard within its local budget, one over: the federation must
+    ship the local shard's already-read values into the distributed
+    aggregate (never re-matching it) and still reproduce the unified
+    numbers exactly — including n_docs when the local shard holds
+    matched rows."""
+    from donkey_spark.plans.facet_counts import match_percentiles
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import match_percentiles_sharded
+    uni_dir, parts, _ = sh_setup
+    text = "def return"
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, parts[0], local_bytes=64 << 20),
+              Index(spark, parts[1], local_bytes=0),
+              Index(spark, parts[2], local_bytes=64 << 20)]
+    for mode in ("or", "and"):
+        want = match_percentiles(uni, text, mode=mode)
+        got = match_percentiles_sharded(shards, text, mode=mode)
+        assert got["n_docs"] == want["n_docs"] > 0
+        assert got["n_values"] == want["n_values"]
+        for q, v in want["percentiles"].items():
+            assert abs(got["percentiles"][q] - v) < 1e-9, (mode, q)
