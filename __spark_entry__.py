@@ -28,11 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (89 since
+    """One entry per implemented ◇ operator from SURVEY.md §2 (90 since
     r5 — adds per-term boosted queries (`term^W` weights scaling the
     kernel idf, unified AND federated — the oracle multiplies the SAME
     weights into its first-principles per-term sum),
     match-set stats and EXACT-percentiles aggregations,
+    the bulk match-set export (the training-pipeline feed),
     cursor pagination (search_after: page-1 boundary rows
     continue to the SAME rank-11..20 oracle the offset pair uses),
     sort-by-field search (match set ordered by a docs

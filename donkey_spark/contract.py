@@ -1520,6 +1520,77 @@ def q_match_stats(spark, sf_dir):
                F.round(F.col("sum_dl") / F.col("n_values"), 6)))
 
 
+#: match-docs export pairs run a subset of the flagship set (incl. the
+#: OOV query 5, whose export must be EMPTY on both engines)
+_EXPORT_QIDS = (0, 2, 5)
+
+
+def q_match_docs(spark, sf_dir):
+    """r5 §2.14 — bulk match-set export
+    (plans/facet_counts.match_docs): EVERY doc matching each query, as
+    a distributed metadata frame (doc_id, repo, path, lang, dl), under
+    both match modes — the training-pipeline feed. The twin re-derives
+    the same per-doc rows from first principles; the OOV query's
+    export is empty on both engines."""
+    from .plans.facet_counts import match_docs
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    out = None
+    for m in ("or", "and"):
+        for qid, text, _k in BM25_QUERIES:
+            if qid not in _EXPORT_QIDS:
+                continue
+            df = (match_docs(idx, text, mode=m,
+                             columns=("doc_id", "repo", "path",
+                                      "lang", "dl"))
+                  .select(F.lit(qid).alias("query_id"),
+                          F.lit(m).alias("mode"), "*"))
+            out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _match_docs_oracle_sql() -> str:
+    """Export twin: the match sets (same CTE chain as the stats pair)
+    joined back to the documents view's identity/metadata columns and
+    the recomputed dl — one row per (query, mode, matching doc)."""
+    from .functions.tokenize import tokenize_py
+    vals = ",\n  ".join(
+        f"({qid}, '{t}')"
+        for qid, text, _k in BM25_QUERIES if qid in _EXPORT_QIDS
+        for t in sorted(set(tokenize_py(text))))
+    return f"""
+WITH ordered AS (
+  SELECT row_number() OVER (ORDER BY source,
+                            'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS d,
+         text, lang, source AS repo,
+         'doc/'||CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+), base AS (
+  SELECT d, repo, path, lang, len({_TOKS_SQL})::BIGINT AS dl
+  FROM ordered
+), dd AS (
+  SELECT DISTINCT d, term FROM (
+    SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered)
+), qset(query_id, term) AS (VALUES
+  {vals}
+), qn AS (
+  SELECT query_id, count(DISTINCT term) AS nt FROM qset GROUP BY 1
+), per AS (
+  SELECT q.query_id, dd.d, count(DISTINCT dd.term) AS nm
+  FROM qset q JOIN dd ON dd.term = q.term
+  GROUP BY 1, 2
+), m AS (
+  SELECT 'or' AS mode, query_id, d FROM per
+  UNION ALL
+  SELECT 'and' AS mode, per.query_id, per.d
+  FROM per JOIN qn USING (query_id) WHERE per.nm = qn.nt
+)
+SELECT m.query_id::INT AS query_id, m.mode,
+       m.d::BIGINT AS doc_id, base.repo, base.path, base.lang, base.dl
+FROM m JOIN base USING (d)
+"""
+
+
 _PCT_QS = (0.25, 0.5, 0.75, 0.95)
 
 
@@ -3004,6 +3075,7 @@ SELECT 2::INTEGER AS n_epochs,
     "match_counts": _match_counts_oracle_sql(),
     "match_stats": _match_stats_oracle_sql(),
     "match_percentiles": _match_percentiles_oracle_sql(),
+    "match_docs": _match_docs_oracle_sql(),
     "sorted_topk": _sorted_oracle_sql(with_doc_id=True),
     "sorted_topk_sharded": _sorted_oracle_sql(with_doc_id=False),
     "term_suggest": _term_suggest_oracle_sql(),
@@ -3214,6 +3286,7 @@ QUERIES = {
     "match_counts": q_match_counts,
     "match_stats": q_match_stats,
     "match_percentiles": q_match_percentiles,
+    "match_docs": q_match_docs,
     "sorted_topk": q_sorted_topk,
     "sorted_topk_sharded": q_sorted_topk_sharded,
     "term_suggest": q_term_suggest,

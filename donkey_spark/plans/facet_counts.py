@@ -572,6 +572,37 @@ def match_ids(index, text: str, mode: str = "or",
     return got
 
 
+def match_docs(index, text: str, mode: str = "or",
+               filters: dict | None = None,
+               columns=None) -> DataFrame:
+    """The FULL match set as a distributed DataFrame of docs metadata —
+    the bulk-export surface a training-data pipeline consumes ("every
+    doc matching this query under these filters", fed onward into
+    dedup/quality/routing stages), never collected on the driver.
+    Same kernel, modes, filter grammar, and tombstone mask as
+    count/stats/sort — the export can never disagree with the numbers
+    the dashboards show.
+
+    ``columns`` defaults to the whole docs metadata schema (doc_id,
+    repo, path, commit, lang, dl, sha256). Content is NOT stored in
+    the index; join the export back to the corpus on
+    (repo, path, commit) for it — the same pushed-down id/key join
+    snippets use. Plan shape: the match-ids frame (one pruned segment
+    scan) joins the COLUMN-PRUNED docs table once; Spark/AQE broadcast
+    the id side when the match set is selective."""
+    doc_cols = index._docs.columns
+    cols = list(columns) if columns is not None else list(doc_cols)
+    unknown = sorted(set(cols) - set(doc_cols))
+    if unknown:
+        raise ValueError(f"match_docs: unknown docs columns {unknown} "
+                         f"(available: {sorted(doc_cols)})")
+    ids = match_ids(index, text, mode, filters)
+    sel = list(dict.fromkeys(["doc_id", *cols]))
+    return (index._docs.select(*sel)       # column-pruned
+            .join(ids, "doc_id")
+            .select(*cols))
+
+
 def _match_ids_distributed(index, text: str, mode: str,
                            fgroups) -> DataFrame | None:
     """``match_ids`` past the filter-spec compilation: the distributed

@@ -579,6 +579,30 @@ def match_stats_sharded(shards, text: str, by: str = "dl",
             "avg": s / out["n_values"]}
 
 
+def match_docs_sharded(shards, text: str, mode: str = "or",
+                       filters: dict | None = None, columns=None):
+    """Bulk match-set export over the federation
+    (plans/facet_counts.match_docs's sharded twin): the union of each
+    shard's export with a leading ``shard`` index column — there is no
+    global doc id across shards, so callers key on the (repo, path)
+    identity (or fetch back into the owning shard via ``shard`` +
+    local doc_id). One pruned scan + one docs join per shard, the
+    union is metadata-only; nothing collects on the driver."""
+    from pyspark.sql import functions as F
+
+    from .facet_counts import match_docs
+    if not shards:
+        raise ValueError("no shards")
+    frames = [match_docs(s, text, mode=mode, filters=filters,
+                         columns=columns)
+              .select(F.lit(i).alias("shard"), "*")
+              for i, s in enumerate(shards)]
+    uni = frames[0]
+    for f in frames[1:]:
+        uni = uni.unionByName(f)
+    return uni
+
+
 def match_percentiles_sharded(shards, text: str, by: str = "dl",
                               qs=(0.25, 0.5, 0.75, 0.95),
                               mode: str = "or",

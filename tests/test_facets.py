@@ -775,3 +775,45 @@ def test_match_percentiles_equals_bruteforce(spark, facet_setup, mode):
             match_percentiles(idx, text, qs=(0.5, 1.5))
         with pytest.raises(ValueError, match=r"\[0, 1\]"):
             match_percentiles(idx, text, qs=())
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_match_docs_equals_search_set(spark, facet_setup, mode):
+    """match_docs exports EXACTLY the docs an unbounded search ranks —
+    same kernel, so same match set — with the requested metadata
+    columns, across filters, deletions, and the column edges."""
+    from donkey_spark.plans.delete import clear_tombstones, delete_docs
+    from donkey_spark.plans.facet_counts import match_docs
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    meta = {r["doc_id"]: (r["repo"], r["path"], r["dl"]) for r in
+            spark.read.parquet(f"{faceted}/docs").collect()}
+    text = "def return class"
+    langs = sorted(set(lang.values()))[:2]
+    idx = Index(spark, faceted)
+    for filt in (None, {"lang": langs[0]}, {"lang": {"not": langs}}):
+        want = sorted((d, *meta[d]) for d in
+                      (r[2] for r in idx.search_rows(
+                          [(0, text, idx.n_docs)], mode=mode,
+                          filters=filt)))
+        got = sorted(tuple(r) for r in match_docs(
+            idx, text, mode=mode, filters=filt,
+            columns=("doc_id", "repo", "path", "dl")).collect())
+        assert got == want and (filt is not None or len(got) > 0), filt
+    # default columns = the whole docs schema; unknown columns refuse
+    full = match_docs(idx, text, mode=mode)
+    assert full.columns == spark.read.parquet(f"{faceted}/docs").columns
+    with pytest.raises(ValueError, match="unknown docs columns"):
+        match_docs(idx, text, columns=("nope",))
+    # OOV -> empty frame, same schema
+    assert match_docs(idx, "zz_totally_oov", mode=mode).count() == 0
+    # tombstoned docs leave the export
+    victims = [r[2] for r in idx.search_rows([(0, text, 3)], mode=mode)]
+    delete_docs(spark, faceted, victims)
+    try:
+        left = {r["doc_id"] for r in match_docs(
+            Index(spark, faceted), text, mode=mode,
+            columns=("doc_id",)).collect()}
+        assert not (set(victims) & left)
+    finally:
+        clear_tombstones(spark, faceted)

@@ -532,3 +532,28 @@ def test_sharded_match_percentiles_mixed_budget(spark, sh_setup):
         assert got["n_values"] == want["n_values"]
         for q, v in want["percentiles"].items():
             assert abs(got["percentiles"][q] - v) < 1e-9, (mode, q)
+
+
+def test_sharded_match_docs_unions_exactly(spark, sh_setup):
+    """Federated export = the union of per-shard exports = the unified
+    index's export keyed by (repo, path); the shard column fetches back
+    into the owning shard."""
+    from donkey_spark.plans.facet_counts import match_docs
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import match_docs_sharded
+    uni_dir, parts, _ = sh_setup
+    text = "def return"
+    uni = Index(spark, uni_dir)
+    shards = [Index(spark, d) for d in parts]
+    want = sorted((r["repo"], r["path"], r["dl"]) for r in match_docs(
+        uni, text, columns=("repo", "path", "dl")).collect())
+    rows = match_docs_sharded(shards, text,
+                              columns=("repo", "path", "dl")).collect()
+    assert sorted((r["repo"], r["path"], r["dl"]) for r in rows) == want
+    assert len(want) > 0
+    # the shard column points at the owning shard
+    for r in rows[:20]:
+        owned = match_docs(shards[r["shard"]], text,
+                           columns=("repo", "path")).collect()
+        assert (r["repo"], r["path"]) in {(x["repo"], x["path"])
+                                          for x in owned}
