@@ -85,6 +85,15 @@ def main() -> None:
                          ".25,.5,.75,.95; respecting --mode or/and and "
                          "--filter) instead of ranking — works on "
                          "--index and --shards")
+    ap.add_argument("--export", default=None, nargs="?", const="",
+                    metavar="COL[,COL...]",
+                    help="export the FULL match set of --query as docs "
+                         "metadata rows (given columns; bare --export = "
+                         "all) instead of ranking — the training-"
+                         "pipeline feed; respects --mode or/and and "
+                         "--filter, works on --index and --shards; "
+                         "combine with --out to write parquet (large "
+                         "match sets should always use --out)")
     ap.add_argument("--facet-counts", default=None, metavar="COL",
                     help="instead of top-k rows, print the per-value "
                          "document counts of this facet column over the "
@@ -131,6 +140,14 @@ def main() -> None:
         # stack — refuse the combination at the argparse level instead
         ap.error(f"--mode {a.mode} composes with --filter only, not "
                  "--facet-counts/--snippets/--phrase")
+    if a.export is not None and (
+            a.queries or a.phrase or a.facet_counts or a.snippets
+            or a.stats or a.percentiles or a.count or a.sort
+            or a.offset or a.after or a.boost
+            or a.mode not in ("or", "and")):
+        # argparse-cheap, before Spark starts (like the checks above)
+        ap.error("--export takes a single --query with --mode "
+                 "or/and and --filter only")
     if a.boost and (a.phrase or a.facet_counts or a.snippets or a.count
                     or a.stats or a.percentiles or a.sort or a.offset
                     or a.after or a.mode not in ("or", "and")):
@@ -148,7 +165,7 @@ def main() -> None:
     if a.suggest:
         if (a.query or a.queries or a.count or a.stats or a.percentiles
                 or a.phrase or a.facet_counts or a.snippets or a.filter
-                or a.boost):
+                or a.boost or a.export is not None):
             ap.error("--suggest TERM stands alone (optionally -k)")
         if a.shards:
             from donkey_spark.plans.sharded import (open_shards,
@@ -170,6 +187,23 @@ def main() -> None:
     filters = parse_filter_specs(a.filter)
     if a.bin_shift is not None and not a.facet_counts:
         ap.error("--bin-shift needs --facet-counts COL")
+    if a.export is not None:
+        cols = tuple(c for c in a.export.split(",") if c) or None
+        if a.shards:
+            from donkey_spark.plans.sharded import (match_docs_sharded,
+                                                    open_shards)
+            res = match_docs_sharded(
+                open_shards(spark, a.shards.split(",")), a.query,
+                mode=a.mode, filters=filters, columns=cols)
+        else:
+            from donkey_spark.plans.facet_counts import match_docs
+            res = match_docs(idx, a.query, mode=a.mode,
+                             filters=filters, columns=cols)
+        if a.out:
+            res.write.mode("overwrite").parquet(a.out)
+        else:
+            res.show(100, truncate=False)
+        return
     if a.after is not None:
         if (a.queries or a.phrase or a.facet_counts or a.snippets
                 or a.count or a.stats or a.percentiles or a.sort

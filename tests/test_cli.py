@@ -123,6 +123,23 @@ def test_cli_build_query_delete_roundtrip(cli_corpus):
         capture_output=True, text=True, cwd=ROOT, timeout=120)
     assert bad.returncode == 2 and "--boost composes" in bad.stderr
 
+    # bulk export: the full match set as metadata parquet; its
+    # cardinality must equal --count's number on the same query+filter
+    exp = str(base / "export")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "--export", "doc_id,repo,path,dl", "--filter", "lang=py",
+          "--out", exp])
+    edf = pd.read_parquet(exp)
+    assert list(edf.columns) == ["doc_id", "repo", "path", "dl"]
+    out = _run(["scripts/query.py", "--index", idx, "--query",
+                "def return", "--count", "--filter", "lang=py"])
+    assert len(edf) == int(out.strip().splitlines()[-1]) > 0
+    bad = subprocess.run(
+        [sys.executable, "scripts/query.py", "--index", idx, "--query",
+         "def", "--export", "--count"],
+        capture_output=True, text=True, cwd=ROOT, timeout=120)
+    assert bad.returncode == 2 and "--export takes" in bad.stderr
+
     out = _run(["scripts/delete_docs.py", "--index", idx,
                 "--ids", f"{top_ids[0]},{top_ids[1]}"])
     assert "tombstones: 2" in out
