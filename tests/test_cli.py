@@ -436,3 +436,38 @@ def test_cli_backfill_and_count(cli_corpus):
                  SPARK_LOCAL_IP="127.0.0.1",
                  PYSPARK_SUBMIT_ARGS="--master local[4] pyspark-shell"))
     assert bad.returncode == 2 and "--count takes" in bad.stderr
+
+
+def test_engine_zip_is_self_contained(tmp_path):
+    """scripts/make_engine_zip.py produces the --py-files artifact the
+    north rule ships; importing the package from the ZIP ALONE (cwd
+    outside the repo, no PYTHONPATH) must find every module — a
+    missing file in the walk would only surface at cluster submit
+    time otherwise."""
+    out = subprocess.run([sys.executable, "scripts/make_engine_zip.py"],
+                         capture_output=True, text=True, cwd=ROOT,
+                         timeout=120)
+    assert out.returncode == 0, out.stderr[-500:]
+    zip_path = out.stdout.strip().splitlines()[-1]
+    assert os.path.isfile(zip_path)
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "import importlib, pkgutil\n"
+        "import donkey_spark\n"
+        "mods = [m.name for m in pkgutil.walk_packages(\n"
+        "    donkey_spark.__path__, 'donkey_spark.')]\n"
+        "assert len(mods) > 30, mods\n"
+        "skip = ('plans', 'streaming', 'sources', 'pipeline',\n"
+        "        'operators', 'contract')   # import pyspark at module "
+        "scope\n"
+        "light = [m for m in mods if not any(s in m for s in skip)]\n"
+        "for m in light: importlib.import_module(m)\n"
+        "from donkey_spark.functions.boosts import parse_boost_text\n"
+        "from donkey_spark.kernels.varint import varint_encode\n"
+        "print(parse_boost_text('a bb^2')[1])\n")
+    got = subprocess.run([sys.executable, "-c", probe, zip_path],
+                         capture_output=True, text=True,
+                         cwd=str(tmp_path), timeout=120,
+                         env={"PATH": os.environ["PATH"]})
+    assert got.returncode == 0, (got.stdout, got.stderr[-800:])
+    assert "{'bb': 2.0}" in got.stdout
