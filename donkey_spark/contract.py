@@ -64,6 +64,23 @@ BM25_AND_QUERIES: list[tuple[int, str, int]] = [
     (4, "spark zz_oov_token", 10),
 ]
 
+#: minimum_should_match query set (§2.14 — the ES knob between OR and
+#: AND, kernels/wand.score_range_topk_msm). Per-query thresholds in
+#: BM25_MSM_M: query 1's m equals its term count (must reproduce
+#: mode="and"); query 3's OOV term can never be matched, so its m=2
+#: requires BOTH live terms; query 4's m exceeds its live-term count
+#: (empty on both engines); query 5's m=1 is the plain OR query.
+BM25_MSM_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spark join filter", 10),
+    (1, "group sort merge", 10),
+    (2, "stream batch value window", 10),
+    (3, "spark zz_oov_token join", 10),
+    (4, "customer row zz_oov_token", 10),
+    (5, "window merge", 10),
+]
+#: covers EVERY query id (the oracle's qm CTE inner-joins on it)
+BM25_MSM_M: dict[int, int] = {0: 2, 1: 3, 2: 2, 3: 2, 4: 3, 5: 1}
+
 #: exact-phrase query set (r5, format v3 positions) — phrases chosen to
 #: have real adjacent occurrences in the documents fixture at every sf;
 #: query 3 reverses a common phrase (sparser matches), query 4's OOV
@@ -850,6 +867,41 @@ def q_bm25_topk_and(spark, sf_dir):
     return (res.withColumn("rank", F.row_number().over(w))
             .select("query_id", "rank", "doc_id",
                     F.round(F.col("score"), 6).alias("score")))
+
+
+def q_bm25_topk_msm(spark, sf_dir):
+    """§2.14 minimum_should_match — the ES dial between OR and AND
+    (kernels/wand.score_range_topk_msm): only docs containing at least
+    m distinct query terms rank, scores unchanged for survivors, vs a
+    HAVING count >= m SQL BM25 (per-query m via the qm CTE)."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    res = idx.search_batch(BM25_MSM_QUERIES, min_match=BM25_MSM_M)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
+def q_bm25_topk_msm_sharded(spark, sf_dir):
+    """§2.14 T21 × minimum_should_match — the msm batch over the two
+    shard indexes under federation-global stats. A doc lives in one
+    shard and can only contain terms that shard's dictionary has, so
+    matched-term counts are shard-local by construction and the same
+    unified HAVING-count oracle must reproduce the merge exactly."""
+    from .plans.query import Index
+    from .plans.sharded import RESULT_SCHEMA, search_rows_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = search_rows_sharded(shards, BM25_MSM_QUERIES,
+                               min_match=BM25_MSM_M)
+    df = spark.createDataFrame(rows, RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "repo", "path"))
 
 
 def q_bm25_phrase_sharded(spark, sf_dir):
@@ -2270,7 +2322,8 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
                      ordered_sql: str = _ORDERED_SQL,
                      qset_sql: str | None = None,
                      page_offset: int = 0,
-                     weighted: bool = False) -> str:
+                     weighted: bool = False,
+                     min_match: dict[int, int] | None = None) -> str:
     """From-first-principles DuckDB BM25 over the documents view for the
     given query set; conjunctive=True keeps only docs matched by EVERY
     query term (HAVING count = per-query term count); deleted_pred (a
@@ -2291,9 +2344,16 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
     weighted=True (boosted pairs): ``qset_sql`` must supply a fourth
     ``w`` column (see _boost_qset_sql) and each term's contribution is
     multiplied by it — the oracle's arithmetic twin of the engine's
-    idf-scaling boost."""
+    idf-scaling boost.
+
+    min_match ({query_id: m} — the minimum_should_match pairs): only
+    docs matching at least m DISTINCT query terms rank, scores
+    unchanged (HAVING count >= m over the same per-term join the
+    conjunctive twin counts; an out-of-dictionary term joins nothing,
+    so a query whose live terms number < m is empty on both engines)."""
     assert not (deleted_pred and keep_sql)
     assert not (weighted and qset_sql is None)
+    assert not (min_match and (conjunctive or phrase))
     if deleted_pred:
         keep_sql = f"NOT ({deleted_pred})"
     from .functions.tokenize import tokenize_py
@@ -2310,6 +2370,14 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
               "GROUP BY 1)" if conjunctive else "")
     qn_join = " JOIN qn ON qn.query_id = q.query_id" if conjunctive else ""
     having = "\n  HAVING count(*) = max(qn.nt)" if conjunctive else ""
+    if min_match:
+        mvals = ",\n  ".join(f"({qid}, {int(m)})"
+                             for qid, m in sorted(min_match.items()))
+        qn_cte = f""", qm(query_id, m) AS (VALUES
+  {mvals}
+)"""
+        qn_join = " JOIN qm ON qm.query_id = q.query_id"
+        having = "\n  HAVING count(*) >= max(qm.m)"
     phrase_cte, phrase_join, phrase_where = "", "", ""
     if phrase:
         pats = ",\n  ".join(
@@ -2484,6 +2552,9 @@ FROM base JOIN keys ON keys.d = base.doc_id
 
 _BM25_SHARDED_ORACLE = _sharded_wrap(_BM25_ORACLE)
 _BM25_AND_ORACLE = _bm25_oracle_sql(BM25_AND_QUERIES, conjunctive=True)
+_BM25_MSM_ORACLE = _bm25_oracle_sql(BM25_MSM_QUERIES,
+                                    min_match=BM25_MSM_M)
+_BM25_MSM_SHARDED_ORACLE = _sharded_wrap(_BM25_MSM_ORACLE)
 _BM25_PHRASE_ORACLE = _bm25_oracle_sql(BM25_PHRASE_QUERIES, phrase=True)
 _BM25_PHRASE_SHARDED_ORACLE = _sharded_wrap(_BM25_PHRASE_ORACLE)
 _BM25_PREFIX_ORACLE = _bm25_oracle_sql(
@@ -3024,6 +3095,8 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk": _BM25_ORACLE,
     "bm25_topk_sharded": _BM25_SHARDED_ORACLE,
     "bm25_topk_and": _BM25_AND_ORACLE,
+    "bm25_topk_msm": _BM25_MSM_ORACLE,
+    "bm25_topk_msm_sharded": _BM25_MSM_SHARDED_ORACLE,
     "bm25_phrase_topk": _BM25_PHRASE_ORACLE,
     "bm25_phrase_sharded": _BM25_PHRASE_SHARDED_ORACLE,
     "bm25_topk_prefix": _BM25_PREFIX_ORACLE,
@@ -3231,6 +3304,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_sharded": q_bm25_topk_sharded,
     "bm25_topk_and": q_bm25_topk_and,
+    "bm25_topk_msm": q_bm25_topk_msm,
+    "bm25_topk_msm_sharded": q_bm25_topk_msm_sharded,
     "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_phrase_sharded": q_bm25_phrase_sharded,
     "bm25_topk_prefix": q_bm25_topk_prefix,

@@ -216,6 +216,109 @@ def score_range_topk(base: int, size: int,
     return ((nz[ordix] + base).astype(np.int64), sc[ordix])
 
 
+def score_range_topk_msm(base: int, size: int,
+                         terms: list[TermBlocks], avgdl: float, k: int,
+                         min_match: int,
+                         stats: dict | None = None,
+                         cache: dict | None = None,
+                         dead: np.ndarray | None = None,
+                         allowed: np.ndarray | None = None,
+                         cursor: tuple[float, int] | None = None):
+    """Exact minimum-should-match top-k within one doc range (the ES
+    ``minimum_should_match`` knob between OR and AND): only docs
+    containing AT LEAST ``min_match`` distinct query terms may rank;
+    a qualifying doc's score is the ordinary disjunctive BM25 sum over
+    the query terms it contains, so scores equal the plain OR query's
+    for the surviving docs (and min_match == n terms reproduces the
+    AND mode's results exactly).
+
+    ``dead``/``allowed``/``cursor``: score_range_topk's contracts.
+
+    Pruning stays exact but must be more conservative than the OR
+    kernel's: a partially-accumulated score only lower-bounds the final
+    k-th best if its doc is GUARANTEED to qualify, and mid-loop a doc's
+    term count can still grow — so θ is the k-th best accumulated score
+    among docs that have ALREADY reached min_match (counts and scores
+    only grow, so such docs qualify for certain and θ remains a safe
+    lower bound). A θ-skipped block denies its docs both score and
+    count, which is safe for the same reason as the AND kernel's
+    last-term cutoff: the block potential upper-bounds any member's
+    FINAL score, so strictly-below-θ docs are outside the final top-k
+    whether or not they would have qualified. min_match <= 1 callers
+    should use score_range_topk (bit-identical there, with tighter θ).
+    """
+    if not terms or k <= 0 or len(terms) < min_match:
+        # fewer live terms than the required match count in this range
+        # → no doc here can qualify
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    mask = allowed
+    if mask is not None and dead is not None and dead.size:
+        mask = mask.copy()
+        mask[dead] = False
+        dead = None
+    acc = np.zeros(size, dtype=np.float64)
+    # term-presence counter; tombstoned / filtered-out docs get a large
+    # negative sentinel so they can never reach min_match (the AND
+    # kernel's cnt trick) — acc is additionally re-zeroed for them
+    # below so block potentials stay tight
+    cnt = np.zeros(size, dtype=np.int32)
+    if mask is not None:
+        cnt[~mask] = np.int32(-(1 << 30))
+    elif dead is not None and dead.size:
+        cnt[dead] = np.int32(-(1 << 30))
+    order = sorted(terms, key=lambda t: -t.ub)
+    ubs = np.array([t.ub for t in order], dtype=np.float64)
+    suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+    theta = 0.0
+    for i, t in enumerate(order):
+        rem = suffix[i]
+        if theta > 0.0:
+            pots = (_span_maxima(
+                acc,
+                np.array([b["first_doc_id"] for b in t.blocks],
+                         dtype=np.int64) - base,
+                np.array([b["max_doc_id"] for b in t.blocks],
+                         dtype=np.int64) - base + 1)
+                + t.pot_idf * np.array([b["block_max_tfpart"]
+                                        for b in t.blocks]) + rem)
+            keep = [b for b, p in zip(t.blocks, pots) if p >= theta]
+            if stats is not None and len(keep) < len(t.blocks):
+                stats["blocks_skipped"] = (stats.get("blocks_skipped", 0)
+                                           + len(t.blocks) - len(keep))
+        else:
+            keep = t.blocks
+        if keep:
+            ids, part = _decode_parts(keep, "varint", avgdl, cache)
+            loc = ids - base
+            acc[loc] += t.idf * part
+            cnt[loc] += np.int32(1)
+            if mask is not None:
+                np.multiply(acc, mask, out=acc)
+            elif dead is not None and dead.size:
+                acc[dead] = 0.0
+            if stats is not None:
+                stats["blocks_decoded"] = (stats.get("blocks_decoded", 0)
+                                           + len(keep))
+                stats["postings_scored"] = (stats.get("postings_scored", 0)
+                                            + ids.size)
+        if cursor is None:
+            qual = acc[cnt >= min_match]
+            if qual.size >= k:
+                theta = np.partition(qual, qual.size - k)[qual.size - k]
+    nz = np.flatnonzero(cnt >= min_match)
+    if cursor is not None and nz.size:
+        nz = nz[_cursor_keep(nz, acc[nz], base, cursor)]
+    if nz.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if nz.size > k:
+        kth = np.partition(acc[nz], nz.size - k)[nz.size - k]
+        keep = acc[nz] >= kth
+        nz = nz[keep]
+    sc = acc[nz]
+    ordix = np.lexsort((nz, -sc))[:k]
+    return ((nz[ordix] + base).astype(np.int64), sc[ordix])
+
+
 def score_range_topk_and(base: int, size: int,
                          terms: list[TermBlocks], avgdl: float, k: int,
                          n_query_terms: int,

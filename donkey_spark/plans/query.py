@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import tokenize_py
 from ..kernels.bm25 import idf as bm25_idf
 from ..kernels.wand import (TermBlocks, score_range_topk,
-                            score_range_topk_and)
+                            score_range_topk_and, score_range_topk_msm)
 from ..operators.postings import term_bucket_py
 
 _RESULT_SCHEMA = ("query_id int, rank int, doc_id long, score double, "
@@ -94,7 +94,7 @@ def _eval_bool_mask(tree, by_term, base, size, avgdl, cache):
 def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                        tombstones=None, required_groups=None,
                        pot_scale: float = 1.0, bool_trees=None,
-                       cursors=None, boosts=None):
+                       cursors=None, boosts=None, min_match=None):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results.
@@ -118,7 +118,12 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
     query's term scores as w·idf·tf_part, applied by scaling the
     TermBlocks idf, so the kernel's block-max potentials (derived from
     the same idf) scale with it and every skip stays a safe
-    upper-bound test; boost 1.0 / absent is bit-identical to before."""
+    upper-bound test; boost 1.0 / absent is bit-identical to before.
+    ``min_match`` ({qid: m}, mode="or" only — the ES
+    minimum_should_match knob): queries with m > 1 route to the
+    counting kernel (score_range_topk_msm) — only docs containing at
+    least m distinct query terms rank, scores unchanged for survivors;
+    m <= 1 / absent stays on the plain disjunctive kernel."""
     import numpy as np
 
     def score_group(salt: int, by_term: dict[str, list[dict]],
@@ -191,6 +196,10 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                 ids, sc = score_range_topk_and(
                     base, base_mult, tbs, avgdl, k, len(terms),
                     cache=cache, dead=dead, allowed=allowed, cursor=cur)
+            elif min_match is not None and min_match.get(qid, 1) > 1:
+                ids, sc = score_range_topk_msm(
+                    base, base_mult, tbs, avgdl, k, min_match[qid],
+                    cache=cache, dead=dead, allowed=allowed, cursor=cur)
             else:
                 ids, sc = score_range_topk(base, base_mult, tbs, avgdl, k,
                                            cache=cache, dead=dead,
@@ -201,6 +210,32 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
         return out_q, out_d, out_s
 
     return score_group
+
+
+def _validate_min_match(min_match, queries, mode) -> dict | None:
+    """Normalize search_rows' ``min_match`` to {query_id: m} (or None
+    when it constrains nothing). Ints must be >= 1; mode must be "or"
+    (AND already requires every term; boolean trees and phrases carry
+    their own match semantics)."""
+    if min_match is None:
+        return None
+    if isinstance(min_match, int) and min_match <= 1:
+        return None        # m <= 1 is the plain disjunctive query
+    if mode != "or":
+        raise ValueError(
+            f"min_match applies to mode='or' only, got mode={mode!r}")
+    if isinstance(min_match, int):
+        return {qid: min_match for qid, _, _ in queries}
+    if not isinstance(min_match, dict):
+        raise ValueError("min_match must be an int or {query_id: int}")
+    qids = {qid for qid, _, _ in queries}
+    bad = {q: m for q, m in min_match.items()
+           if q not in qids or not isinstance(m, int) or m < 1}
+    if bad:
+        raise ValueError(f"min_match: invalid entries {bad} (keys must "
+                         f"be batch query_ids, values ints >= 1)")
+    mm = {q: m for q, m in min_match.items() if m > 1}
+    return mm or None
 
 
 #: batch size at which the scorer pre-decodes every pruned block in bulk
@@ -282,14 +317,14 @@ def _score_block_table(tbl, score_group, codec: str, avgdl: float,
 def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
                        tombstones=None, required_groups=None,
                        pot_scale: float = 1.0, bool_trees=None,
-                       cursors=None, boosts=None):
+                       cursors=None, boosts=None, min_match=None):
     """mapInArrow partition function for the distributed path: each
     partition holds complete salts (repartition("salt") upstream), blobs
     stay Arrow buffers end to end — no pandas object conversion of
     posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
     score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                                      tombstones, required_groups, pot_scale,
-                                     bool_trees, cursors, boosts)
+                                     bool_trees, cursors, boosts, min_match)
     prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
     def score_arrow(batches):
@@ -529,7 +564,8 @@ class Index:
                      mode: str = "or",
                      filters: dict | None = None,
                      stats: dict | None = None,
-                     bool_trees: dict | None = None) -> dict | None:
+                     bool_trees: dict | None = None,
+                     min_match: dict | None = None) -> dict | None:
         """The shared planning pass: parse → dictionary probe → facet
         resolution → per-query term plans → bucket pruning → the
         local-vs-distributed cost decision. Returns None when the plan
@@ -619,6 +655,13 @@ class Index:
                      for qid, (ts, k) in parsed.items()
                      if mode == "or" or all(t in idf_map for t in ts)]
         qplan = [q for q in qplan if q[1]]
+        if min_match:
+            # minimum_should_match counts DISTINCT query terms present
+            # in a doc; out-of-dictionary terms can never contribute, so
+            # a query with fewer live terms than its m is provably empty
+            # (ES semantics: OOV should-clauses still count toward m)
+            qplan = [q for q in qplan
+                     if len(q[1]) >= min_match.get(q[0], 1)]
         # facets apply as a per-salt presence mask in BOTH modes — built
         # once per salt, never per query (see _make_group_scorer)
         required = facet_groups or None
@@ -817,7 +860,8 @@ class Index:
                     stats: dict | None = None,
                     bool_trees: dict | None = None,
                     cursors: dict | None = None,
-                    boosts: dict | None = None) -> list[tuple]:
+                    boosts: dict | None = None,
+                    min_match: int | dict | None = None) -> list[tuple]:
         """queries: [(query_id, text, k)] -> fully-materialized result rows
         [(query_id, rank, doc_id, score, repo, path)] sorted by
         (query_id, rank) — the serving-layer surface (donkey's Hits
@@ -848,11 +892,24 @@ class Index:
         ``boosts`` ({query_id: {term: w}}, every w > 0): per-term
         relevance weights — the query's term scores w·idf·tf_part (see
         functions/boosts.py; search_rows_boosted parses the ``term^w``
-        text syntax into this)."""
+        text syntax into this).
+
+        ``min_match`` (the ES ``minimum_should_match`` knob, mode="or"
+        only — the dial between OR and AND): an int (every query) or
+        {query_id: int}; a doc must contain at least that many DISTINCT
+        query terms to rank, and a surviving doc's score is unchanged
+        (the same per-matched-term BM25 sum the plain OR query gives
+        it). m <= 1 is bit-identical to the plain query; m == the
+        query's term count reproduces mode="and"'s results; m above the
+        query's in-dictionary term count is provably empty (an
+        out-of-dictionary term can never be matched). Composes with
+        ``filters``, ``boosts``, tombstones and cursors."""
         from ..functions.boosts import validate_boosts
         validate_boosts(boosts, "search_rows")
+        min_match = _validate_min_match(min_match, queries, mode)
         plan = self._plan_search(queries, mode, filters, stats,
-                                 bool_trees=bool_trees)
+                                 bool_trees=bool_trees,
+                                 min_match=min_match)
         if plan is None:
             return []
         qplan, idf_map, dfs = plan["qplan"], plan["idf_map"], plan["dfs"]
@@ -870,7 +927,7 @@ class Index:
                                         self.range_size, avgdl,
                                         self._tombstones, required,
                                         pot_scale, plan["trees"],
-                                        cursors, boosts)
+                                        cursors, boosts, min_match)
             cand = self._local_candidates(
                 needed, buckets, scorer,
                 prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES,
@@ -881,7 +938,7 @@ class Index:
                                              avgdl,
                                              self._tombstones_bc, required,
                                              pot_scale, plan["trees"],
-                                             cursors, boosts)
+                                             cursors, boosts, min_match)
             seg = (self._seg
                    .where(F.col("bucket").isin(buckets)      # dir prune
                           & F.col("term").isin(needed))
@@ -949,10 +1006,12 @@ class Index:
 
     def search_batch(self, queries: list[tuple[int, str, int]],
                      mode: str = "or",
-                     filters: dict | None = None) -> DataFrame:
+                     filters: dict | None = None,
+                     min_match: int | dict | None = None) -> DataFrame:
         """DataFrame wrapper over search_rows (same columns/ordering)."""
         return self.spark.createDataFrame(
-            self.search_rows(queries, mode, filters=filters),
+            self.search_rows(queries, mode, filters=filters,
+                             min_match=min_match),
             _RESULT_SCHEMA)
 
     def search_rows_bool(self, queries: list[tuple[int, str, int]],
@@ -1410,9 +1469,11 @@ class Index:
                 .select("doc_id", "repo", "path").collect()}  # Spark job 2
 
     def search(self, text: str, k: int = 10, mode: str = "or",
-               filters: dict | None = None) -> DataFrame:
+               filters: dict | None = None,
+               min_match: int | None = None) -> DataFrame:
         return (self.search_batch([(0, text, k)], mode=mode,
-                                  filters=filters).drop("query_id"))
+                                  filters=filters, min_match=min_match)
+                .drop("query_id"))
 
     def search_phrase(self, text: str, k: int = 10,
                       query_id: int = 0, slop: int = 0,

@@ -101,17 +101,24 @@ def global_stats(shards, terms) -> dict:
 
 def search_rows_sharded(shards, queries: list[tuple[int, str, int]],
                         mode: str = "or",
-                        filters: dict | None = None) -> list[tuple]:
+                        filters: dict | None = None,
+                        min_match: int | dict | None = None
+                        ) -> list[tuple]:
     """Top-k over the federation: [(query_id, rank, shard, doc_id,
     score, repo, path)] sorted by (query_id, rank). ``shards`` is a
     list of ``plans.query.Index``; ``mode``/``filters`` apply inside
     every shard (each resolves facet values against its own
-    dictionary — shards must share the facet schema)."""
+    dictionary — shards must share the facet schema). ``min_match``
+    (Index.search_rows' minimum_should_match knob) federates exactly
+    with no extra phase: a doc lives in ONE shard and can only contain
+    terms present in that shard's dictionary, so its matched-term
+    count is shard-local by construction."""
     terms = [t for _, text, _ in queries for t in tokenize_py(text)]
     stats = global_stats(shards, terms)
     per_shard = _fanout(
         lambda idx: idx.search_rows(queries, mode=mode,
-                                    filters=filters, stats=stats),
+                                    filters=filters, stats=stats,
+                                    min_match=min_match),
         shards)
     return _merge_ranked(per_shard, {qid: k for qid, _, k in queries})
 
@@ -339,10 +346,12 @@ def open_shards(spark, index_dirs: list[str], **index_opts) -> list:
 
 def search_sharded(spark, index_dirs: list[str],
                    queries: list[tuple[int, str, int]],
-                   mode: str = "or", filters: dict | None = None):
+                   mode: str = "or", filters: dict | None = None,
+                   min_match: int | dict | None = None):
     """DataFrame form of ``search_rows_sharded`` over shard dirs."""
     rows = search_rows_sharded(open_shards(spark, index_dirs), queries,
-                               mode=mode, filters=filters)
+                               mode=mode, filters=filters,
+                               min_match=min_match)
     return spark.createDataFrame(rows, RESULT_SCHEMA)
 
 

@@ -35,6 +35,11 @@ def main() -> None:
                          "e.g. 'spark AND (join OR filter) AND NOT go' "
                          "(operators UPPERCASE; negations constrain, "
                          "never score)")
+    ap.add_argument("--min-match", type=int, default=None, metavar="M",
+                    help="with --mode or: minimum_should_match — only "
+                         "docs containing at least M distinct query "
+                         "terms rank (scores unchanged for survivors); "
+                         "M = the term count behaves like --mode and")
     ap.add_argument("--max-expansions", type=int, default=None,
                     help="with --mode pattern: per-pattern dictionary "
                          "expansion cap (default config.MAX_TERM_"
@@ -156,6 +161,15 @@ def main() -> None:
         # before Spark starts)
         ap.error("--boost composes with --mode or/and, --filter and "
                  "--queries only")
+    if a.min_match is not None and (
+            a.phrase or a.facet_counts or a.snippets or a.count
+            or a.stats or a.percentiles or a.sort or a.offset
+            or a.after or a.boost or a.export is not None
+            or a.mode != "or"):
+        # same shape as the --boost guard: later branches dispatch on
+        # those flags first and would silently drop the threshold
+        ap.error("--min-match composes with --mode or ranked search "
+                 "(--query/--queries, --filter) only")
 
     from pyspark.sql import SparkSession
     from donkey_spark.plans.query import Index
@@ -165,7 +179,8 @@ def main() -> None:
     if a.suggest:
         if (a.query or a.queries or a.count or a.stats or a.percentiles
                 or a.phrase or a.facet_counts or a.snippets or a.filter
-                or a.boost or a.export is not None):
+                or a.boost or a.export is not None
+                or a.min_match is not None):
             ap.error("--suggest TERM stands alone (optionally -k)")
         if a.shards:
             from donkey_spark.plans.sharded import (open_shards,
@@ -409,7 +424,8 @@ def main() -> None:
                     mode=a.mode, filters=filters), RESULT_SCHEMA)
         else:
             res = search_sharded(spark, a.shards.split(","), batch,
-                                 mode=a.mode, filters=filters)
+                                 mode=a.mode, filters=filters,
+                                 min_match=a.min_match)
     elif a.facet_counts:
         if a.phrase or a.queries:
             ap.error("--facet-counts takes a single --query "
@@ -453,7 +469,8 @@ def main() -> None:
             idx.search_rows_boosted(batch, mode=a.mode, filters=filters),
             _RESULT_SCHEMA)
     else:
-        res = idx.search_batch(batch, mode=a.mode, filters=filters)
+        res = idx.search_batch(batch, mode=a.mode, filters=filters,
+                               min_match=a.min_match)
     if a.out:
         res.write.mode("overwrite").parquet(a.out)
     else:

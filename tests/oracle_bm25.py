@@ -98,6 +98,32 @@ class OracleIndex:
                         key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
 
+    def search_msm(self, query: str, k: int,
+                   min_match: int) -> list[tuple[int, int, float]]:
+        """minimum_should_match twin of search(): only docs containing
+        at least ``min_match`` DISTINCT query terms rank; a survivor's
+        score is the plain disjunctive sum over the terms it contains
+        (ES semantics: an unindexed term still counts toward the
+        requirement, so it can only make queries emptier, never
+        looser)."""
+        acc: dict[int, float] = {}
+        hit: dict[int, int] = {}
+        for term in sorted(set(tokenize(query))):
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            w = self.idf(term)
+            for doc_id, tf in plist:
+                dl = self.dl[doc_id]
+                part = tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
+                acc[doc_id] = acc.get(doc_id, 0.0) + w * part
+                hit[doc_id] = hit.get(doc_id, 0) + 1
+        ranked = sorted(((d, s) for d, s in acc.items()
+                         if hit[d] >= min_match),
+                        key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
+
     def search_bool(self, text: str, k: int) -> list[tuple[int, int, float]]:
         """Boolean-expression twin (§2.14 T24): match set = the parsed
         tree evaluated set-wise over term presence; score = search()'s
