@@ -904,6 +904,53 @@ def q_bm25_topk_msm_sharded(spark, sf_dir):
                     "repo", "path"))
 
 
+def q_bm25_topk_collapse(spark, sf_dir):
+    """§2.14 T38 field collapsing — the flagship query set collapsed on
+    repo (= documents.source through the corpus adapter): the k best
+    GROUPS per query, each represented by its best-scoring doc, with
+    the group's exact match count, vs a DuckDB twin that picks per-
+    group representatives with a window rn=1 over the same scored
+    CTE (plans/collapse.collapse_rows)."""
+    from .plans.collapse import collapse_rows
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = collapse_rows(idx, BM25_QUERIES, by="repo")
+    df = spark.createDataFrame(
+        [(qid, g, d, s, n) for qid, _, g, hr, d, s, n, _, _ in rows
+         if hr == 1],
+        "query_id int, grp string, doc_id long, score double, "
+        "group_hits long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "grp", "doc_id",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "group_hits"))
+
+
+def q_bm25_topk_collapse_sharded(spark, sf_dir):
+    """§2.14 T21 × T38 — field collapsing over the two-shard
+    federation. The doc-parity split puts every source's docs in BOTH
+    shards, so the merge genuinely re-picks each group's
+    representative across shards; the same unified collapse oracle
+    (sans group_hits — a shard only counts its own top-k groups) must
+    reproduce it exactly."""
+    from .plans.query import Index
+    from .plans.sharded import collapse_rows_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = collapse_rows_sharded(shards, BM25_QUERIES, by="repo")
+    df = spark.createDataFrame(
+        [(qid, g, s, repo, path)
+         for qid, rk, si, g, did, s, repo, path in rows],
+        "query_id int, grp string, score double, repo string, path string")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "grp",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "repo", "path"))
+
+
 def q_bm25_phrase_sharded(spark, sf_dir):
     """r5 §2.14 T21 — federated PHRASE search: the same two positional
     shard indexes, each running candidate-rank + position-verify with
@@ -2323,7 +2370,8 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
                      qset_sql: str | None = None,
                      page_offset: int = 0,
                      weighted: bool = False,
-                     min_match: dict[int, int] | None = None) -> str:
+                     min_match: dict[int, int] | None = None,
+                     collapse: bool = False) -> str:
     """From-first-principles DuckDB BM25 over the documents view for the
     given query set; conjunctive=True keeps only docs matched by EVERY
     query term (HAVING count = per-query term count); deleted_pred (a
@@ -2350,10 +2398,19 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
     docs matching at least m DISTINCT query terms rank, scores
     unchanged (HAVING count >= m over the same per-term join the
     conjunctive twin counts; an out-of-dictionary term joins nothing,
-    so a query whose live terms number < m is empty on both engines)."""
+    so a query whose live terms number < m is empty on both engines).
+
+    collapse=True (T38 field collapsing, group = ``source``): k counts
+    GROUPS — each group's representative is its best-scoring matching
+    doc picked on EXACT score (ties: ascending doc_id, the engine's
+    determinism rule), groups rank by the representative's 6-dp score
+    with the same tie-break, and group_hits counts the group's full
+    match set. Emits (query_id, rank, grp, doc_id, score,
+    group_hits)."""
     assert not (deleted_pred and keep_sql)
     assert not (weighted and qset_sql is None)
     assert not (min_match and (conjunctive or phrase))
+    assert not (collapse and (phrase or page_offset))
     if deleted_pred:
         keep_sql = f"NOT ({deleted_pred})"
     from .functions.tokenize import tokenize_py
@@ -2392,6 +2449,24 @@ def _bm25_oracle_sql(queries: list[tuple[int, str, int]],
         phrase_join = (" JOIN pats ON pats.query_id = scored.query_id"
                        " JOIN tokstr ON tokstr.d = scored.doc_id")
         phrase_where = "\n  WHERE contains(tokstr.s, pats.pat)"
+    if collapse:
+        tail = _collapse_tail(keep_sql)
+    else:
+        keep = (f"\n  WHERE ({keep_sql})"
+                if keep_sql and not phrase else "")
+        tail = f""", ranked AS (
+  SELECT scored.query_id, scored.doc_id,
+         ROUND(scored.score, 6) AS score,
+         row_number() OVER (PARTITION BY scored.query_id
+                            ORDER BY ROUND(scored.score, 6) DESC,
+                                     scored.doc_id ASC)
+         AS rank, scored.k
+  FROM scored{phrase_join}{phrase_where}{keep}
+)
+SELECT query_id, (rank - {int(page_offset)})::INT AS rank, doc_id, score
+FROM ranked
+WHERE rank > {int(page_offset)} AND rank <= {int(page_offset)} + k
+"""
     return f"""
 WITH {pre_cte}ordered AS (
   {ordered_sql}
@@ -2417,19 +2492,38 @@ WITH {pre_cte}ordered AS (
   JOIN dfreq f ON f.term = q.term
   JOIN dl2 ON dl2.d = dt.d{qn_join}, stats s
   GROUP BY 1, 2, 3{having}
-), ranked AS (
-  SELECT scored.query_id, scored.doc_id,
-         ROUND(scored.score, 6) AS score,
-         row_number() OVER (PARTITION BY scored.query_id
-                            ORDER BY ROUND(scored.score, 6) DESC,
-                                     scored.doc_id ASC)
-         AS rank, scored.k
-  FROM scored{phrase_join}{phrase_where}{f'''
-  WHERE ({keep_sql})''' if keep_sql and not phrase else ''}
+){tail}"""
+
+
+def _collapse_tail(keep_sql: str | None) -> str:
+    """The collapse (T38) oracle tail appended after the ``scored``
+    CTE: group = documents ``source`` (the corpus adapter's repo),
+    representative picked on EXACT score so the pick rule matches the
+    engine's internal determinism, final group ranking on the 6-dp
+    rounded score exactly like every other pair's ranked CTE."""
+    keep = (f"\n  WHERE ({keep_sql})" if keep_sql else "")
+    return f""", gkeys AS (
+  SELECT row_number() OVER (ORDER BY source,
+           'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS d,
+         source AS g
+  FROM documents
+), gbest AS (
+  SELECT scored.query_id, scored.k, gkeys.g, scored.doc_id, scored.score,
+         row_number() OVER (PARTITION BY scored.query_id, gkeys.g
+                            ORDER BY scored.score DESC,
+                                     scored.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY scored.query_id, gkeys.g)
+           AS group_hits
+  FROM scored JOIN gkeys ON gkeys.d = scored.doc_id{keep}
+), granked AS (
+  SELECT query_id, g, doc_id, ROUND(score, 6) AS score, group_hits, k,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 6) DESC, doc_id ASC)
+           AS rank
+  FROM gbest WHERE rn = 1
 )
-SELECT query_id, (rank - {int(page_offset)})::INT AS rank, doc_id, score
-FROM ranked
-WHERE rank > {int(page_offset)} AND rank <= {int(page_offset)} + k
+SELECT query_id, rank::INT AS rank, g AS grp, doc_id, score, group_hits
+FROM granked WHERE rank <= k
 """
 
 
@@ -2555,6 +2649,25 @@ _BM25_AND_ORACLE = _bm25_oracle_sql(BM25_AND_QUERIES, conjunctive=True)
 _BM25_MSM_ORACLE = _bm25_oracle_sql(BM25_MSM_QUERIES,
                                     min_match=BM25_MSM_M)
 _BM25_MSM_SHARDED_ORACLE = _sharded_wrap(_BM25_MSM_ORACLE)
+_BM25_COLLAPSE_ORACLE = _bm25_oracle_sql(BM25_QUERIES, collapse=True)
+#: the federated collapse twin: the unified collapse oracle with the
+#: representative's doc_id mapped to its (repo, path) key and
+#: group_hits dropped (a federation shard counts only its own top-k
+#: groups, so the engine surface omits the column)
+_BM25_COLLAPSE_SHARDED_ORACLE = f"""
+WITH base AS (
+{_BM25_COLLAPSE_ORACLE}
+), keys AS (
+  SELECT row_number() OVER (ORDER BY source,
+           'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS d,
+         source AS repo,
+         'doc/'||CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+)
+SELECT base.query_id, base.rank, base.grp, base.score,
+       keys.repo, keys.path
+FROM base JOIN keys ON keys.d = base.doc_id
+"""
 _BM25_PHRASE_ORACLE = _bm25_oracle_sql(BM25_PHRASE_QUERIES, phrase=True)
 _BM25_PHRASE_SHARDED_ORACLE = _sharded_wrap(_BM25_PHRASE_ORACLE)
 _BM25_PREFIX_ORACLE = _bm25_oracle_sql(
@@ -3097,6 +3210,8 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_and": _BM25_AND_ORACLE,
     "bm25_topk_msm": _BM25_MSM_ORACLE,
     "bm25_topk_msm_sharded": _BM25_MSM_SHARDED_ORACLE,
+    "bm25_topk_collapse": _BM25_COLLAPSE_ORACLE,
+    "bm25_topk_collapse_sharded": _BM25_COLLAPSE_SHARDED_ORACLE,
     "bm25_phrase_topk": _BM25_PHRASE_ORACLE,
     "bm25_phrase_sharded": _BM25_PHRASE_SHARDED_ORACLE,
     "bm25_topk_prefix": _BM25_PREFIX_ORACLE,
@@ -3306,6 +3421,8 @@ QUERIES = {
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_topk_msm": q_bm25_topk_msm,
     "bm25_topk_msm_sharded": q_bm25_topk_msm_sharded,
+    "bm25_topk_collapse": q_bm25_topk_collapse,
+    "bm25_topk_collapse_sharded": q_bm25_topk_collapse_sharded,
     "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_phrase_sharded": q_bm25_phrase_sharded,
     "bm25_topk_prefix": q_bm25_topk_prefix,

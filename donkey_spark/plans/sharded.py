@@ -794,3 +794,63 @@ def range_counts_sharded(shards, text: str, facet: str, shift: int,
     out = _union_all(parts)
     return out.groupBy("bin_lo", "bin_hi").agg(
         F.sum("n_docs").cast("long").alias("n_docs"))
+
+
+#: federated collapse row: a group may SPAN shards (the sharding
+#: invariant is per (repo, path) doc, not per group value), so the
+#: merge re-picks each group's representative across shards; shard +
+#: shard-local doc_id identify the winner for fetch-back. group_hits
+#: is OMITTED: a shard reports counts only for the groups in its own
+#: top-k, so cross-shard totals would be silently understated — the
+#: exact count is one facet_counts/match_count call away when needed.
+COLLAPSE_SHARDED_SCHEMA = ("query_id int, rank int, shard int, "
+                           "grp string, doc_id long, score double, "
+                           "repo string, path string")
+
+
+def collapse_rows_sharded(shards, queries: list[tuple[int, str, int]],
+                          by: str = "repo", mode: str = "or",
+                          filters: dict | None = None,
+                          min_match: int | dict | None = None
+                          ) -> list[tuple]:
+    """Field collapsing over the federation (plans/collapse.py's
+    sharded twin): [(query_id, rank, shard, grp, doc_id, score, repo,
+    path)] — the k best GROUPS per query, each represented by its
+    best doc across ALL shards. Exact by the standard containment
+    argument applied to groups: a group's global best doc lives in
+    some shard, where it is that group's shard-best; any k groups
+    outranking it THERE have global bests at least as good, so every
+    global top-k group appears in at least one shard's top-k group
+    list. Merge = per-(query, group) best across shards on
+    (score desc, repo, path) — the unified index's (score, doc_id)
+    tie-break under the dense-id construction — then ranking the
+    group bests the same way."""
+    terms = [t for _, text, _ in queries for t in tokenize_py(text)]
+    stats = global_stats(shards, terms)
+    from .collapse import collapse_rows
+    per_shard = _fanout(
+        lambda idx: collapse_rows(idx, queries, by=by, mode=mode,
+                                  filters=filters, stats=stats,
+                                  min_match=min_match),
+        shards)
+    best: dict[tuple, tuple] = {}
+    for si, rows in enumerate(per_shard):
+        for qid, _, g, hr, did, score, _n, repo, path in rows:
+            if hr != 1:
+                continue
+            cur = best.get((qid, g))
+            cand = (-score, repo, path, si, did)
+            if cur is None or cand < cur:
+                best[(qid, g)] = cand
+    ks = {qid: k for qid, _, k in queries}
+    merged: dict[int, list] = {}
+    for (qid, g), (ns, repo, path, si, did) in best.items():
+        merged.setdefault(qid, []).append((ns, repo, path, si, did, g))
+    out = []
+    for qid in sorted(merged):
+        rows = sorted(merged[qid])[:ks[qid]]
+        out.extend((qid, rk + 1, si, did, -ns, repo, path, g)
+                   for rk, (ns, repo, path, si, did, g) in enumerate(rows))
+    # reorder to the documented column shape
+    return [(qid, rk, si, g, did, score, repo, path)
+            for qid, rk, si, did, score, repo, path, g in out]

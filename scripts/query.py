@@ -40,6 +40,13 @@ def main() -> None:
                          "docs containing at least M distinct query "
                          "terms rank (scores unchanged for survivors); "
                          "M = the term count behaves like --mode and")
+    ap.add_argument("--collapse", default=None, metavar="COL[:N]",
+                    help="field collapsing (ES collapse): rank the k "
+                         "best GROUPS of docs column COL, each "
+                         "represented by its best-scoring doc; :N "
+                         "returns each group's top-N docs (inner_hits, "
+                         "unified index only). Composes with --mode "
+                         "or/and, --filter, --min-match, --queries")
     ap.add_argument("--max-expansions", type=int, default=None,
                     help="with --mode pattern: per-pattern dictionary "
                          "expansion cap (default config.MAX_TERM_"
@@ -170,6 +177,15 @@ def main() -> None:
         # those flags first and would silently drop the threshold
         ap.error("--min-match composes with --mode or ranked search "
                  "(--query/--queries, --filter) only")
+    if a.collapse and (
+            a.phrase or a.facet_counts or a.snippets or a.count
+            or a.stats or a.percentiles or a.sort or a.offset
+            or a.after or a.boost or a.export is not None
+            or a.mode not in ("or", "and")):
+        # pre-Spark, before the dispatch chain: --sort/--offset/...
+        # branches run first and would silently ignore the collapse
+        ap.error("--collapse composes with --mode or/and ranked search "
+                 "(--query/--queries, --filter, --min-match) only")
 
     from pyspark.sql import SparkSession
     from donkey_spark.plans.query import Index
@@ -180,7 +196,7 @@ def main() -> None:
         if (a.query or a.queries or a.count or a.stats or a.percentiles
                 or a.phrase or a.facet_counts or a.snippets or a.filter
                 or a.boost or a.export is not None
-                or a.min_match is not None):
+                or a.min_match is not None or a.collapse):
             ap.error("--suggest TERM stands alone (optionally -k)")
         if a.shards:
             from donkey_spark.plans.sharded import (open_shards,
@@ -297,6 +313,34 @@ def main() -> None:
             res = sorted_topk_df(idx, a.query, by=col, k=a.k,
                                  descending=desc_, mode=a.mode,
                                  filters=filters)
+        if a.out:
+            res.write.mode("overwrite").parquet(a.out)
+        else:
+            res.show(100, truncate=False)
+        return
+    if a.collapse:
+        col, _, n = a.collapse.partition(":")
+        inner = int(n) if n else 1
+        if a.shards:
+            if inner != 1:
+                ap.error("--collapse COL:N inner hits are "
+                         "unified-index only")
+            from donkey_spark.plans.sharded import (
+                COLLAPSE_SHARDED_SCHEMA, collapse_rows_sharded,
+                open_shards)
+            rows = [(qid, rk, si, None if g is None else str(g), did,
+                     s, repo, path)
+                    for qid, rk, si, g, did, s, repo, path in
+                    collapse_rows_sharded(
+                        open_shards(spark, a.shards.split(",")), batch,
+                        by=col, mode=a.mode, filters=filters,
+                        min_match=a.min_match)]
+            res = spark.createDataFrame(rows, COLLAPSE_SHARDED_SCHEMA)
+        else:
+            from donkey_spark.plans.collapse import collapse_df
+            res = collapse_df(idx, batch, by=col, mode=a.mode,
+                              filters=filters, inner_hits=inner,
+                              min_match=a.min_match)
         if a.out:
             res.write.mode("overwrite").parquet(a.out)
         else:

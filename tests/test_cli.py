@@ -471,3 +471,39 @@ def test_engine_zip_is_self_contained(tmp_path):
                          env={"PATH": os.environ["PATH"]})
     assert got.returncode == 0, (got.stdout, got.stderr[-800:])
     assert "{'bb': 2.0}" in got.stdout
+
+
+def test_cli_collapse(cli_corpus):
+    """--collapse COL[:N] end to end: builds on the roundtrip test's
+    index (rebuilt here if this test runs first), group rows with
+    exact ranks and inner hits, plus the composition guard."""
+    base = cli_corpus
+    idx = str(base / "colidx")
+    _run(["scripts/build_index.py", "--corpus",
+          str(base / "corpus.parquet"), "--out", idx,
+          "--facets", "lang"])
+    res = str(base / "colres")
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "3", "--collapse", "repo", "--out", res])
+    df = pd.read_parquet(res).sort_values("rank")
+    assert list(df.columns) == ["query_id", "rank", "grp", "hit_rank",
+                                "doc_id", "score", "group_hits",
+                                "repo", "path"]
+    assert df["rank"].tolist() == [1, 2, 3]
+    assert df["grp"].nunique() == 3 and (df["grp"] == df["repo"]).all()
+    assert (df["hit_rank"] == 1).all() and (df["group_hits"] >= 1).all()
+    # inner hits: 2 rows per surviving group, same group rank (collapse
+    # on lang — repo groups are singletons at 120 docs / 161 repos)
+    _run(["scripts/query.py", "--index", idx, "--query", "def return",
+          "-k", "2", "--collapse", "lang:2", "--out", res])
+    df2 = pd.read_parquet(res)
+    assert sorted(df2["hit_rank"].tolist()) == [1, 1, 2, 2]
+    assert df2.groupby("rank")["grp"].nunique().max() == 1
+    # composition guard fires before Spark starts
+    out = subprocess.run(
+        [sys.executable, "scripts/query.py", "--index", idx,
+         "--query", "def return", "--collapse", "repo",
+         "--sort", "dl"],
+        capture_output=True, text=True, cwd=ROOT, timeout=60,
+        env=dict(os.environ, PYTHONPATH=ROOT))
+    assert out.returncode == 2 and "--collapse composes" in out.stderr
