@@ -1531,6 +1531,69 @@ def q_bm25_topk_facet_backfill(spark, sf_dir):
                     F.round(F.col("score"), 6).alias("score")))
 
 
+def q_match_cardinality(spark, sf_dir):
+    """r5 §2.14 T39 — the ES ``cardinality`` aggregation, exact
+    (plans/facet_counts.match_cardinality): distinct repos and langs
+    containing a match, for the flagship set (incl. the OOV query →
+    all-zeros row on both engines), vs count(DISTINCT col) over the
+    same match set in DuckDB."""
+    from .plans.facet_counts import match_cardinality
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = []
+    for by in ("repo", "lang"):
+        for qid, text, _k in BM25_QUERIES:
+            r = match_cardinality(idx, text, by=by)
+            rows.append((qid, by, r["n_docs"], r["n_values"],
+                         r["cardinality"]))
+    return spark.createDataFrame(
+        rows, "query_id int, col string, n_docs long, n_values long, "
+              "cardinality long")
+
+
+def _match_cardinality_oracle_sql() -> str:
+    """Cardinality twin: the OR match set per query joined to the
+    (source AS repo, lang) key table; count(DISTINCT) per column with
+    the zero rows of the OOV query preserved through the grid."""
+    from .functions.tokenize import tokenize_py
+    vals = ",\n  ".join(
+        f"({qid}, '{t}')"
+        for qid, text, _k in BM25_QUERIES
+        for t in sorted(set(tokenize_py(text))))
+    qids = ",".join(str(qid) for qid, _, _ in BM25_QUERIES)
+    return f"""
+WITH ordered AS (
+  {_ORDERED_SQL}
+), toks AS (
+  SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered
+), dd AS (
+  SELECT DISTINCT d, term FROM toks
+), qset(query_id, term) AS (VALUES
+  {vals}
+), m AS (
+  SELECT DISTINCT q.query_id, dd.d
+  FROM qset q JOIN dd ON dd.term = q.term
+), keys AS (
+  SELECT row_number() OVER (ORDER BY source,
+           'doc/'||CAST(doc_id AS VARCHAR)) - 1 AS d,
+         source AS repo, lang FROM documents
+), grid AS (
+  SELECT q AS query_id, c AS col
+  FROM unnest([{qids}]) AS t1(q), unnest(['repo', 'lang']) AS t2(c)
+)
+SELECT grid.query_id, grid.col,
+       count(m.d)::BIGINT AS n_docs,
+       count(CASE WHEN grid.col = 'repo' THEN keys.repo
+                  ELSE keys.lang END)::BIGINT AS n_values,
+       count(DISTINCT CASE WHEN grid.col = 'repo' THEN keys.repo
+                           ELSE keys.lang END)::BIGINT AS cardinality
+FROM grid
+LEFT JOIN m ON m.query_id = grid.query_id
+LEFT JOIN keys ON keys.d = m.d
+GROUP BY 1, 2
+"""
+
+
 def q_match_counts(spark, sf_dir):
     """r5 §2.14 — total hits (plans/facet_counts.match_count): the
     "About 1,204 results" number, for the flagship set under BOTH
@@ -3261,6 +3324,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_facet_backfill": _BM25_FILTERED_ORACLE,
     "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
     "match_counts": _match_counts_oracle_sql(),
+    "match_cardinality": _match_cardinality_oracle_sql(),
     "match_stats": _match_stats_oracle_sql(),
     "match_percentiles": _match_percentiles_oracle_sql(),
     "match_docs": _match_docs_oracle_sql(),
@@ -3476,6 +3540,7 @@ QUERIES = {
     "bm25_topk_facet_backfill": q_bm25_topk_facet_backfill,
     "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
     "match_counts": q_match_counts,
+    "match_cardinality": q_match_cardinality,
     "match_stats": q_match_stats,
     "match_percentiles": q_match_percentiles,
     "match_docs": q_match_docs,

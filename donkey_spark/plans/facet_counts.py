@@ -320,6 +320,60 @@ def _check_qs(qs) -> list[float]:
     return out
 
 
+def match_cardinality(index, text: str, by: str = "repo",
+                      mode: str = "or",
+                      filters: dict | None = None) -> dict:
+    """EXACT distinct-value count of a docs metadata column over the
+    match set — the ES ``cardinality`` aggregation ("how many REPOS
+    contain a match for this query"), exact where ES serves an HLL
+    estimate: the distinct set here is bounded by the column's
+    cardinality, never the corpus, so exactness costs one
+    partial-aggregated distinct instead of a sketch. Returns
+    ``{"n_docs", "n_values", "cardinality"}`` — n_docs is the
+    match-set size (== match_count, same kernel/modes/filters/
+    tombstones), n_values counts matching docs with a non-NULL ``by``
+    and cardinality their distinct values (SQL count(DISTINCT col)
+    semantics: NULL is not a value).
+
+    Cost shape mirrors match_stats: within ``local_bytes`` one bounded
+    pyarrow read of the memoized doc-values pair + count_distinct —
+    zero Spark jobs; over budget the distributed match-ids frame joins
+    the column-pruned docs table into one count/countDistinct agg
+    (map-side partial aggregation collapses each partition to its
+    distinct values before the exchange)."""
+    doc_cols = index._docs.columns
+    if by not in doc_cols:
+        raise ValueError(f"match_cardinality: {by!r} is not a docs "
+                         f"metadata column (available: "
+                         f"{sorted(doc_cols)})")
+    arrs, fgroups = _salt_matches_local(index, text, mode, filters)
+    if arrs is not None:           # driver-local doc-values path
+        n_docs = int(sum(a.size for a in arrs))
+        if n_docs == 0:
+            return {"n_docs": 0, "n_values": 0, "cardinality": 0}
+        import pyarrow.compute as pc
+        from .sortby import _local_ids_keys
+        keys = _local_ids_keys(
+            index, np.sort(np.concatenate(arrs)), by)["key"]
+        return {"n_docs": n_docs,
+                "n_values": int(pc.count(keys).as_py()),
+                "cardinality": int(pc.count_distinct(
+                    keys, mode="only_valid").as_py())}
+    ids = _match_ids_distributed(index, text, mode, fgroups)
+    if ids is None:
+        return {"n_docs": 0, "n_values": 0, "cardinality": 0}
+    cols = list(dict.fromkeys(["doc_id", by]))
+    row = (index._docs.select(*cols)             # column-pruned
+           .join(ids, "doc_id")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.count(by).alias("n_values"),
+                F.countDistinct(by).alias("cardinality"))
+           .collect()[0])
+    return {"n_docs": int(row["n_docs"]),
+            "n_values": int(row["n_values"]),
+            "cardinality": int(row["cardinality"])}
+
+
 def match_percentiles(index, text: str, by: str = "dl",
                       qs=(0.25, 0.5, 0.75, 0.95), mode: str = "or",
                       filters: dict | None = None) -> dict:

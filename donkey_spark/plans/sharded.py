@@ -588,6 +588,45 @@ def match_stats_sharded(shards, text: str, by: str = "dl",
             "avg": s / out["n_values"]}
 
 
+def match_cardinality_sharded(shards, text: str, by: str = "repo",
+                              mode: str = "or",
+                              filters: dict | None = None) -> dict:
+    """Exact distinct-value count over the federation's match set
+    (plans/facet_counts.match_cardinality's sharded twin). Unlike the
+    other aggregations, per-shard CARDINALITIES do not add (the same
+    repo can match in many shards), so this is the one federated
+    aggregate that must union VALUES, not fold scalars: each shard's
+    match-ids frame joins its column-pruned docs table, the per-shard
+    value frames union (shards partition the corpus, so the union IS
+    the unified match set's value multiset), and one
+    count/countDistinct agg finishes — a single Spark action whose
+    distinct state is bounded by the column's cardinality, never the
+    corpus."""
+    if not shards:
+        raise ValueError("no shards")
+    from pyspark.sql import functions as F
+
+    from .facet_counts import match_ids
+    frames = []
+    for s in shards:
+        if by not in s._docs.columns:
+            raise ValueError(f"match_cardinality_sharded: {by!r} is "
+                             f"not a docs metadata column on every "
+                             f"shard (available: "
+                             f"{sorted(s._docs.columns)})")
+        frames.append(s._docs.select("doc_id", F.col(by).alias("v"))
+                      .join(match_ids(s, text, mode, filters), "doc_id")
+                      .select("v"))
+    row = (_union_all(frames)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.count("v").alias("n_values"),
+                F.countDistinct("v").alias("cardinality"))
+           .collect()[0])
+    return {"n_docs": int(row["n_docs"]),
+            "n_values": int(row["n_values"]),
+            "cardinality": int(row["cardinality"])}
+
+
 def match_docs_sharded(shards, text: str, mode: str = "or",
                        filters: dict | None = None, columns=None):
     """Bulk match-set export over the federation

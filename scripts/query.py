@@ -82,6 +82,13 @@ def main() -> None:
                     help="print the TOTAL HITS of --query (respecting "
                          "--mode or/and and --filter) instead of "
                          "ranking — works on --index and --shards")
+    ap.add_argument("--cardinality", default=None, metavar="COL",
+                    help="print a JSON cardinality aggregation "
+                         "(n_docs, n_values, cardinality = exact "
+                         "distinct values) of this docs column over "
+                         "--query's FULL match set (respecting --mode "
+                         "or/and and --filter) instead of ranking — "
+                         "works on --index and --shards")
     ap.add_argument("--stats", default=None, metavar="COL",
                     help="print a JSON stats aggregation (n_docs, "
                          "n_values, sum, min, max, avg) of this NUMERIC "
@@ -170,8 +177,8 @@ def main() -> None:
                  "--queries only")
     if a.min_match is not None and (
             a.phrase or a.facet_counts or a.snippets or a.count
-            or a.stats or a.percentiles or a.sort or a.offset
-            or a.after or a.boost or a.export is not None
+            or a.stats or a.percentiles or a.cardinality or a.sort
+            or a.offset or a.after or a.boost or a.export is not None
             or a.mode != "or"):
         # same shape as the --boost guard: later branches dispatch on
         # those flags first and would silently drop the threshold
@@ -389,6 +396,26 @@ def main() -> None:
                                   mode=a.mode, filters=filters)
         import json
         s["percentiles"] = {str(q): v for q, v in s["percentiles"].items()}
+        print(json.dumps(s))
+        return
+    if a.cardinality:
+        if (a.queries or a.phrase or a.facet_counts or a.snippets
+                or a.stats or a.percentiles or a.collapse):
+            ap.error("--cardinality COL takes a single --query (with "
+                     "--mode/--filter) only")
+        if a.mode not in ("or", "and"):
+            ap.error("--cardinality supports --mode or/and")
+        if a.shards:
+            from donkey_spark.plans.sharded import (
+                match_cardinality_sharded, open_shards)
+            s = match_cardinality_sharded(
+                open_shards(spark, a.shards.split(",")), a.query,
+                by=a.cardinality, mode=a.mode, filters=filters)
+        else:
+            from donkey_spark.plans.facet_counts import match_cardinality
+            s = match_cardinality(idx, a.query, by=a.cardinality,
+                                  mode=a.mode, filters=filters)
+        import json
         print(json.dumps(s))
         return
     if a.stats:

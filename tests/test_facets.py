@@ -817,3 +817,37 @@ def test_match_docs_equals_search_set(spark, facet_setup, mode):
         assert not (set(victims) & left)
     finally:
         clear_tombstones(spark, faceted)
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_match_cardinality_equals_bruteforce(spark, facet_setup, mode):
+    """match_cardinality counts EXACTLY the distinct column values of
+    the docs an unbounded search would rank — both paths, across
+    filters, string and numeric columns, and the empty match set."""
+    from donkey_spark.plans.facet_counts import match_cardinality
+    from donkey_spark.plans.query import Index
+    _, faceted, lang = facet_setup
+    meta = {r["doc_id"]: (r["repo"], r["dl"]) for r in
+            spark.read.parquet(f"{faceted}/docs").collect()}
+    text = "def return class"
+    langs = sorted(set(lang.values()))[:2]
+
+    def want(idx, by, filt):
+        ids = [r[2] for r in idx.search_rows(
+            [(0, text, idx.n_docs)], mode=mode, filters=filt)]
+        vals = [meta[d][0] if by == "repo" else meta[d][1] for d in ids]
+        return {"n_docs": len(ids), "n_values": len(vals),
+                "cardinality": len(set(vals))}
+
+    for local_bytes in (64 << 20, 0):
+        idx = Index(spark, faceted, local_bytes=local_bytes)
+        for by in ("repo", "dl"):
+            for filt in (None, {"lang": langs[0]}, {"lang": langs}):
+                got = match_cardinality(idx, text, by=by, mode=mode,
+                                        filters=filt)
+                assert got == want(idx, by, filt), \
+                    (local_bytes, by, filt)
+        assert match_cardinality(idx, "zz_totally_oov", mode=mode) \
+            == {"n_docs": 0, "n_values": 0, "cardinality": 0}
+        with pytest.raises(ValueError, match="metadata column"):
+            match_cardinality(idx, text, by="nope")

@@ -557,3 +557,30 @@ def test_sharded_match_docs_unions_exactly(spark, sh_setup):
                            columns=("repo", "path")).collect()
         assert (r["repo"], r["path"]) in {(x["repo"], x["path"])
                                           for x in owned}
+
+
+def test_sharded_cardinality_unions_not_sums(spark, sh_setup):
+    """Federated cardinality ≡ unified: per-shard distinct counts may
+    NOT be summed (the same repo matches in many shards — asserted),
+    so the union-of-values path must reproduce the unified number."""
+    from donkey_spark.plans.facet_counts import match_cardinality
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import match_cardinality_sharded
+    uni, parts, _ = sh_setup
+    shards = [Index(spark, d) for d in parts]
+    text = "def return"
+    for by in ("repo", "lang"):
+        want = match_cardinality(Index(spark, uni), text, by=by)
+        got = match_cardinality_sharded(shards, text, by=by)
+        assert got == want and want["n_docs"] > 0, by
+        per = [match_cardinality(s, text, by=by)["cardinality"]
+               for s in shards]
+        assert sum(per) > want["cardinality"]    # overlap is real
+    # filters flow through; unknown column refused
+    wantf = match_cardinality(Index(spark, uni), text, by="repo",
+                              filters={"lang": ["py"]})
+    assert match_cardinality_sharded(shards, text, by="repo",
+                                     filters={"lang": ["py"]}) == wantf
+    import pytest as _pt
+    with _pt.raises(ValueError, match="metadata column"):
+        match_cardinality_sharded(shards, text, by="nope")
