@@ -1594,6 +1594,83 @@ GROUP BY 1, 2
 """
 
 
+SIG_K = 15
+
+
+def q_significant_terms(spark, sf_dir):
+    """r5 §2.14 T40 — the ES ``significant_terms`` aggregation
+    (plans/sigterms.significant_terms): the JLH-scored characteristic
+    vocabulary of each flagship query's match set (foreground lift
+    over corpus df), top-15 per query, OOV query contributing zero
+    rows, vs a from-first-principles DuckDB twin sharing the dd/dfreq
+    CTEs."""
+    from .plans.query import Index
+    from .plans.sigterms import significant_terms
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = [(qid, t, fg, bg, s)
+            for qid, text, _k in BM25_QUERIES
+            for t, fg, bg, s in significant_terms(idx, text, k=SIG_K)]
+    df = spark.createDataFrame(
+        rows, "query_id int, term string, fg long, bg long, "
+              "score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("term"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "term", "fg", "bg",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
+def _significant_terms_oracle_sql() -> str:
+    """JLH twin: p_fg = fg/n_fg vs p_bg = df/N over the same distinct
+    (doc, term) CTE the count pairs use; only overrepresented terms
+    (p_fg > p_bg) rank, (score desc, term asc) ordered, top-SIG_K."""
+    from .functions.tokenize import tokenize_py
+    vals = ",\n  ".join(
+        f"({qid}, '{t}')"
+        for qid, text, _k in BM25_QUERIES
+        for t in sorted(set(tokenize_py(text))))
+    return f"""
+WITH ordered AS (
+  {_ORDERED_SQL}
+), toks AS (
+  SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered
+), dd AS (
+  SELECT DISTINCT d, term FROM toks
+), qset(query_id, term) AS (VALUES
+  {vals}
+), m AS (
+  SELECT DISTINCT q.query_id, dd.d
+  FROM qset q JOIN dd ON dd.term = q.term
+), nf AS (
+  SELECT query_id, count(*)::BIGINT AS n_fg FROM m GROUP BY 1
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM dd GROUP BY 1
+), tot AS (
+  SELECT count(*)::BIGINT AS n FROM ordered
+), fg AS (
+  SELECT m.query_id, dd.term, count(*)::BIGINT AS fg
+  FROM dd JOIN m ON dd.d = m.d GROUP BY 1, 2
+), scored AS (
+  SELECT fg.query_id, fg.term, fg.fg, dfreq.df AS bg,
+         (fg.fg / CAST(nf.n_fg AS DOUBLE)
+            - dfreq.df / CAST(tot.n AS DOUBLE))
+         * ((fg.fg / CAST(nf.n_fg AS DOUBLE))
+            / (dfreq.df / CAST(tot.n AS DOUBLE))) AS score
+  FROM fg JOIN nf USING (query_id) JOIN dfreq USING (term), tot
+  WHERE fg.fg / CAST(nf.n_fg AS DOUBLE)
+        > dfreq.df / CAST(tot.n AS DOUBLE)
+), ranked AS (
+  SELECT query_id, term, fg, bg, ROUND(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 6) DESC, term ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, term, fg, bg, score
+FROM ranked WHERE rank <= {SIG_K}
+"""
+
+
 def q_match_counts(spark, sf_dir):
     """r5 §2.14 — total hits (plans/facet_counts.match_count): the
     "About 1,204 results" number, for the flagship set under BOTH
@@ -3325,6 +3402,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
     "match_counts": _match_counts_oracle_sql(),
     "match_cardinality": _match_cardinality_oracle_sql(),
+    "significant_terms": _significant_terms_oracle_sql(),
     "match_stats": _match_stats_oracle_sql(),
     "match_percentiles": _match_percentiles_oracle_sql(),
     "match_docs": _match_docs_oracle_sql(),
@@ -3541,6 +3619,7 @@ QUERIES = {
     "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
     "match_counts": q_match_counts,
     "match_cardinality": q_match_cardinality,
+    "significant_terms": q_significant_terms,
     "match_stats": q_match_stats,
     "match_percentiles": q_match_percentiles,
     "match_docs": q_match_docs,

@@ -82,6 +82,14 @@ def main() -> None:
                     help="print the TOTAL HITS of --query (respecting "
                          "--mode or/and and --filter) instead of "
                          "ranking — works on --index and --shards")
+    ap.add_argument("--significant", type=int, default=None,
+                    metavar="K",
+                    help="print the K most significant terms of "
+                         "--query's match set (ES significant_terms, "
+                         "JLH-scored foreground lift vs corpus df; "
+                         "respects --mode or/and and --filter) instead "
+                         "of ranking — an O(index) analytics job, "
+                         "unified index only")
     ap.add_argument("--cardinality", default=None, metavar="COL",
                     help="print a JSON cardinality aggregation "
                          "(n_docs, n_values, cardinality = exact "
@@ -397,6 +405,20 @@ def main() -> None:
         import json
         s["percentiles"] = {str(q): v for q, v in s["percentiles"].items()}
         print(json.dumps(s))
+        return
+    if a.significant is not None:
+        if (a.queries or a.phrase or a.facet_counts or a.snippets
+                or a.stats or a.percentiles or a.cardinality
+                or a.collapse or a.count or a.shards):
+            ap.error("--significant K takes a single --query on "
+                     "--index (with --mode/--filter) only")
+        if a.mode not in ("or", "and"):
+            ap.error("--significant supports --mode or/and")
+        from donkey_spark.plans.sigterms import significant_terms
+        for t, fg, bg, s in significant_terms(
+                idx, a.query, k=a.significant, mode=a.mode,
+                filters=filters):
+            print(f"{t}\t{fg}\t{bg}\t{s:.6f}")
         return
     if a.cardinality:
         if (a.queries or a.phrase or a.facet_counts or a.snippets
