@@ -1594,6 +1594,90 @@ GROUP BY 1, 2
 """
 
 
+RESCORE_WINDOW, RESCORE_QW, RESCORE_FW = 50, 1.0, 0.01
+
+
+def q_bm25_topk_rescored(spark, sf_dir):
+    """r5 §2.14 T41 — rescore window (plans/rescore.rescore_rows):
+    the flagship set's top-50 primary candidates re-ranked by
+    1.0·bm25 + 0.01·dl (the function_score field-value-factor shape),
+    top-k of the window, vs a DuckDB twin applying the identical
+    combine to its own ranked-CTE window."""
+    from .plans.query import Index
+    from .plans.rescore import rescore_rows
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = rescore_rows(idx, BM25_QUERIES, window=RESCORE_WINDOW,
+                        by="dl", query_weight=RESCORE_QW,
+                        field_weight=RESCORE_FW)
+    df = spark.createDataFrame(
+        [(qid, d, s) for qid, _rk, d, s, _b, _r, _p in rows],
+        "query_id int, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("score"), 6).alias("score")))
+
+
+def _rescore_oracle_sql() -> str:
+    """Rescore twin: the ordinary scored CTE cut at the window on the
+    rounded primary rank, combined with dl2's token count (== the
+    engine's stored dl) under the same weights, re-ranked rounded."""
+    from .functions.tokenize import tokenize_py
+    vals = ",\n  ".join(
+        f"({qid}, '{t}', {k})"
+        for qid, text, k in BM25_QUERIES
+        for t in sorted(set(tokenize_py(text))))
+    return f"""
+WITH ordered AS (
+  {_ORDERED_SQL}
+), toks AS (
+  SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered
+), dt AS (
+  SELECT d, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dl2 AS (
+  SELECT d, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM ordered) AS n,
+         (SELECT COALESCE(sum(dl), 0)::DOUBLE
+                 / (SELECT count(*) FROM ordered) FROM dl2) AS avgdl
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1
+), qset(query_id, term, k) AS (VALUES
+  {vals}
+), scored AS (
+  SELECT q.query_id, q.k, dt.d AS doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * dt.tf * 2.2
+              / (dt.tf + 1.2 * (1 - 0.75 + 0.75 * dl2.dl / s.avgdl)) )
+         AS score
+  FROM qset q JOIN dt ON dt.term = q.term
+  JOIN dfreq f ON f.term = q.term
+  JOIN dl2 ON dl2.d = dt.d, stats s
+  GROUP BY 1, 2, 3
+), win AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 6) DESC, doc_id ASC)
+           AS rn
+  FROM scored
+), resc AS (
+  SELECT win.query_id, win.k, win.doc_id,
+         {RESCORE_QW!r} * win.score + {RESCORE_FW!r} * dl2.dl AS final
+  FROM win JOIN dl2 ON dl2.d = win.doc_id
+  WHERE win.rn <= {RESCORE_WINDOW}
+), ranked AS (
+  SELECT query_id, doc_id, ROUND(final, 6) AS score, k,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(final, 6) DESC, doc_id ASC)
+           AS rank
+  FROM resc
+)
+SELECT query_id, rank::INT AS rank, doc_id, score
+FROM ranked WHERE rank <= k
+"""
+
+
 SIG_K = 15
 
 
@@ -3403,6 +3487,7 @@ SELECT 2::INTEGER AS n_epochs,
     "match_counts": _match_counts_oracle_sql(),
     "match_cardinality": _match_cardinality_oracle_sql(),
     "significant_terms": _significant_terms_oracle_sql(),
+    "bm25_topk_rescored": _rescore_oracle_sql(),
     "match_stats": _match_stats_oracle_sql(),
     "match_percentiles": _match_percentiles_oracle_sql(),
     "match_docs": _match_docs_oracle_sql(),
@@ -3620,6 +3705,7 @@ QUERIES = {
     "match_counts": q_match_counts,
     "match_cardinality": q_match_cardinality,
     "significant_terms": q_significant_terms,
+    "bm25_topk_rescored": q_bm25_topk_rescored,
     "match_stats": q_match_stats,
     "match_percentiles": q_match_percentiles,
     "match_docs": q_match_docs,

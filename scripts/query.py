@@ -82,6 +82,14 @@ def main() -> None:
                     help="print the TOTAL HITS of --query (respecting "
                          "--mode or/and and --filter) instead of "
                          "ranking — works on --index and --shards")
+    ap.add_argument("--rescore", default=None,
+                    metavar="COL[:WINDOW[:WEIGHT]]",
+                    help="re-rank the top-WINDOW (default 100) primary "
+                         "candidates by bm25 + WEIGHT (default 1.0) × "
+                         "this NUMERIC docs column, then return the "
+                         "top-k (ES rescore × field_value_factor); "
+                         "composes with --mode or/and, --filter, "
+                         "--min-match, --queries; unified index only")
     ap.add_argument("--significant", type=int, default=None,
                     metavar="K",
                     help="print the K most significant terms of "
@@ -195,7 +203,7 @@ def main() -> None:
     if a.collapse and (
             a.phrase or a.facet_counts or a.snippets or a.count
             or a.stats or a.percentiles or a.sort or a.offset
-            or a.after or a.boost or a.export is not None
+            or a.after or a.boost or a.export is not None or a.rescore
             or a.mode not in ("or", "and")):
         # pre-Spark, before the dispatch chain: --sort/--offset/...
         # branches run first and would silently ignore the collapse
@@ -405,6 +413,34 @@ def main() -> None:
         import json
         s["percentiles"] = {str(q): v for q, v in s["percentiles"].items()}
         print(json.dumps(s))
+        return
+    if a.rescore:
+        if (a.phrase or a.facet_counts or a.snippets or a.stats
+                or a.percentiles or a.cardinality or a.collapse
+                or a.count or a.sort or a.offset or a.after or a.boost
+                or a.export is not None or a.shards
+                or a.significant is not None
+                or a.mode not in ("or", "and")):
+            ap.error("--rescore composes with --mode or/and ranked "
+                     "search (--query/--queries, --filter, "
+                     "--min-match) on --index only")
+        parts = a.rescore.split(":")
+        if len(parts) > 3:
+            ap.error("--rescore takes COL[:WINDOW[:WEIGHT]]")
+        col = parts[0]
+        window = int(parts[1]) if len(parts) > 1 and parts[1] else 100
+        fw = float(parts[2]) if len(parts) > 2 else 1.0
+        from donkey_spark.plans.rescore import rescore_rows
+        res = spark.createDataFrame(
+            rescore_rows(idx, batch, window=window, by=col,
+                         field_weight=fw, mode=a.mode, filters=filters,
+                         min_match=a.min_match),
+            "query_id int, rank int, doc_id long, score double, "
+            "base_score double, repo string, path string")
+        if a.out:
+            res.write.mode("overwrite").parquet(a.out)
+        else:
+            res.show(100, truncate=False)
         return
     if a.significant is not None:
         if (a.queries or a.phrase or a.facet_counts or a.snippets
