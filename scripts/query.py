@@ -209,6 +209,32 @@ def main() -> None:
         # branches run first and would silently ignore the collapse
         ap.error("--collapse composes with --mode or/and ranked search "
                  "(--query/--queries, --filter, --min-match) only")
+    if a.rescore and (
+            a.phrase or a.facet_counts or a.snippets or a.count
+            or a.stats or a.percentiles or a.cardinality or a.collapse
+            or a.significant is not None or a.sort or a.offset
+            or a.after or a.boost or a.export is not None or a.shards
+            or a.mode not in ("or", "and")):
+        # same pre-Spark rule: earlier dispatch branches would
+        # otherwise run and silently drop the rescore
+        ap.error("--rescore composes with --mode or/and ranked search "
+                 "(--query/--queries, --filter, --min-match) on "
+                 "--index only")
+    if a.significant is not None and (
+            a.phrase or a.facet_counts or a.snippets or a.count
+            or a.stats or a.percentiles or a.cardinality or a.collapse
+            or a.sort or a.offset or a.after or a.boost
+            or a.export is not None or a.shards or a.queries
+            or a.mode not in ("or", "and")):
+        ap.error("--significant K takes a single --query on --index "
+                 "(with --mode/--filter) only")
+    if a.cardinality and (
+            a.phrase or a.facet_counts or a.snippets or a.count
+            or a.stats or a.percentiles or a.collapse or a.sort
+            or a.offset or a.after or a.boost or a.export is not None
+            or a.queries or a.mode not in ("or", "and")):
+        ap.error("--cardinality COL takes a single --query (with "
+                 "--mode/--filter) only")
 
     from pyspark.sql import SparkSession
     from donkey_spark.plans.query import Index
