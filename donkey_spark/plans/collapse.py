@@ -164,6 +164,12 @@ def collapse_rows(index, queries: list[tuple[int, str, int]],
         kt = _local_ids_keys(index, all_ids, by)
         kt_ids = np.asarray(kt["doc_id"], dtype=np.int64)
         kt_keys = kt.column("key").to_pylist()
+        if kt_ids.size and np.any(kt_ids[1:] < kt_ids[:-1]):
+            # the over-budget fallback read returns file order, not id
+            # order — key_of's searchsorted needs ascending ids
+            pos = np.argsort(kt_ids, kind="stable")
+            kt_ids = kt_ids[pos]
+            kt_keys = [kt_keys[p] for p in pos]
 
         def key_of(ids: np.ndarray):
             at = np.searchsorted(kt_ids, ids)
