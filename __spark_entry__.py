@@ -28,8 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (90 since
-    r5 — adds per-term boosted queries (`term^W` weights scaling the
+    """One entry per implemented ◇ operator from SURVEY.md §2 (97 since
+    r5-final — the late-r5 additions: minimum_should_match queries
+    (unified AND federated, the ES dial between OR and AND via the
+    counting kernel, HAVING count >= m twins), field collapsing
+    (top-k groups by best doc with exact group_hits, unified AND
+    federated), the exact cardinality aggregation, JLH significant
+    terms, and the rescore window (bm25 + field-factor re-ranking) —
+    plus per-term boosted queries (`term^W` weights scaling the
     kernel idf, unified AND federated — the oracle multiplies the SAME
     weights into its first-principles per-term sum),
     match-set stats and EXACT-percentiles aggregations,
