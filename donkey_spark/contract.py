@@ -1594,6 +1594,57 @@ GROUP BY 1, 2
 """
 
 
+def q_percolate(spark, sf_dir):
+    """r5 §2.14 T42 — percolation (plans/percolate.percolate): the
+    flagship query set run as STORED queries against the corpus
+    stream, one row per (doc, query) match under both modes, matched
+    distinct-term counts included; one Catalyst-only pass (JVM
+    tokenizer, broadcast query table, no index, no UDF), vs a DuckDB
+    twin counting distinct matched tokens per (doc, query)."""
+    from .plans.percolate import percolate
+    corpus = documents_as_corpus(spark, sf_dir)
+    qs = [(qid, text) for qid, text, _k in BM25_QUERIES]
+    parts = [percolate(corpus, qs, mode=m).withColumn("mode", F.lit(m))
+             for m in ("or", "and")]
+    return (parts[0].unionByName(parts[1])
+            .select("query_id", "mode", "repo", "path",
+                    "n_terms_matched"))
+
+
+def _percolate_oracle_sql() -> str:
+    """Percolation twin: distinct (doc, token) pairs joined to the
+    query-term VALUES, count(DISTINCT term) per (doc, query), kept at
+    >= 1 for 'or' and = the query's term count for 'and'."""
+    from .functions.tokenize import tokenize_py
+    vals = ",\n  ".join(
+        f"({qid}, '{t}', {len(set(tokenize_py(text)))})"
+        for qid, text, _k in BM25_QUERIES
+        for t in sorted(set(tokenize_py(text))))
+    return f"""
+WITH ordered AS (
+  SELECT source AS repo, 'doc/'||CAST(doc_id AS VARCHAR) AS path, text
+  FROM documents
+), toks AS (
+  SELECT repo, path, unnest({_TOKS_SQL}) AS term FROM ordered
+), dd AS (
+  SELECT DISTINCT repo, path, term FROM toks
+), qset(query_id, term, nt) AS (VALUES
+  {vals}
+), counted AS (
+  SELECT q.query_id, dd.repo, dd.path,
+         count(DISTINCT dd.term)::BIGINT AS n_terms_matched,
+         max(q.nt) AS nt
+  FROM qset q JOIN dd ON dd.term = q.term
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, 'or' AS mode, repo, path, n_terms_matched
+FROM counted
+UNION ALL
+SELECT query_id, 'and' AS mode, repo, path, n_terms_matched
+FROM counted WHERE n_terms_matched = nt
+"""
+
+
 RESCORE_WINDOW, RESCORE_QW, RESCORE_FW = 50, 1.0, 0.01
 
 
@@ -3488,6 +3539,7 @@ SELECT 2::INTEGER AS n_epochs,
     "match_cardinality": _match_cardinality_oracle_sql(),
     "significant_terms": _significant_terms_oracle_sql(),
     "bm25_topk_rescored": _rescore_oracle_sql(),
+    "percolate_matches": _percolate_oracle_sql(),
     "match_stats": _match_stats_oracle_sql(),
     "match_percentiles": _match_percentiles_oracle_sql(),
     "match_docs": _match_docs_oracle_sql(),
@@ -3706,6 +3758,7 @@ QUERIES = {
     "match_cardinality": q_match_cardinality,
     "significant_terms": q_significant_terms,
     "bm25_topk_rescored": q_bm25_topk_rescored,
+    "percolate_matches": q_percolate,
     "match_stats": q_match_stats,
     "match_percentiles": q_match_percentiles,
     "match_docs": q_match_docs,
