@@ -28,8 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (97 since
-    r5-final — the late-r5 additions: minimum_should_match queries
+    """One entry per implemented ◇ operator from SURVEY.md §2 (98 since
+    r5-final — the late-r5 additions: percolation (stored queries
+    matched against the corpus stream, match semantics identical to
+    search), minimum_should_match queries
     (unified AND federated, the ES dial between OR and AND via the
     counting kernel, HAVING count >= m twins), field collapsing
     (top-k groups by best doc with exact group_hits, unified AND
