@@ -28,8 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (98 since
-    r5-final — the late-r5 additions: percolation (stored queries
+    """One entry per implemented ◇ operator from SURVEY.md §2 (100 since
+    r5-final — the late-r5 additions: regexp term patterns (`/body/`
+    whole-term atoms under a portable RE2/RLIKE/DuckDB-agreeing
+    grammar, unified AND federated — the oracle re-derives the
+    expansion with regexp_matches), percolation (stored queries
     matched against the corpus stream, match semantics identical to
     search), minimum_should_match queries
     (unified AND federated, the ES dial between OR and AND via the

@@ -125,6 +125,25 @@ BM25_WILDCARD_QUERIES: list[tuple[int, str, int]] = [
 ]
 WILDCARD_EXPANSION_CAP = 3
 
+#: regexp-pattern query set (§2.14 T43): group alternation with a
+#: literal head (prunes to [jo, jp)), a class+suffix pattern where the
+#: cap of 3 BINDS (s[cmop].* matches scan/small/sort/spark), a
+#: leading-metachar pattern (.*e[ry] — the full term-column scan
+#: path, cap binds on customer/filter/key/order), optional and bounded
+#: quantifiers, a TOP-LEVEL alternation (headless by construction), a
+#: negated class, and a nothing-matcher (the query degrades to its
+#: literal).
+BM25_REGEXP_QUERIES: list[tuple[int, str, int]] = [
+    (0, "/jo(in|urnal)/ filter", 10),
+    (1, "/s[cmop].*/ order", 10),
+    (2, "/.*e[ry]/ merge", 10),
+    (3, "/me?rge/ /gr[aeiou]{1,2}p/ sort", 10),
+    (4, "/[bd]ig|batch/ the", 10),
+    (5, "/qq[x-z]+zz/ window", 5),
+    (6, "/k[^q]y/ scan", 10),
+]
+REGEXP_EXPANSION_CAP = 3
+
 #: boolean-expression query set (§2.14 T24) — nesting, NOT over a
 #: group, NOT of an OOV term (matches everything → equals the plain
 #: positive query), an OOV positive inside OR (drops out of scoring),
@@ -508,6 +527,24 @@ def q_bm25_topk_wildcard(spark, sf_dir):
         BM25_WILDCARD_QUERIES, max_expansions=WILDCARD_EXPANSION_CAP))
 
 
+def q_bm25_topk_regexp(spark, sf_dir):
+    """§2.14 T43 — regexp term queries (Lucene RegexpQuery analog; the
+    grep-over-the-index shape of source-code engines à la Zoekt /
+    livegrep): each ``/body/`` atom whole-term-matches the dictionary
+    under the portable grammar — ONE ``^(?:body)$`` rendering
+    evaluated by pyarrow RE2 (driver-local), Spark RLIKE
+    (distributed) and the DuckDB twin's ``regexp_matches`` over its
+    recomputed dfreq. A mandatory literal head bounds the dictionary
+    probe like an infix wildcard; top-level alternation and leading
+    metacharacters pay the full term-column scan. Same rewrite-to-OR
+    scoring and capped (df DESC, term ASC) ranking as the prefix
+    pair; cap 3 binds on the broad patterns."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    return _rank_rows(spark, idx.search_rows_pattern(
+        BM25_REGEXP_QUERIES, max_expansions=REGEXP_EXPANSION_CAP))
+
+
 def q_bm25_topk_prefix_sharded(spark, sf_dir):
     """§2.14 T23+T21 — prefix patterns over the FEDERATION: expansion
     is computed over the UNION of the shards' dictionaries (uncapped
@@ -520,6 +557,27 @@ def q_bm25_topk_prefix_sharded(spark, sf_dir):
     shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
     rows = search_pattern_sharded(shards, BM25_PREFIX_QUERIES,
                                   max_expansions=PREFIX_EXPANSION_CAP)
+    df = spark.createDataFrame(rows, RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "repo", "path"))
+
+
+def q_bm25_topk_regexp_sharded(spark, sf_dir):
+    """§2.14 T43+T21 — regexp term queries over the FEDERATION: the
+    global-expansion rule of the prefix pair (uncapped per-shard
+    candidates, Σ-shard dfs, ranked and capped ONCE) applied to the
+    portable-grammar regexp kind, so the federated rewrite is
+    identical to one index over the union; compared against the SAME
+    unified DuckDB regexp oracle, key-identified."""
+    from .plans.query import Index
+    from .plans.sharded import RESULT_SCHEMA, search_pattern_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = search_pattern_sharded(shards, BM25_REGEXP_QUERIES,
+                                  max_expansions=REGEXP_EXPANSION_CAP)
     df = spark.createDataFrame(rows, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
@@ -2813,21 +2871,31 @@ def _pattern_qset_sql(queries: list[tuple[int, str, int]],
     built-in; the engine uses Spark's JVM ``levenshtein`` (distributed
     path) or the banded DP in functions/patterns.py (local path) — all
     three compute the same classic unit-cost edit distance."""
-    from .functions.patterns import parse_pattern_text, wildcard_to_like
+    from .functions.patterns import (parse_pattern_text, regexp_anchor,
+                                     wildcard_to_like)
     from .functions.tokenize import tokenize_py
+
+    def _pat(kind: str, base: str) -> str:
+        # wildcards ship as their LIKE translation (kind 'w') so the
+        # oracle's LIKE ... ESCAPE '\' evaluates the SAME string the
+        # engine's pyarrow/Spark paths match (standard SQL strings in
+        # DuckDB keep the backslash literal); regexps (kind 'r') ship
+        # as the SAME anchored ^(?:body)$ rendering the engine's RE2 /
+        # RLIKE paths run (the grammar excludes quotes and backslash,
+        # so inlining is safe)
+        if kind == "wildcard":
+            return wildcard_to_like(base)
+        if kind == "regexp":
+            return regexp_anchor(base)
+        return base
+
     lit_rows, pat_rows = [], []
     for qid, text, k in queries:
         lit_text, pats = parse_pattern_text(text)
         lit_rows.extend(f"({qid}, '{t}', {k})"
                         for t in sorted(set(tokenize_py(lit_text))))
-        # wildcards ship as their LIKE translation (kind 'w') so the
-        # oracle's LIKE ... ESCAPE '\' evaluates the SAME string the
-        # engine's pyarrow/Spark paths match (standard SQL strings in
-        # DuckDB keep the backslash literal)
         pat_rows.extend(
-            f"({qid}, '{kind[0]}', "
-            f"'{wildcard_to_like(base) if kind == 'wildcard' else base}', "
-            f"{dist}, {k})"
+            f"({qid}, '{kind[0]}', '{_pat(kind, base)}', {dist}, {k})"
             for kind, base, dist in pats)
     assert lit_rows and pat_rows, "pattern pairs mix literals + patterns"
     return f"""qlit(query_id, term, k) AS (VALUES
@@ -2843,6 +2911,7 @@ def _pattern_qset_sql(queries: list[tuple[int, str, int]],
        (p.kind = 'p' AND starts_with(f.term, p.pat))
     OR (p.kind = 'f' AND levenshtein(f.term, p.pat) <= p.dist)
     OR (p.kind = 'w' AND f.term LIKE p.pat ESCAPE '\\')
+    OR (p.kind = 'r' AND regexp_matches(f.term, p.pat))
 ), qset AS (
   SELECT query_id, term, k FROM qlit
   UNION
@@ -2957,7 +3026,11 @@ _BM25_WILDCARD_ORACLE = _bm25_oracle_sql(
     BM25_WILDCARD_QUERIES,
     qset_sql=_pattern_qset_sql(BM25_WILDCARD_QUERIES,
                                WILDCARD_EXPANSION_CAP))
+_BM25_REGEXP_ORACLE = _bm25_oracle_sql(
+    BM25_REGEXP_QUERIES,
+    qset_sql=_pattern_qset_sql(BM25_REGEXP_QUERIES, REGEXP_EXPANSION_CAP))
 _BM25_PREFIX_SHARDED_ORACLE = _sharded_wrap(_BM25_PREFIX_ORACLE)
+_BM25_REGEXP_SHARDED_ORACLE = _sharded_wrap(_BM25_REGEXP_ORACLE)
 _BM25_BOOL_ORACLE = _bm25_oracle_sql(
     BM25_BOOL_QUERIES,
     keep_sql=_bool_keep_sql(BM25_BOOL_QUERIES),
@@ -3492,7 +3565,9 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_prefix": _BM25_PREFIX_ORACLE,
     "bm25_topk_fuzzy": _BM25_FUZZY_ORACLE,
     "bm25_topk_wildcard": _BM25_WILDCARD_ORACLE,
+    "bm25_topk_regexp": _BM25_REGEXP_ORACLE,
     "bm25_topk_prefix_sharded": _BM25_PREFIX_SHARDED_ORACLE,
+    "bm25_topk_regexp_sharded": _BM25_REGEXP_SHARDED_ORACLE,
     "bm25_topk_bool": _BM25_BOOL_ORACLE,
     "bm25_topk_bool_sharded": _BM25_BOOL_SHARDED_ORACLE,
     "bm25_topk_boosted": _BM25_BOOST_ORACLE,
@@ -3707,7 +3782,9 @@ QUERIES = {
     "bm25_topk_prefix": q_bm25_topk_prefix,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
     "bm25_topk_wildcard": q_bm25_topk_wildcard,
+    "bm25_topk_regexp": q_bm25_topk_regexp,
     "bm25_topk_prefix_sharded": q_bm25_topk_prefix_sharded,
+    "bm25_topk_regexp_sharded": q_bm25_topk_regexp_sharded,
     "bm25_topk_bool": q_bm25_topk_bool,
     "bm25_topk_bool_sharded": q_bm25_topk_bool_sharded,
     "bm25_topk_boosted": q_bm25_topk_boosted,

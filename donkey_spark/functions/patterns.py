@@ -1,9 +1,11 @@
 """Dictionary-expansion query patterns — prefix (``foo*``), fuzzy
-(``bar~1``) and wildcard (``va*ble``, ``te?t``) term matching, the
-Lucene PrefixQuery / FuzzyQuery / WildcardQuery analog (donkey itself
+(``bar~1``), wildcard (``va*ble``, ``te?t``) and regexp
+(``/jo(in|urnal)/``) term matching, the Lucene PrefixQuery /
+FuzzyQuery / WildcardQuery / RegexpQuery analog (donkey itself
 has no term patterns — its features are opaque vectors — but every
-fulltext engine in the capability class ships them; SURVEY §2.14
-T23/T26).
+fulltext engine in the capability class ships them, and regexp term
+search is THE query shape of source-code engines in particular —
+Zoekt / livegrep's grep-over-the-index; SURVEY §2.14 T23/T26/T43).
 
 Semantics (binding, shared by the engine and the DuckDB oracle):
 
@@ -28,6 +30,26 @@ row-group pruning still applies; a leading wildcard (``*ble``) scans
 the dictionary's term column — O(|dictionary|) like fuzzy, on the
 index's smallest table. A pattern with no literal character (``*``,
 ``?*``) is refused: its match set is the whole vocabulary.
+
+Regexp atoms are ``/body/`` with the body restricted to a grammar
+whose matching semantics PROVABLY agree across the three evaluators —
+pyarrow ``match_substring_regex`` (RE2, local path), Spark ``RLIKE``
+(java.util.regex, distributed path) and DuckDB ``regexp_matches``
+(RE2, the oracle): literals over the term alphabet, ``.``, character
+classes (``[a-z]``, ranges, negation ``[^x]`` — ``^`` is legal only
+right after ``[``), greedy quantifiers ``* + ?`` and bounded ``{m}`` /
+``{m,}`` / ``{m,n}`` (malformed braces are refused — java.util.regex
+rejects a dangling ``{`` where RE2 reads it as a literal, so only
+well-formed repeats are portable), grouping ``(...)`` and alternation
+``|``. Backslash escapes, anchors and named constructs are refused —
+that is where the engines' dialects diverge. Matching is WHOLE-TERM
+(the Lucene RegexpQuery convention): every evaluator runs the same
+``^(?:body)$`` rendering. A body with no ``[a-z0-9_]`` character
+anywhere is refused like the all-meta wildcard. A regexp with a
+mandatory literal head (``jo(in|urnal)`` → ``jo``) keeps the head as
+a dictionary range bound exactly like an infix wildcard; top-level
+alternation or a leading metacharacter pays the full term-column
+scan.
 """
 
 from __future__ import annotations
@@ -41,6 +63,10 @@ import re
 _PREFIX_RE = re.compile(r"^([a-z0-9_]{1,64})\*$")
 _FUZZY_RE = re.compile(r"^([a-z0-9_]{1,64})~([0-9])$")
 _WILDCARD_RE = re.compile(r"^(?=.*[a-z0-9_])[a-z0-9_*?]{1,64}$")
+#: regexp atom: /body/ — the portable-grammar charset; ^ position,
+#: brace shape, literal presence and compilability checked separately
+_REGEXP_BODY_RE = re.compile(r"^[a-z0-9_\[\]().*+?|,{}^-]{1,64}$")
+_BRACE_RE = re.compile(r"\{[0-9]+(,[0-9]*)?\}")
 
 #: Lucene's bound; the banded DP below is O(len·d) per candidate
 MAX_FUZZY_DIST = 2
@@ -52,11 +78,13 @@ def parse_pattern_text(text: str) -> tuple[str, list[tuple[str, str, int]]]:
     Returns ``(literal_text, patterns)`` where ``literal_text`` is the
     non-pattern atoms rejoined (tokenize it with the normal tokenizer)
     and ``patterns`` is ``[(kind, base, dist)]`` with kind ``"prefix"``
-    (dist 0), ``"fuzzy"``, or ``"wildcard"`` (dist 0 — ``*`` matches
+    (dist 0), ``"fuzzy"``, ``"wildcard"`` (dist 0 — ``*`` matches
     any run, ``?`` exactly one character; a trailing-``*``-only atom
-    classifies as the cheaper "prefix"). Raises ValueError on malformed
-    patterns rather than silently searching for ``*``/``?``/``~``
-    literals the tokenizer would drop anyway.
+    classifies as the cheaper "prefix"), or ``"regexp"`` (``/body/``,
+    dist 0 — whole-term match under the portable grammar, base = the
+    body without its slashes). Raises ValueError on malformed
+    patterns rather than silently searching for ``*``/``?``/``~``/
+    ``/…/`` literals the tokenizer would drop anyway.
     """
     lits: list[str] = []
     pats: list[tuple[str, str, int]] = []
@@ -78,14 +106,99 @@ def parse_pattern_text(text: str) -> tuple[str, list[tuple[str, str, int]]]:
         if ("*" in a or "?" in a) and _WILDCARD_RE.match(a):
             pats.append(("wildcard", a, 0))
             continue
-        if "*" in a or "~" in a or "?" in a:
+        if len(a) >= 3 and a[0] == "/" and a[-1] == "/":
+            body = a[1:-1]
+            validate_regexp_body(body)   # raises with the grammar
+            pats.append(("regexp", body, 0))
+            continue
+        if "*" in a or "~" in a or "?" in a or "/" in a:
             raise ValueError(
                 f"unsupported pattern {atom!r}: trailing-* prefixes "
-                f"(foo*), whole-term edit distances (bar~1, bar~2) and "
+                f"(foo*), whole-term edit distances (bar~1, bar~2), "
                 f"wildcards over [a-z0-9_*?] with at least one literal "
-                f"character (va*ble, te?t) are supported")
+                f"character (va*ble, te?t) and /regexp/ atoms over the "
+                f"portable grammar are supported")
         lits.append(atom)
     return " ".join(lits), pats
+
+
+def validate_regexp_body(body: str) -> None:
+    """Reject a regexp body outside the portable grammar (module
+    docstring): charset, ``^`` only immediately after ``[``, braces
+    only as well-formed bounded repeats, at least one term-alphabet
+    character, and the anchored rendering must compile. Everything the
+    check admits matches identically under RE2 (pyarrow, DuckDB) and
+    java.util.regex (Spark RLIKE) — the divergent constructs
+    (escapes, anchors, dangling braces, named groups) are all refused
+    here, before any engine sees the pattern."""
+    ok = bool(_REGEXP_BODY_RE.match(body))
+    if ok:
+        for i, ch in enumerate(body):
+            if ch == "^" and (i == 0 or body[i - 1] != "["):
+                ok = False
+                break
+    if ok and ("{" in body or "}" in body):
+        ok = not re.search(r"[{}]", _BRACE_RE.sub("", body))
+    if ok:
+        ok = re.search(r"[a-z0-9_]", body) is not None
+    if ok:
+        try:
+            re.compile(regexp_anchor(body))
+        except re.error:
+            ok = False
+    if not ok:
+        raise ValueError(
+            f"unsupported regexp /{body}/: bodies are limited to the "
+            f"portable grammar — [a-z0-9_] literals, '.', character "
+            f"classes (^ only right after [), * + ? and well-formed "
+            f"{{m}}/{{m,}}/{{m,n}} repeats, (...) groups and | "
+            f"alternation; no escapes or anchors — and must contain "
+            f"at least one [a-z0-9_] character")
+
+
+def regexp_anchor(body: str) -> str:
+    """The single whole-term rendering every evaluator runs — pyarrow
+    ``match_substring_regex``, Spark ``RLIKE`` and DuckDB
+    ``regexp_matches`` are all search-anywhere primitives, so the
+    anchors make them full-term matchers; ``(?:...)`` confines a
+    top-level alternation to the body."""
+    return f"^(?:{body})$"
+
+
+def regexp_literal_head(body: str) -> str:
+    """The mandatory literal prefix of every match — a usable
+    dictionary range bound like the wildcard head. Empty when the body
+    starts with a metacharacter, when the leading literal is itself
+    quantified (``ab*c`` matches ``ac`` — only ``a`` is mandatory),
+    or when a TOP-LEVEL alternation exists (``ab|cd`` — matches need
+    not start with ``ab``; alternation inside a group after the head,
+    ``jo(in|urnal)``, keeps the head)."""
+    depth = 0
+    in_class = False
+    for ch in body:
+        if in_class:
+            in_class = ch != "]"
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
+    head = []
+    for i, ch in enumerate(body):
+        nxt = body[i + 1] if i + 1 < len(body) else ""
+        if ch in "abcdefghijklmnopqrstuvwxyz0123456789_":
+            if nxt in "*?{":     # quantified → this char is optional /
+                break            # repeatable, not a fixed prefix byte
+            if nxt == "+":       # one-or-more: the char IS mandatory,
+                head.append(ch)  # but nothing after it is fixed
+                break
+            head.append(ch)
+        else:
+            break
+    return "".join(head)
 
 
 def prefix_upper_bound(prefix: str) -> str:

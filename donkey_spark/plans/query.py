@@ -1109,7 +1109,12 @@ class Index:
         within edit distance 1; ``("wildcard", "va*ble")`` every term
         matching the ``*``/``?`` glob (SQL LIKE semantics, identical
         across the local pyarrow, distributed Spark, and DuckDB-oracle
-        evaluations). Returns ``[(term, df)]`` with df summed
+        evaluations); ``("regexp", "jo(in|urnal)")`` every term the
+        portable-grammar regexp whole-term-matches (one ``^(?:…)$``
+        rendering evaluated by pyarrow RE2 locally, Spark RLIKE
+        distributed, DuckDB RE2 in the oracle — the grammar admits
+        only constructs the three dialects agree on). Returns
+        ``[(term, df)]`` with df summed
         across dictionary chunks — exactly what ``_lookup_terms`` would
         report for the same terms (the dfs are memoized so the ensuing
         search never re-probes them).
@@ -1254,13 +1259,15 @@ class Index:
         from ..config import MAX_EXPANSION_CANDIDATES as HARD
         from ..functions.patterns import (levenshtein_py,
                                           prefix_upper_bound,
+                                          regexp_anchor,
+                                          regexp_literal_head,
                                           wildcard_literal_head,
                                           wildcard_to_like)
         if not hasattr(self, "_exp_memo"):
             self._exp_memo: dict[tuple, dict[str, int]] = {}
         todo: list[tuple] = []
         for key in keys:
-            if key[0] not in ("prefix", "fuzzy", "wildcard"):
+            if key[0] not in ("prefix", "fuzzy", "wildcard", "regexp"):
                 raise ValueError(f"unknown pattern kind {key[0]!r}")
             if key not in self._exp_memo and key not in todo:
                 todo.append(key)
@@ -1314,6 +1321,31 @@ class Index:
                         found[t] = found.get(t, 0) + int(d)
                     _guard(found, kind, base)
                 self._exp_memo[(kind, base, dist)] = found
+            for kind, base, dist in [k for k in todo if k[0] == "regexp"]:
+                # same probe shape as a wildcard: a mandatory literal
+                # head row-group-prunes; headless regexps (leading
+                # metachar / top-level alternation) scan the term
+                # column above the facet-sentinel floor
+                head = regexp_literal_head(base)
+                if head:
+                    filt = ((ds.field("term") >= head)
+                            & (ds.field("term") < prefix_upper_bound(head)))
+                else:
+                    filt = ds.field("term") >= "0"
+                if chunk_f is not None:
+                    filt &= chunk_f
+                anchored = regexp_anchor(base)
+                found = {}
+                for batch in self._pa_dataset("dictionary").scanner(
+                        columns=["term", "df"], filter=filt).to_batches():
+                    mask = pc.match_substring_regex(batch.column(0),
+                                                    anchored)
+                    for t, d in zip(
+                            pc.filter(batch.column(0), mask).to_pylist(),
+                            pc.filter(batch.column(1), mask).to_pylist()):
+                        found[t] = found.get(t, 0) + int(d)
+                    _guard(found, kind, base)
+                self._exp_memo[(kind, base, dist)] = found
             fuzz = [k for k in todo if k[0] == "fuzzy"]
             if fuzz:
                 filt = ds.field("term") >= "0"
@@ -1356,6 +1388,13 @@ class Index:
                              if head else F.col("term") >= "0")
                     d = d.where(bound & F.col("term")
                                 .like(wildcard_to_like(base)))
+                elif kind == "regexp":
+                    head = regexp_literal_head(base)
+                    bound = ((F.col("term") >= head)
+                             & (F.col("term") < prefix_upper_bound(head))
+                             if head else F.col("term") >= "0")
+                    d = d.where(bound & F.col("term")
+                                .rlike(regexp_anchor(base)))
                 else:
                     d = d.where(
                         (F.col("term") >= "0")

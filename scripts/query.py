@@ -28,7 +28,8 @@ def main() -> None:
                                                      "pattern", "bool"],
                     help="'and' = docs must contain EVERY query term; "
                          "'pattern' = query atoms may be prefix (va*), "
-                         "fuzzy (joun~1) or wildcard (va*ble, te?t) "
+                         "fuzzy (joun~1), wildcard (va*ble, te?t) or "
+                         "regexp (/jo(in|urnal)/, whole-term) "
                          "patterns, expanded against "
                          "the dictionary (df-ranked, capped); 'bool' = "
                          "the query is a nested boolean expression, "

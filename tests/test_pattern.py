@@ -1,16 +1,19 @@
-"""Dictionary-expansion queries (§2.14 T23/T26): prefix (`foo*`),
-fuzzy (`bar~1`) and wildcard (`va*ble`, `te?t`, `*ble`) patterns must
-expand exactly (df-ranked, capped, brute-force-checkable), rewrite to
-plain OR queries, compose with filters and upserted chunks, and stay
-shard-count-invariant under the federation's GLOBAL expansion."""
+"""Dictionary-expansion queries (§2.14 T23/T26/T43): prefix (`foo*`),
+fuzzy (`bar~1`), wildcard (`va*ble`, `te?t`, `*ble`) and regexp
+(`/re(turn|ad)/`) patterns must expand exactly (df-ranked, capped,
+brute-force-checkable), rewrite to plain OR queries, compose with
+filters and upserted chunks, and stay shard-count-invariant under the
+federation's GLOBAL expansion."""
 
+import re
 from collections import Counter
 
 import pytest
 
 from donkey_spark.functions.patterns import (levenshtein_py,
                                              parse_pattern_text,
-                                             prefix_upper_bound)
+                                             prefix_upper_bound,
+                                             regexp_literal_head)
 from donkey_spark.functions.tokenize import tokenize_py
 from fixtures.gen_corpus import gen_corpus
 
@@ -30,6 +33,9 @@ def _brute_expand(vocab: Counter, kind, base, dist, cap):
         from fnmatch import fnmatchcase   # *, ? — glob semantics, and
         m = [t for t in vocab             # _ is a literal, like LIKE+escape
              if fnmatchcase(t, base)]
+    elif kind == "regexp":                # whole-term, Python re as the
+        m = [t for t in vocab             # independent 4th evaluator
+             if re.fullmatch(base, t)]
     else:
         m = [t for t in vocab if levenshtein_py(base, t, dist) <= dist]
     return sorted(((t, vocab[t]) for t in m),
@@ -68,6 +74,32 @@ def test_parse_pattern_text():
                 "*", "?", "*?*", "??"):
         with pytest.raises(ValueError):
             parse_pattern_text(f"ok {bad}")
+    # regexp atoms: /body/ under the portable grammar, lowercased
+    lit, pats = parse_pattern_text("/Re(turn|ad)/ def /v[0-9]+_map/")
+    assert lit == "def"
+    assert pats == [("regexp", "re(turn|ad)", 0),
+                    ("regexp", "v[0-9]+_map", 0)]
+    for bad in ("//", "/ab(/", "/^ab/", "/a^b/", "/a{/", "/a{b}/",
+                "/a**/", "/[*]/", "/.*/", "/a\\db/", "/half", "half/",
+                "a/b"):
+        with pytest.raises(ValueError):
+            parse_pattern_text(f"ok {bad}")
+
+
+def test_regexp_literal_head():
+    """The head is a MANDATORY match prefix (usable as a dictionary
+    range bound) — quantified leading chars and top-level alternation
+    must drop it; group-confined alternation after the head keeps it."""
+    assert regexp_literal_head("jo(in|urnal)") == "jo"
+    assert regexp_literal_head("v100[0-9]_map") == "v100"
+    assert regexp_literal_head("ab+c") == "ab"    # + keeps its char
+    assert regexp_literal_head("ab*c") == "a"     # * makes it optional
+    assert regexp_literal_head("ab?c") == "a"
+    assert regexp_literal_head("ab{2}c") == "a"
+    assert regexp_literal_head(".*tion") == ""
+    assert regexp_literal_head("ab|cd") == ""     # top-level alternation
+    assert regexp_literal_head("a(b|c)d") == "a"
+    assert regexp_literal_head("[ab]cd") == ""
 
 
 def test_prefix_upper_bound_brackets_exactly():
@@ -86,7 +118,18 @@ CASES = [("prefix", "re", 0), ("prefix", "s", 0), ("prefix", "de", 0),
          # literal _ (must be LIKE-escaped), and a no-match pattern
          ("wildcard", "re*rn", 0), ("wildcard", "w?ndow", 0),
          ("wildcard", "*turn", 0), ("wildcard", "*_*", 0),
-         ("wildcard", "qq*zz", 0)]
+         ("wildcard", "qq*zz", 0),
+         # regexp: group alternation behind a literal head, digit
+         # classes + bounded repeats over the v\d+_suffix identifiers,
+         # a LEADING-metachar pattern with alternation (full term
+         # scan, headless), a negated class, and a no-match pattern
+         ("regexp", "re(turn|ad)", 0),
+         ("regexp", "v100[0-9]_[a-z]+", 0),
+         ("regexp", "v[0-9]{1,3}_map", 0),
+         ("regexp", ".*_(vec|arr)", 0),
+         ("regexp", "s[ceo].*", 0),
+         ("regexp", "b[^r]ock", 0),
+         ("regexp", "qq[x-z]+zz", 0)]
 
 
 def test_expansion_matches_bruteforce(spark, pat_setup):
@@ -141,6 +184,24 @@ def test_wildcard_never_admits_facet_sentinels(spark, pat_setup):
     for lb in (64 << 20, 0):
         got = Index(spark, idx_dir, local_bytes=lb).expand_pattern(
             "wildcard", "*py", max_expansions=10**9)
+        assert not [t for t, _ in got if t.startswith(FACET_PREFIX)]
+        assert got == want
+
+
+def test_regexp_never_admits_facet_sentinels(spark, pat_setup):
+    """A leading-`.*` regexp (`/.*py/`) whole-term-matches the
+    \\x01lang=py facet presence term (RE2's `.` matches \\x01 and `=`)
+    unless the term-column scan keeps the >= "0" floor — the regexp
+    twin of the wildcard sentinel rule, on BOTH probe paths."""
+    from donkey_spark.operators.facets import FACET_PREFIX
+    from donkey_spark.plans.query import Index
+    idx_dir, _, pdf = pat_setup
+    assert re.fullmatch(".*py", f"{FACET_PREFIX}lang=py")   # the trap
+    vocab = _vocab_df(pdf)
+    want = _brute_expand(vocab, "regexp", ".*py", 0, cap=10**9)
+    for lb in (64 << 20, 0):
+        got = Index(spark, idx_dir, local_bytes=lb).expand_pattern(
+            "regexp", ".*py", max_expansions=10**9)
         assert not [t for t, _ in got if t.startswith(FACET_PREFIX)]
         assert got == want
 
@@ -252,7 +313,8 @@ def test_sharded_pattern_matches_unified(spark, pat_setup):
     uni = Index(spark, idx_dir)
     shards = [Index(spark, d) for d in shard_dirs]
     qs = [(0, "re* filter", 10), (1, "clasz~1 import", 7),
-          (2, "de*", 12), (3, "*turn w?ndow", 9)]
+          (2, "de*", 12), (3, "*turn w?ndow", 9),
+          (4, "/re(turn|ad)/ filter", 8), (5, "/.*_(vec|arr)/ scan", 6)]
     for cap in (3, 64):
         want = [(q, rk, repo, path, round(s, 9)) for q, rk, d, s, repo, path
                 in uni.search_rows_pattern(qs, max_expansions=cap)]
