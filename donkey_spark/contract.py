@@ -459,19 +459,10 @@ def q_bm25_topk_sharded(spark, sf_dir):
     identical ranks, identical scores. No doc_id in the output (a
     federation has no global id; the key columns are the identity)."""
     from .plans.query import Index
-    from .plans.sharded import RESULT_SCHEMA, search_rows_sharded
+    from .plans.sharded import search_rows_sharded
     shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
     rows = search_rows_sharded(shards, BM25_QUERIES)
-    df = spark.createDataFrame(rows, RESULT_SCHEMA)
-    # re-rank on the ROUNDED score like every bm25 pair (tie-break
-    # (repo, path) == the unified index's doc_id order, since dense ids
-    # are assigned in key order)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
-    return (df.withColumn("rank", F.row_number().over(w))
-            .select("query_id", "rank",
-                    F.round(F.col("score"), 6).alias("score"),
-                    "repo", "path"))
+    return _rank_sharded_rows(spark, rows)
 
 
 def _rank_rows(spark, rows):
@@ -485,6 +476,22 @@ def _rank_rows(spark, rows):
     return (df.withColumn("rank", F.row_number().over(w))
             .select("query_id", "rank", "doc_id",
                     F.round(F.col("score"), 6).alias("score")))
+
+
+def _rank_sharded_rows(spark, rows):
+    """Shared tail for FEDERATED rows-returning BM25 pairs: re-rank on
+    the ROUNDED score like every bm25 pair, tie-break (repo, path) ==
+    the unified index's doc_id order (dense ids are assigned in key
+    order). No doc_id in the output — a federation has no global id;
+    the key columns are the identity."""
+    from .plans.sharded import RESULT_SCHEMA
+    df = spark.createDataFrame(rows, RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank",
+                    F.round(F.col("score"), 6).alias("score"),
+                    "repo", "path"))
 
 
 def q_bm25_topk_prefix(spark, sf_dir):
@@ -553,17 +560,11 @@ def q_bm25_topk_prefix_sharded(spark, sf_dir):
     ranking — is identical to one index over the union; compared
     against the SAME unified DuckDB prefix oracle, key-identified."""
     from .plans.query import Index
-    from .plans.sharded import RESULT_SCHEMA, search_pattern_sharded
+    from .plans.sharded import search_pattern_sharded
     shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
     rows = search_pattern_sharded(shards, BM25_PREFIX_QUERIES,
                                   max_expansions=PREFIX_EXPANSION_CAP)
-    df = spark.createDataFrame(rows, RESULT_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
-    return (df.withColumn("rank", F.row_number().over(w))
-            .select("query_id", "rank",
-                    F.round(F.col("score"), 6).alias("score"),
-                    "repo", "path"))
+    return _rank_sharded_rows(spark, rows)
 
 
 def q_bm25_topk_regexp_sharded(spark, sf_dir):
@@ -574,17 +575,11 @@ def q_bm25_topk_regexp_sharded(spark, sf_dir):
     identical to one index over the union; compared against the SAME
     unified DuckDB regexp oracle, key-identified."""
     from .plans.query import Index
-    from .plans.sharded import RESULT_SCHEMA, search_pattern_sharded
+    from .plans.sharded import search_pattern_sharded
     shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
     rows = search_pattern_sharded(shards, BM25_REGEXP_QUERIES,
                                   max_expansions=REGEXP_EXPANSION_CAP)
-    df = spark.createDataFrame(rows, RESULT_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
-    return (df.withColumn("rank", F.row_number().over(w))
-            .select("query_id", "rank",
-                    F.round(F.col("score"), 6).alias("score"),
-                    "repo", "path"))
+    return _rank_sharded_rows(spark, rows)
 
 
 def q_bm25_topk_bool(spark, sf_dir):
@@ -607,16 +602,10 @@ def q_bm25_topk_bool_sharded(spark, sf_dir):
     matching stays shard-local, merge exact — compared against the SAME
     unified DuckDB boolean oracle, key-identified."""
     from .plans.query import Index
-    from .plans.sharded import RESULT_SCHEMA, search_bool_sharded
+    from .plans.sharded import search_bool_sharded
     shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
     rows = search_bool_sharded(shards, BM25_BOOL_QUERIES)
-    df = spark.createDataFrame(rows, RESULT_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
-    return (df.withColumn("rank", F.row_number().over(w))
-            .select("query_id", "rank",
-                    F.round(F.col("score"), 6).alias("score"),
-                    "repo", "path"))
+    return _rank_sharded_rows(spark, rows)
 
 
 def q_bm25_topk_deleted(spark, sf_dir):
@@ -705,16 +694,10 @@ def q_bm25_topk_boosted_sharded(spark, sf_dir):
     index's exactly; compared against the SAME weighted oracle mapped
     to (repo, path) identity like every federated pair."""
     from .plans.query import Index
-    from .plans.sharded import RESULT_SCHEMA, search_boosted_sharded
+    from .plans.sharded import search_boosted_sharded
     shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
     rows = search_boosted_sharded(shards, BM25_BOOST_QUERIES)
-    df = spark.createDataFrame(rows, RESULT_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
-    return (df.withColumn("rank", F.row_number().over(w))
-            .select("query_id", "rank",
-                    F.round(F.col("score"), 6).alias("score"),
-                    "repo", "path"))
+    return _rank_sharded_rows(spark, rows)
 
 
 def q_bm25_topk_delete_query(spark, sf_dir):
@@ -949,17 +932,11 @@ def q_bm25_topk_msm_sharded(spark, sf_dir):
     matched-term counts are shard-local by construction and the same
     unified HAVING-count oracle must reproduce the merge exactly."""
     from .plans.query import Index
-    from .plans.sharded import RESULT_SCHEMA, search_rows_sharded
+    from .plans.sharded import search_rows_sharded
     shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
     rows = search_rows_sharded(shards, BM25_MSM_QUERIES,
                                min_match=BM25_MSM_M)
-    df = spark.createDataFrame(rows, RESULT_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("score"), 6)), F.asc("repo"), F.asc("path"))
-    return (df.withColumn("rank", F.row_number().over(w))
-            .select("query_id", "rank",
-                    F.round(F.col("score"), 6).alias("score"),
-                    "repo", "path"))
+    return _rank_sharded_rows(spark, rows)
 
 
 def q_bm25_topk_collapse(spark, sf_dir):

@@ -137,8 +137,40 @@ def validate_regexp_body(body: str) -> None:
             if ch == "^" and (i == 0 or body[i - 1] != "["):
                 ok = False
                 break
+    if ok:
+        # paren balance OUTSIDE classes, depth never negative: a body
+        # like `a)|(b` balances only ACROSS the injected ^(?:...)$
+        # wrapper and would silently turn whole-term matching into
+        # prefix-OR-suffix matching (every evaluator agreeing on the
+        # broken semantics, so no oracle would catch it)
+        depth = 0
+        in_class = False
+        for ch in body:
+            if in_class:
+                in_class = ch != "]"
+            elif ch == "[":
+                in_class = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    ok = False
+                    break
+        ok = ok and depth == 0 and not in_class
     if ok and ("{" in body or "}" in body):
-        ok = not re.search(r"[{}]", _BRACE_RE.sub("", body))
+        # RE2 caps repeat counts at 1000 where java.util.regex and
+        # Python accept more — cap to the strictest dialect
+        ok = (not re.search(r"[{}]", _BRACE_RE.sub("", body))
+              and all(int(n) <= 1000
+                      for m in _BRACE_RE.finditer(body)
+                      for n in re.findall(r"[0-9]+", m.group(0))))
+    if ok:
+        # possessive quantifiers (`a*+`, `a++`, `a?+`, `a{2}+` — and
+        # their `*`-suffixed forms) compile under Python 3.11+ and
+        # java.util.regex but are RE2 errors; lazy `*?`/`+?`/`??`/
+        # `{m,n}?` agree across all three and stay allowed
+        ok = not re.search(r"[*+?}][*+]", body)
     if ok:
         ok = re.search(r"[a-z0-9_]", body) is not None
     if ok:

@@ -789,7 +789,7 @@ class Index:
         search_rows_bool would): ``terms`` are the SCORED positives and
         each query gains ``mask_terms`` — the tree terms decoded only
         for the presence mask (NOT branches). mode="pattern" resolves
-        each query's prefix/fuzzy/wildcard atoms exactly as
+        each query's prefix/fuzzy/wildcard/regexp atoms exactly as
         search_rows_pattern would (capped, df-ranked, memoized) and
         explains the resulting OR plan; each query gains
         ``expansions`` — {pattern atom: [expanded terms]}.
@@ -807,7 +807,8 @@ class Index:
                 _, pats = parse_pattern_text(text)
                 expansions[qid] = {
                     (base + "*" if kind == "prefix" else
-                     f"{base}~{dist}" if kind == "fuzzy" else base):
+                     f"{base}~{dist}" if kind == "fuzzy" else
+                     f"/{base}/" if kind == "regexp" else base):
                         [t for t, _ in self.expand_pattern(kind, base,
                                                            dist)]
                     for kind, base, dist in pats}
@@ -1298,11 +1299,24 @@ class Index:
                         found[t] = found.get(t, 0) + int(d)
                     _guard(found, kind, base)
                 self._exp_memo[(kind, base, dist)] = found
-            for kind, base, dist in [k for k in todo if k[0] == "wildcard"]:
-                # head-bounded where possible (row-group pruning like a
-                # prefix); a leading wildcard scans the term column —
-                # the >= "0" floor keeps \x01 facet sentinels out
-                head = wildcard_literal_head(base)
+            # wildcard and regexp share one probe shape: a mandatory
+            # literal head row-group-prunes like a prefix; headless
+            # patterns (leading metachar / top-level alternation) scan
+            # the term column — the >= "0" floor keeps \x01 facet
+            # sentinels out. Only the head function and the pyarrow
+            # matcher differ per kind.
+            _MATCHERS = {
+                "wildcard": (wildcard_literal_head,
+                             lambda b: (lambda col: pc.match_like(
+                                 col, wildcard_to_like(b)))),
+                "regexp": (regexp_literal_head,
+                           lambda b: (lambda col: pc.match_substring_regex(
+                               col, regexp_anchor(b)))),
+            }
+            for kind, base, dist in [k for k in todo
+                                     if k[0] in _MATCHERS]:
+                head_of, make_match = _MATCHERS[kind]
+                head = head_of(base)
                 if head:
                     filt = ((ds.field("term") >= head)
                             & (ds.field("term") < prefix_upper_bound(head)))
@@ -1310,36 +1324,11 @@ class Index:
                     filt = ds.field("term") >= "0"
                 if chunk_f is not None:
                     filt &= chunk_f
-                like = wildcard_to_like(base)
+                match = make_match(base)
                 found = {}
                 for batch in self._pa_dataset("dictionary").scanner(
                         columns=["term", "df"], filter=filt).to_batches():
-                    mask = pc.match_like(batch.column(0), like)
-                    for t, d in zip(
-                            pc.filter(batch.column(0), mask).to_pylist(),
-                            pc.filter(batch.column(1), mask).to_pylist()):
-                        found[t] = found.get(t, 0) + int(d)
-                    _guard(found, kind, base)
-                self._exp_memo[(kind, base, dist)] = found
-            for kind, base, dist in [k for k in todo if k[0] == "regexp"]:
-                # same probe shape as a wildcard: a mandatory literal
-                # head row-group-prunes; headless regexps (leading
-                # metachar / top-level alternation) scan the term
-                # column above the facet-sentinel floor
-                head = regexp_literal_head(base)
-                if head:
-                    filt = ((ds.field("term") >= head)
-                            & (ds.field("term") < prefix_upper_bound(head)))
-                else:
-                    filt = ds.field("term") >= "0"
-                if chunk_f is not None:
-                    filt &= chunk_f
-                anchored = regexp_anchor(base)
-                found = {}
-                for batch in self._pa_dataset("dictionary").scanner(
-                        columns=["term", "df"], filter=filt).to_batches():
-                    mask = pc.match_substring_regex(batch.column(0),
-                                                    anchored)
+                    mask = match(batch.column(0))
                     for t, d in zip(
                             pc.filter(batch.column(0), mask).to_pylist(),
                             pc.filter(batch.column(1), mask).to_pylist()):
@@ -1381,20 +1370,17 @@ class Index:
                     d = d.where((F.col("term") >= base)
                                 & (F.col("term")
                                    < prefix_upper_bound(base)))
-                elif kind == "wildcard":
-                    head = wildcard_literal_head(base)
+                elif kind in ("wildcard", "regexp"):
+                    head = (wildcard_literal_head(base)
+                            if kind == "wildcard"
+                            else regexp_literal_head(base))
                     bound = ((F.col("term") >= head)
                              & (F.col("term") < prefix_upper_bound(head))
                              if head else F.col("term") >= "0")
-                    d = d.where(bound & F.col("term")
-                                .like(wildcard_to_like(base)))
-                elif kind == "regexp":
-                    head = regexp_literal_head(base)
-                    bound = ((F.col("term") >= head)
-                             & (F.col("term") < prefix_upper_bound(head))
-                             if head else F.col("term") >= "0")
-                    d = d.where(bound & F.col("term")
-                                .rlike(regexp_anchor(base)))
+                    pred = (F.col("term").like(wildcard_to_like(base))
+                            if kind == "wildcard"
+                            else F.col("term").rlike(regexp_anchor(base)))
+                    d = d.where(bound & pred)
                 else:
                     d = d.where(
                         (F.col("term") >= "0")
@@ -1441,8 +1427,9 @@ class Index:
                             ) -> list[tuple]:
         """`search_rows` for queries whose text may contain pattern
         atoms — trailing-``*`` prefixes (``va*``), fuzzy terms
-        (``joun~1``, ``tabel~2``) and wildcards (``va*ble``, ``te?t``,
-        ``*ble``). Each pattern expands against the
+        (``joun~1``, ``tabel~2``), wildcards (``va*ble``, ``te?t``,
+        ``*ble``) and whole-term regexps (``/jo(in|urnal)/``).
+        Each pattern expands against the
         dictionary (df-ranked, capped — see ``expand_pattern``) and the
         query runs as a plain disjunctive multi-term query over
         literal ∪ expanded terms, each term scored with its own df

@@ -81,9 +81,22 @@ def test_parse_pattern_text():
                     ("regexp", "v[0-9]+_map", 0)]
     for bad in ("//", "/ab(/", "/^ab/", "/a^b/", "/a{/", "/a{b}/",
                 "/a**/", "/[*]/", "/.*/", "/a\\db/", "/half", "half/",
-                "a/b"):
+                "a/b",
+                # constructs Python's re accepts but the evaluators
+                # diverge on: possessive quantifiers (RE2 errors,
+                # java.util.regex accepts), repeats past RE2's 1000
+                # cap, and bodies whose parens balance only ACROSS the
+                # injected ^(?:...)$ wrapper (every engine would agree
+                # on the silently-broken prefix-OR-suffix semantics)
+                "/ab*+c/", "/ab++c/", "/ab?+c/", "/a{2}+b/",
+                "/a{1001}/", "/a{2,1001}/", "/a)|(b/", "/ab)c(d/"):
         with pytest.raises(ValueError):
             parse_pattern_text(f"ok {bad}")
+    # lazy quantifiers agree across RE2 / java.util.regex / Python and
+    # stay allowed; bounded repeats at RE2's cap are fine
+    for good in ("/ab*?c/", "/ab+?c/", "/a{2,1000}b/", "/a(b)(c)d/"):
+        _, pats = parse_pattern_text(good)
+        assert pats[0][0] == "regexp"
 
 
 def test_regexp_literal_head():
