@@ -28,11 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (100 since
+    """One entry per implemented ◇ operator from SURVEY.md §2 (101 since
     r5-final — the late-r5 additions: regexp term patterns (`/body/`
     whole-term atoms under a portable RE2/RLIKE/DuckDB-agreeing
     grammar, unified AND federated — the oracle re-derives the
-    expansion with regexp_matches), percolation (stored queries
+    expansion with regexp_matches), pattern-mode match surfaces
+    (count/stats/export/facets/sort/delete over "everything matching
+    a pattern", the grep-then-act shape — `match_counts_pattern`
+    re-derives the per-kind expansion AND the distinct-doc counts),
+    percolation (stored queries
     matched against the corpus stream, match semantics identical to
     search), minimum_should_match queries
     (unified AND federated, the ES dial between OR and AND via the

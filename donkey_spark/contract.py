@@ -144,6 +144,18 @@ BM25_REGEXP_QUERIES: list[tuple[int, str, int]] = [
 ]
 REGEXP_EXPANSION_CAP = 3
 
+#: pattern-mode MATCH-SET query set (§2.14 T43×T27 — the grep-then-act
+#: shape: count/export/delete "everything matching a pattern"). Mixes
+#: every pattern kind; the last query's pattern matches nothing and
+#: its literal is OOV, so its count 0 must survive the grid.
+BM25_PATTERN_COUNT_QUERIES: list[tuple[int, str, int]] = [
+    (0, "/jo(in|urnal)/ filter", 1),
+    (1, "s* order", 1),
+    (2, "me?ge w*d?w", 1),
+    (3, "joun~1 /.*e[ry]/", 1),
+    (4, "/qq[x-z]+zz/ zz_oov_token", 1),
+]
+
 #: boolean-expression query set (§2.14 T24) — nesting, NOT over a
 #: group, NOT of an OOV term (matches everything → equals the plain
 #: positive query), an OOV positive inside OR (drops out of scoring),
@@ -1858,6 +1870,83 @@ def q_match_counts(spark, sf_dir):
             for qid, text, _k in BM25_QUERIES]
     return spark.createDataFrame(
         rows, "query_id int, mode string, n_matches long")
+
+
+def q_match_counts_pattern(spark, sf_dir):
+    """r5 §2.14 T43×T27 — total hits under ``mode="pattern"``: the
+    grep-then-count shape of a source-code pipeline ("how many files
+    match /jo(in|urnal)/ …"). Pattern atoms expand against the
+    dictionary exactly as search expands them
+    (plans/facet_counts._expand_pattern_text, default cap), then the
+    count runs the plain OR kernel; the DuckDB twin re-derives the
+    expansion per kind (starts_with / levenshtein / LIKE / the SAME
+    anchored regexp) over its recomputed dfreq with the same rank and
+    cap, and counts distinct docs containing any literal-or-expanded
+    term — zero counts preserved through the query grid."""
+    from .plans.facet_counts import match_count
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    rows = [(qid, match_count(idx, text, mode="pattern"))
+            for qid, text, _k in BM25_PATTERN_COUNT_QUERIES]
+    return spark.createDataFrame(rows, "query_id int, n_matches long")
+
+
+def _match_counts_pattern_oracle_sql() -> str:
+    """Pattern-count twin: expansion re-derived per kind over the
+    from-first-principles dfreq (same rank/cap as the engine's default
+    MAX_TERM_EXPANSIONS), docs counted once per query over
+    literal ∪ expanded terms."""
+    from .config import MAX_TERM_EXPANSIONS
+    from .functions.patterns import (parse_pattern_text, regexp_anchor,
+                                     wildcard_to_like)
+    from .functions.tokenize import tokenize_py
+    lit_rows, pat_rows, qids = [], [], []
+    for qid, text, _k in BM25_PATTERN_COUNT_QUERIES:
+        qids.append(f"({qid})")
+        lit_text, pats = parse_pattern_text(text)
+        lit_rows.extend(f"({qid}, '{t}')"
+                        for t in sorted(set(tokenize_py(lit_text))))
+        for kind, base, dist in pats:
+            pat = (wildcard_to_like(base) if kind == "wildcard"
+                   else regexp_anchor(base) if kind == "regexp"
+                   else base)
+            pat_rows.append(f"({qid}, '{kind[0]}', '{pat}', {dist})")
+    return f"""
+WITH ordered AS (
+  {_ORDERED_SQL}
+), toks AS (
+  SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered
+), dd AS (
+  SELECT DISTINCT d, term FROM toks
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM dd GROUP BY 1
+), qlit(query_id, term) AS (VALUES
+  {",".join(lit_rows)}
+), qpat(query_id, kind, pat, dist) AS (VALUES
+  {",".join(pat_rows)}
+), qexp AS (
+  SELECT p.query_id, f.term,
+         row_number() OVER (
+           PARTITION BY p.query_id, p.kind, p.pat, p.dist
+           ORDER BY f.df DESC, f.term) AS rn
+  FROM qpat p JOIN dfreq f ON
+       (p.kind = 'p' AND starts_with(f.term, p.pat))
+    OR (p.kind = 'f' AND levenshtein(f.term, p.pat) <= p.dist)
+    OR (p.kind = 'w' AND f.term LIKE p.pat ESCAPE '\\')
+    OR (p.kind = 'r' AND regexp_matches(f.term, p.pat))
+), qset AS (
+  SELECT query_id, term FROM qlit
+  UNION
+  SELECT query_id, term FROM qexp WHERE rn <= {MAX_TERM_EXPANSIONS}
+), per AS (
+  SELECT DISTINCT q.query_id, dd.d
+  FROM qset q JOIN dd ON dd.term = q.term
+), qids(query_id) AS (VALUES {",".join(qids)})
+SELECT qids.query_id, COALESCE(c.n, 0)::BIGINT AS n_matches
+FROM qids LEFT JOIN (
+  SELECT query_id, count(*)::BIGINT AS n FROM per GROUP BY 1
+) c ON c.query_id = qids.query_id
+"""
 
 
 def _match_counts_oracle_sql() -> str:
@@ -3588,6 +3677,7 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_facet_backfill": _BM25_FILTERED_ORACLE,
     "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
     "match_counts": _match_counts_oracle_sql(),
+    "match_counts_pattern": _match_counts_pattern_oracle_sql(),
     "match_cardinality": _match_cardinality_oracle_sql(),
     "significant_terms": _significant_terms_oracle_sql(),
     "bm25_topk_rescored": _rescore_oracle_sql(),
@@ -3809,6 +3899,7 @@ QUERIES = {
     "bm25_topk_facet_backfill": q_bm25_topk_facet_backfill,
     "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
     "match_counts": q_match_counts,
+    "match_counts_pattern": q_match_counts_pattern,
     "match_cardinality": q_match_cardinality,
     "significant_terms": q_significant_terms,
     "bm25_topk_rescored": q_bm25_topk_rescored,

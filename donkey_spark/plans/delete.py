@@ -112,8 +112,11 @@ def delete_by_query(spark: SparkSession, index_dir: str, text: str,
     """Tombstone EVERY document matching a query — the takedown /
     GDPR-erasure shape ("remove everything mentioning X", optionally
     under facet/range filters). Match semantics are exactly search's
-    (or/and modes, the full filter grammar, already-tombstoned docs
-    unaffected), computed by the same per-salt kernel the total-hits
+    (or/and modes — and mode="pattern", where prefix/fuzzy/wildcard/
+    regexp atoms expand against the dictionary first: "delete
+    everything matching /v[0-9]+_tmp/" — the full filter grammar,
+    already-tombstoned docs unaffected), computed by the same
+    per-salt kernel the total-hits
     count uses (plans/facet_counts.match_ids): the match set flows as
     a DISTRIBUTED (doc_id) DataFrame into the ordinary key-resolving
     delete — ids never gather on the driver. Idempotent like every

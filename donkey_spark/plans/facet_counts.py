@@ -17,6 +17,15 @@ path beside the scorer — built from the same pruned artifacts:
 
 No scores are computed and no doc rows are materialized: the match set
 exists only as per-salt int64 arrays inside the kernel.
+
+Every surface here also accepts ``mode="pattern"``: pattern atoms in
+the query text (prefix ``va*``, fuzzy ``joun~1``, wildcard ``va*ble``,
+regexp ``/v[0-9]+_err/``) expand against the dictionary exactly as
+search_rows_pattern expands them, and the surface runs the resulting
+plain OR query — count / stats / export / facet-navigate / delete over
+"everything matching a pattern", the grep-then-act shape of a
+source-code corpus pipeline, with zero kernel change (the expansion IS
+a term list).
 """
 
 from __future__ import annotations
@@ -80,6 +89,20 @@ def _compile_filters(index, filters: dict | None
         filters, index.facets, index.range_facets, index.range_step)
 
 
+def _expand_pattern_text(index, text: str, mode: str) -> tuple[str, str]:
+    """``mode="pattern"`` support shared by every match-set surface:
+    pattern atoms in ``text`` expand against the dictionary exactly as
+    search does (same grammar, df ranking and cap —
+    plans/query.resolve_pattern_terms), and the surface then runs the
+    resulting plain OR query. Sound because expanded terms ARE
+    dictionary tokens: re-tokenizing the joined text yields exactly
+    literal ∪ expanded terms. Any other mode passes through."""
+    if mode != "pattern":
+        return text, mode
+    (_, terms, _), = index.resolve_pattern_terms([(0, text, 1)])
+    return " ".join(terms), "or"
+
+
 def facet_counts(index, text: str, facet, mode: str = "or",
                  values: list | None = None,
                  filters: dict | None = None) -> DataFrame:
@@ -119,6 +142,7 @@ def facet_counts(index, text: str, facet, mode: str = "or",
         raise ValueError(
             f"index has no facet(s) {unknown}; built with "
             f"facets={index.facets or '()'}")
+    text, mode = _expand_pattern_text(index, text, mode)
     if mode not in ("or", "and"):
         raise ValueError(mode)
     fgroups = _compile_filters(index, filters)
@@ -177,6 +201,7 @@ def range_counts(index, text: str, facet: str, shift: int,
         raise ValueError(
             f"shift must be an indexed trie level — a multiple of "
             f"range_step={step} in [0, 64) — got {shift!r}")
+    text, mode = _expand_pattern_text(index, text, mode)
     if mode not in ("or", "and"):
         raise ValueError(mode)
     fgroups = _compile_filters(index, filters)
@@ -219,6 +244,7 @@ def match_count(index, text: str, mode: str = "or",
     tags: one pruned segment scan, match sets existing only as int64
     arrays inside the kernel, one (salt-count)-row aggregate out —
     never a scored materialization of the match set."""
+    text, mode = _expand_pattern_text(index, text, mode)
     if mode not in ("or", "and"):
         raise ValueError(mode)
     arrs, fgroups = _salt_matches_local(index, text, mode, filters)
@@ -275,6 +301,7 @@ def match_stats(index, text: str, by: str = "dl", mode: str = "or",
     shuffle of int64 ids, the same doc-values read every engine pays,
     broadcast when selective)."""
     _require_numeric_column(index, by, "match_stats")
+    text, mode = _expand_pattern_text(index, text, mode)
     arrs, fgroups = _salt_matches_local(index, text, mode, filters)
     if arrs is not None:           # driver-local doc-values path
         n_docs = int(sum(a.size for a in arrs))
@@ -346,6 +373,7 @@ def match_cardinality(index, text: str, by: str = "repo",
         raise ValueError(f"match_cardinality: {by!r} is not a docs "
                          f"metadata column (available: "
                          f"{sorted(doc_cols)})")
+    text, mode = _expand_pattern_text(index, text, mode)
     arrs, fgroups = _salt_matches_local(index, text, mode, filters)
     if arrs is not None:           # driver-local doc-values path
         n_docs = int(sum(a.size for a in arrs))
@@ -398,6 +426,7 @@ def match_percentiles(index, text: str, by: str = "dl",
     any corpus size)."""
     qs = _check_qs(qs)
     _require_numeric_column(index, by, "match_percentiles")
+    text, mode = _expand_pattern_text(index, text, mode)
     empty = {"n_docs": 0, "n_values": 0,
              "percentiles": {q: None for q in qs}}
     arrs, fgroups = _salt_matches_local(index, text, mode, filters)
@@ -599,6 +628,7 @@ def match_ids_local(index, text: str, mode: str = "or",
     selective count/sort is ONE bounded pyarrow read instead of a
     Spark job — same cost model (Σ df · bytes/posting ≤ local_bytes)
     as ``_plan_search``."""
+    text, mode = _expand_pattern_text(index, text, mode)
     arrs, _ = _salt_matches_local(index, text, mode, filters)
     if arrs is None:
         return None
@@ -617,6 +647,7 @@ def match_ids(index, text: str, mode: str = "or",
     gather on the driver: each salt's int64 array becomes Arrow rows
     executor-side, so the result scales with the match set's partition
     spread, not with a driver collect."""
+    text, mode = _expand_pattern_text(index, text, mode)
     if mode not in ("or", "and"):
         raise ValueError(mode)
     fgroups = _compile_filters(index, filters)

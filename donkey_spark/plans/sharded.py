@@ -259,6 +259,52 @@ def _merge_ranked(per_shard: list[list[tuple]],
     return out
 
 
+def _global_expansions(shards, keys: list[tuple], cap: int
+                       ) -> tuple[dict, dict]:
+    """The T23 GLOBAL expansion rule, shared by search_pattern_sharded
+    and the pattern-mode match surfaces: each (kind, base, dist) key's
+    candidate set is the UNCAPPED union of every shard's matches with
+    dfs summed across shards (a term just under one shard's cap can be
+    over it globally), ranked (global df DESC, term ASC) and capped
+    ONCE. Returns ({key: [terms]}, {term: global df}). ONE fanout
+    expands every key per shard — all fuzzy keys share a single
+    dictionary scan inside _expand_candidates_multi, so stats-phase
+    dictionary reads are O(shards), not O(shards · patterns)."""
+    per_shard_cand = _fanout(
+        lambda s: s._expand_candidates_multi(keys), shards)
+    expansions: dict[tuple, list[str]] = {}
+    exp_dfs: dict[str, int] = {}
+    for key in keys:
+        cand: dict[str, int] = {}
+        for shard_cand in per_shard_cand:
+            for t, df in shard_cand[key].items():
+                cand[t] = cand.get(t, 0) + int(df)
+        ranked = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+        expansions[key] = [t for t, _ in ranked]
+        exp_dfs.update(ranked)
+    return expansions, exp_dfs
+
+
+def _expand_pattern_text_sharded(shards, text: str, mode: str
+                                 ) -> tuple[str, str]:
+    """``mode="pattern"`` for the FEDERATED match surfaces — the
+    sharded twin of plans/facet_counts._expand_pattern_text. Expansion
+    follows the global rule above (so the federation admits exactly
+    the docs the unified surface admits), then the surface runs the
+    plain OR query per shard. Any other mode passes through."""
+    if mode != "pattern":
+        return text, mode
+    from ..config import MAX_TERM_EXPANSIONS
+    from ..functions.patterns import parse_pattern_text
+    lit_text, qpats = parse_pattern_text(text)
+    terms = set(tokenize_py(lit_text))
+    expansions, _ = _global_expansions(shards, sorted(set(qpats)),
+                                       MAX_TERM_EXPANSIONS)
+    for key in set(qpats):
+        terms.update(expansions[key])
+    return " ".join(sorted(terms)), "or"
+
+
 def search_pattern_sharded(shards, queries: list[tuple[int, str, int]],
                            filters: dict | None = None,
                            max_expansions: int | None = None
@@ -282,24 +328,7 @@ def search_pattern_sharded(shards, queries: list[tuple[int, str, int]],
         lit_text, qpats = parse_pattern_text(text)
         lit_terms.extend(tokenize_py(lit_text))
         pats.update(qpats)
-    # global candidate sets per pattern: Σ-shard dfs, ranked, capped.
-    # ONE fanout expands every pattern of the batch per shard — all the
-    # batch's fuzzy patterns share a single dictionary scan inside
-    # _expand_candidates_multi, so stats-phase dictionary reads are
-    # O(shards), not O(shards · patterns).
-    keys = sorted(pats)
-    per_shard_cand = _fanout(
-        lambda s: s._expand_candidates_multi(keys), shards)
-    expansions: dict[tuple, list[str]] = {}
-    exp_dfs: dict[str, int] = {}
-    for key in keys:
-        cand: dict[str, int] = {}
-        for shard_cand in per_shard_cand:
-            for t, df in shard_cand[key].items():
-                cand[t] = cand.get(t, 0) + int(df)
-        ranked = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
-        expansions[key] = [t for t, _ in ranked]
-        exp_dfs.update(ranked)
+    expansions, exp_dfs = _global_expansions(shards, sorted(pats), cap)
     stats = global_stats(shards, lit_terms)
     # expansion dfs are already global sums — inject them so no shard
     # re-probes (or worse, ranks) with a local df
@@ -556,6 +585,7 @@ def match_count_sharded(shards, text: str, mode: str = "or",
     crosses the driver, nothing else."""
     if not shards:
         raise ValueError("no shards")
+    text, mode = _expand_pattern_text_sharded(shards, text, mode)
     from .facet_counts import match_count
     return sum(match_count(s, text, mode=mode, filters=filters)
                for s in shards)
@@ -571,6 +601,7 @@ def match_stats_sharded(shards, text: str, by: str = "dl",
     dict per shard crosses the driver, nothing else."""
     if not shards:
         raise ValueError("no shards")
+    text, mode = _expand_pattern_text_sharded(shards, text, mode)
     from .facet_counts import match_stats
     per = _fanout(
         lambda s: match_stats(s, text, by=by, mode=mode,
@@ -604,6 +635,7 @@ def match_cardinality_sharded(shards, text: str, by: str = "repo",
     corpus."""
     if not shards:
         raise ValueError("no shards")
+    text, mode = _expand_pattern_text_sharded(shards, text, mode)
     from pyspark.sql import functions as F
 
     from .facet_counts import match_ids
@@ -641,6 +673,7 @@ def match_docs_sharded(shards, text: str, mode: str = "or",
     from .facet_counts import match_docs
     if not shards:
         raise ValueError("no shards")
+    text, mode = _expand_pattern_text_sharded(shards, text, mode)
     frames = [match_docs(s, text, mode=mode, filters=filters,
                          columns=columns)
               .select(F.lit(i).alias("shard"), "*")
@@ -674,6 +707,7 @@ def match_percentiles_sharded(shards, text: str, by: str = "dl",
     from .sortby import _local_ids_keys
     if not shards:
         raise ValueError("no shards")
+    text, mode = _expand_pattern_text_sharded(shards, text, mode)
     qs = _check_qs(qs)
     for s in shards:
         _require_numeric_column(s, by, "match_percentiles_sharded")
@@ -768,6 +802,7 @@ def sorted_topk_sharded(shards, text: str, by: str = "dl", k: int = 10,
     the dense-id construction."""
     if not shards:
         raise ValueError("no shards")
+    text, mode = _expand_pattern_text_sharded(shards, text, mode)
     from .sortby import sorted_topk
     per_shard = _fanout(
         lambda idx: sorted_topk(idx, text, by=by, k=k,
@@ -799,6 +834,7 @@ def facet_counts_sharded(shards, text: str, facet, mode: str = "or",
     shard-count-independent."""
     if not shards:
         raise ValueError("no shards")
+    text, mode = _expand_pattern_text_sharded(shards, text, mode)
     from pyspark.sql import functions as F
 
     from .facet_counts import facet_counts
@@ -825,6 +861,7 @@ def range_counts_sharded(shards, text: str, facet: str, shift: int,
     merging incompatible levels."""
     if not shards:
         raise ValueError("no shards")
+    text, mode = _expand_pattern_text_sharded(shards, text, mode)
     from pyspark.sql import functions as F
 
     from .facet_counts import range_counts

@@ -27,8 +27,12 @@ def main() -> None:
                     help="parquet of (repo, path, commit) keys to tombstone")
     ap.add_argument("--query", default=None,
                     help="tombstone every doc matching this query")
-    ap.add_argument("--mode", default="or", choices=["or", "and"],
-                    help="with --query: any term (or) / every term (and)")
+    ap.add_argument("--mode", default="or",
+                    choices=["or", "and", "pattern"],
+                    help="with --query: any term (or) / every term "
+                         "(and) / pattern atoms expanded against the "
+                         "dictionary like search (pattern — e.g. "
+                         "delete everything matching /v[0-9]+_tmp/)")
     ap.add_argument("--filter", action="append", default=[],
                     metavar="COL=V[,V...] | COL!=... | COL=LO..HI",
                     help="with --query: restrict the match set — same "

@@ -169,18 +169,20 @@ def main() -> None:
     a = ap.parse_args()
     if not a.query and not a.queries and not a.suggest:
         ap.error("need --query or --queries (or --suggest TERM)")
-    if (a.mode in ("pattern", "bool")
-            and (a.facet_counts or a.snippets or a.phrase)):
+    if (a.mode in ("pattern", "bool") and (a.snippets or a.phrase)) \
+            or (a.mode == "bool" and a.facet_counts):
         # the later elif chains dispatch on those flags first and would
         # feed these modes into surfaces that reject them deep in the
         # stack — refuse the combination at the argparse level instead
-        ap.error(f"--mode {a.mode} composes with --filter only, not "
+        # (--facet-counts DOES take --mode pattern: the match surfaces
+        # expand pattern atoms like search does)
+        ap.error(f"--mode {a.mode} does not compose with "
                  "--facet-counts/--snippets/--phrase")
     if a.export is not None and (
             a.queries or a.phrase or a.facet_counts or a.snippets
             or a.stats or a.percentiles or a.count or a.sort
             or a.offset or a.after or a.boost
-            or a.mode not in ("or", "and")):
+            or a.mode not in ("or", "and", "pattern")):
         # argparse-cheap, before Spark starts (like the checks above)
         ap.error("--export takes a single --query with --mode "
                  "or/and and --filter only")
@@ -337,9 +339,9 @@ def main() -> None:
     if a.sort:
         if (a.queries or a.phrase or a.facet_counts or a.snippets
                 or a.count or a.stats or a.percentiles
-                or a.mode not in ("or", "and")):
-            ap.error("--sort takes a single --query with --mode or/and "
-                     "and --filter only")
+                or a.mode not in ("or", "and", "pattern")):
+            ap.error("--sort takes a single --query with --mode "
+                     "or/and/pattern and --filter only")
         col, _, direction = a.sort.partition(":")
         if direction not in ("", "asc", "desc"):
             ap.error(f"--sort direction must be asc or desc, "
@@ -402,8 +404,8 @@ def main() -> None:
             ap.error("--count takes a single --query (with --mode/"
                      "--filter) and no --phrase/--facet-counts/"
                      "--snippets/--stats")
-        if a.mode not in ("or", "and"):
-            ap.error("--count supports --mode or/and")
+        if a.mode not in ("or", "and", "pattern"):
+            ap.error("--count supports --mode or/and/pattern")
         if a.shards:
             from donkey_spark.plans.sharded import (match_count_sharded,
                                                     open_shards)
@@ -422,8 +424,8 @@ def main() -> None:
             ap.error("--percentiles COL takes a single --query (with "
                      "--mode/--filter) and no other aggregation/"
                      "ranking flag")
-        if a.mode not in ("or", "and"):
-            ap.error("--percentiles supports --mode or/and")
+        if a.mode not in ("or", "and", "pattern"):
+            ap.error("--percentiles supports --mode or/and/pattern")
         col, _, qpart = a.percentiles.partition(":")
         pqs = ([float(x) for x in qpart.split(",")] if qpart
                else (0.25, 0.5, 0.75, 0.95))
@@ -475,8 +477,8 @@ def main() -> None:
                 or a.collapse or a.count or a.shards):
             ap.error("--significant K takes a single --query on "
                      "--index (with --mode/--filter) only")
-        if a.mode not in ("or", "and"):
-            ap.error("--significant supports --mode or/and")
+        if a.mode not in ("or", "and", "pattern"):
+            ap.error("--significant supports --mode or/and/pattern")
         from donkey_spark.plans.sigterms import significant_terms
         for t, fg, bg, s in significant_terms(
                 idx, a.query, k=a.significant, mode=a.mode,
@@ -488,8 +490,8 @@ def main() -> None:
                 or a.stats or a.percentiles or a.collapse):
             ap.error("--cardinality COL takes a single --query (with "
                      "--mode/--filter) only")
-        if a.mode not in ("or", "and"):
-            ap.error("--cardinality supports --mode or/and")
+        if a.mode not in ("or", "and", "pattern"):
+            ap.error("--cardinality supports --mode or/and/pattern")
         if a.shards:
             from donkey_spark.plans.sharded import (
                 match_cardinality_sharded, open_shards)
@@ -508,8 +510,8 @@ def main() -> None:
             ap.error("--stats COL takes a single --query (with "
                      "--mode/--filter) and no --phrase/"
                      "--facet-counts/--snippets")
-        if a.mode not in ("or", "and"):
-            ap.error("--stats supports --mode or/and")
+        if a.mode not in ("or", "and", "pattern"):
+            ap.error("--stats supports --mode or/and/pattern")
         if a.shards:
             from donkey_spark.plans.sharded import (match_stats_sharded,
                                                     open_shards)

@@ -38,22 +38,27 @@ def cli_corpus(tmp_path_factory):
 
 
 def test_cli_pattern_mode_refuses_unsupported_combos():
-    """--mode pattern with --facet-counts/--snippets/--phrase must be
-    an argparse-level error (the dispatch chains check those flags
-    FIRST and would otherwise feed mode="pattern" into surfaces that
-    reject it deep in the stack). The guard sits before Spark starts,
-    so these exits are fast."""
-    for mode, q in (("pattern", "va*"), ("bool", "aa AND bb")):
-        for extra in (["--facet-counts", "lang"], ["--snippets", "/x"],
-                      ["--phrase"]):
-            out = subprocess.run(
-                [sys.executable, "scripts/query.py", "--index", "/nope",
-                 "--query", q, "--mode", mode] + extra,
-                capture_output=True, text=True, cwd=ROOT, timeout=60,
-                env=dict(os.environ, PYTHONPATH=ROOT))
-            assert out.returncode == 2
-            assert (f"--mode {mode} composes with --filter only"
-                    in out.stderr)
+    """--mode pattern/bool with --snippets/--phrase (and --mode bool
+    with --facet-counts — pattern DOES compose with facet counts now
+    that the match surfaces expand patterns) must be an argparse-level
+    error (the dispatch chains check those flags FIRST and would
+    otherwise feed these modes into surfaces that reject them deep in
+    the stack). The guard sits before Spark starts, so these exits are
+    fast."""
+    combos = [("pattern", "va*", ["--snippets", "/x"]),
+              ("pattern", "va*", ["--phrase"]),
+              ("bool", "aa AND bb", ["--snippets", "/x"]),
+              ("bool", "aa AND bb", ["--phrase"]),
+              ("bool", "aa AND bb", ["--facet-counts", "lang"])]
+    for mode, q, extra in combos:
+        out = subprocess.run(
+            [sys.executable, "scripts/query.py", "--index", "/nope",
+             "--query", q, "--mode", mode] + extra,
+            capture_output=True, text=True, cwd=ROOT, timeout=60,
+            env=dict(os.environ, PYTHONPATH=ROOT))
+        assert out.returncode == 2
+        assert (f"--mode {mode} does not compose with"
+                in out.stderr)
 
 
 def test_cli_build_query_delete_roundtrip(cli_corpus):

@@ -407,6 +407,103 @@ def test_mixed_batch_routes_pattern_mode(spark, pat_setup):
     assert gots == wants and gots
 
 
+def test_match_surfaces_pattern_mode(spark, pat_setup):
+    """Every match-set surface accepts mode="pattern" — the
+    grep-then-act shape: expansion identical to search's, then the
+    plain OR kernel. Equivalence oracle: manually resolve the pattern
+    text and run the same surface with mode="or"."""
+    from donkey_spark.plans.facet_counts import (facet_counts,
+                                                 match_count,
+                                                 match_ids_local,
+                                                 match_stats)
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sortby import sorted_topk
+    idx_dir, _, _ = pat_setup
+    idx = Index(spark, idx_dir)
+    text = "/re(turn|ad)/ filter"
+    (_, terms, _), = idx.resolve_pattern_terms([(0, text, 1)])
+    or_text = " ".join(terms)
+    assert len(terms) > 2                 # fixture sanity: real expansion
+    n = match_count(idx, text, mode="pattern")
+    assert n == match_count(idx, or_text, mode="or") > 0
+    import numpy as np
+    got = match_ids_local(idx, text, mode="pattern")
+    want = match_ids_local(idx, or_text, mode="or")
+    assert got is not None and np.array_equal(got, want)
+    assert (match_stats(idx, text, by="dl", mode="pattern")
+            == match_stats(idx, or_text, by="dl", mode="or"))
+    assert (sorted_topk(idx, text, by="dl", k=7, mode="pattern")
+            == sorted_topk(idx, or_text, by="dl", k=7, mode="or"))
+    fc = {(r["value"], r["n_docs"])
+          for r in facet_counts(idx, text, "lang",
+                                mode="pattern").collect()}
+    fw = {(r["value"], r["n_docs"])
+          for r in facet_counts(idx, or_text, "lang",
+                                mode="or").collect()}
+    assert fc == fw and fc
+    # dead pattern + OOV literal: a provably-empty match set, not an error
+    assert match_count(idx, "zzqx* zz_oov", mode="pattern") == 0
+
+
+def test_match_surfaces_pattern_sharded_global_cap(spark, tmp_path,
+                                                   monkeypatch):
+    """Federated pattern-mode match surfaces must expand GLOBALLY (the
+    T23 rule): under a cap of 2, per-shard expansion would admit
+    shard B's aaq_three (locally top-2, globally below the cap) and
+    overcount. The federated count must equal the unified count."""
+    import pandas as pd
+
+    from donkey_spark.plans.build import build_index
+    from donkey_spark.plans.facet_counts import match_count
+    from donkey_spark.plans.query import Index
+    from donkey_spark.plans.sharded import (match_count_sharded,
+                                            match_stats_sharded)
+
+    def corpus(rows, repo):
+        return pd.DataFrame([{
+            "repo": repo, "path": f"f/{i}", "commit": "c" * 40,
+            "lang": "py", "content": txt} for i, txt in enumerate(rows)])
+
+    a = corpus(["aaq_one"] * 5 + ["aaq_two"] * 3 + ["pad token"], "r_a")
+    b = corpus(["aaq_three"] * 4 + ["aaq_two"] * 3 + ["pad token"], "r_b")
+    uni = pd.concat([a, b], ignore_index=True)
+    for name, frame in (("sa", a), ("sb", b), ("uni", uni)):
+        build_index(spark, spark.createDataFrame(frame),
+                    str(tmp_path / name), range_size=64)
+    monkeypatch.setattr("donkey_spark.config.MAX_TERM_EXPANSIONS", 2)
+    uidx = Index(spark, str(tmp_path / "uni"))
+    shards = [Index(spark, str(tmp_path / "sa")),
+              Index(spark, str(tmp_path / "sb"))]
+    want = match_count(uidx, "aaq*", mode="pattern")
+    assert want == 5 + 3 + 3              # one+two docs, never three
+    assert match_count_sharded(shards, "aaq*", mode="pattern") == want
+    s = match_stats_sharded(shards, "aaq*", by="dl", mode="pattern")
+    assert s["n_docs"] == want
+
+
+def test_delete_by_query_pattern(spark, pat_setup, tmp_path):
+    """delete_by_query(mode="pattern") — "tombstone everything
+    matching /re(turn|ad)/" — must tombstone exactly the pattern's
+    match set."""
+    import shutil
+
+    from donkey_spark.fsutil import local_path
+    from donkey_spark.plans.delete import delete_by_query
+    from donkey_spark.plans.facet_counts import match_count
+    from donkey_spark.plans.query import Index
+    idx_dir, _, _ = pat_setup
+    dst = str(tmp_path / "del")
+    shutil.copytree(local_path(idx_dir), dst)
+    before = match_count(Index(spark, dst), "/re(turn|ad)/",
+                         mode="pattern")
+    assert before > 0
+    n = delete_by_query(spark, dst, "/re(turn|ad)/", mode="pattern")
+    assert n == before
+    after = Index(spark, dst)
+    assert match_count(after, "/re(turn|ad)/", mode="pattern") == 0
+    assert after.search_rows_pattern([(0, "/re(turn|ad)/", 5)]) == []
+
+
 def test_explain_search_pattern(spark, pat_setup):
     """mode="pattern" explains the OR rewrite search_rows_pattern would
     run — expansions reported per atom, terms = literal + expanded."""
