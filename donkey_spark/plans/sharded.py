@@ -296,13 +296,15 @@ def _expand_pattern_text_sharded(shards, text: str, mode: str
         return text, mode
     from ..config import MAX_TERM_EXPANSIONS
     from ..functions.patterns import parse_pattern_text
-    lit_text, qpats = parse_pattern_text(text)
-    terms = set(tokenize_py(lit_text))
+    _, qpats = parse_pattern_text(text)
     expansions, _ = _global_expansions(shards, sorted(set(qpats)),
                                        MAX_TERM_EXPANSIONS)
-    for key in set(qpats):
-        terms.update(expansions[key])
-    return " ".join(sorted(terms)), "or"
+    # the literal∪expansion rewrite itself is resolve_pattern_terms'
+    # (handed the GLOBAL lists) — one copy, shared with the unified
+    # path, so the two rewrites can never drift
+    (_, terms, _), = shards[0].resolve_pattern_terms(
+        [(0, text, 1)], expansions=expansions)
+    return " ".join(terms), "or"
 
 
 def search_pattern_sharded(shards, queries: list[tuple[int, str, int]],

@@ -67,10 +67,16 @@ def significant_terms(index, text: str, k: int = 20, mode: str = "or",
     are trivially significant; ES keeps them, so the default does
     too)."""
     from ..functions.tokenize import tokenize_py
-    from .facet_counts import match_count, match_ids
+    from .facet_counts import (_expand_pattern_text, match_count,
+                               match_ids)
     if k <= 0 or min_fg < 1:
         raise ValueError("significant_terms: k must be > 0 and "
                          "min_fg >= 1")
+    # rewrite pattern atoms ONCE here (idempotent for the nested
+    # match_count/match_ids calls) so include_query_terms=False
+    # excludes the EXPANDED query terms, not tokens of the raw
+    # pattern text
+    text, mode = _expand_pattern_text(index, text, mode)
     n_fg = match_count(index, text, mode=mode, filters=filters)
     if n_fg == 0:
         return []

@@ -185,7 +185,7 @@ def main() -> None:
             or a.mode not in ("or", "and", "pattern")):
         # argparse-cheap, before Spark starts (like the checks above)
         ap.error("--export takes a single --query with --mode "
-                 "or/and and --filter only")
+                 "or/and/pattern and --filter only")
     if a.boost and (a.phrase or a.facet_counts or a.snippets or a.count
                     or a.stats or a.percentiles or a.sort or a.offset
                     or a.after or a.mode not in ("or", "and")):
@@ -194,6 +194,16 @@ def main() -> None:
         # before Spark starts)
         ap.error("--boost composes with --mode or/and, --filter and "
                  "--queries only")
+    if a.max_expansions is not None and (
+            a.facet_counts or a.count or a.stats or a.percentiles
+            or a.cardinality or a.significant is not None or a.sort
+            or a.export is not None):
+        # the match surfaces expand at the config default cap; the
+        # per-query cap applies to ranked pattern SEARCH only — refuse
+        # rather than silently compute at a different cap than asked
+        ap.error("--max-expansions applies to ranked --mode pattern "
+                 "search only (match surfaces expand at the "
+                 "config.MAX_TERM_EXPANSIONS default)")
     if a.min_match is not None and (
             a.phrase or a.facet_counts or a.snippets or a.count
             or a.stats or a.percentiles or a.cardinality or a.sort
@@ -228,14 +238,14 @@ def main() -> None:
             or a.stats or a.percentiles or a.cardinality or a.collapse
             or a.sort or a.offset or a.after or a.boost
             or a.export is not None or a.shards or a.queries
-            or a.mode not in ("or", "and")):
+            or a.mode not in ("or", "and", "pattern")):
         ap.error("--significant K takes a single --query on --index "
                  "(with --mode/--filter) only")
     if a.cardinality and (
             a.phrase or a.facet_counts or a.snippets or a.count
             or a.stats or a.percentiles or a.collapse or a.sort
             or a.offset or a.after or a.boost or a.export is not None
-            or a.queries or a.mode not in ("or", "and")):
+            or a.queries or a.mode not in ("or", "and", "pattern")):
         ap.error("--cardinality COL takes a single --query (with "
                  "--mode/--filter) only")
 

@@ -110,3 +110,21 @@ def test_sigterms_filters_and_tombstones(spark, sig_setup, tmp_path):
     want2 = _rows(_brute_sig(oracle, len(ordered), qterms, 10,
                              keep=keep))
     assert _rows(st.significant_terms(idx2, text, k=10)) == want2
+
+
+def test_sigterms_pattern_mode_excludes_expanded_terms(spark, sig_setup):
+    """mode="pattern": the match set is the expansion's OR match set,
+    and include_query_terms=False excludes the EXPANDED terms (return,
+    read, ...), never tokens of the raw pattern text (re/turn/ad)."""
+    import donkey_spark.plans.sigterms as st
+    from donkey_spark.plans.query import Index
+    _, out, _, _ = sig_setup
+    idx = Index(spark, out)
+    text = "/re(turn|ad)/"
+    (_, terms, _), = idx.resolve_pattern_terms([(0, text, 1)])
+    assert "return" in terms and len(terms) >= 2
+    want = st.significant_terms(idx, " ".join(terms), k=12)
+    assert st.significant_terms(idx, text, k=12, mode="pattern") == want
+    got_x = st.significant_terms(idx, text, k=12, mode="pattern",
+                                 include_query_terms=False)
+    assert got_x and not ({t for t, *_ in got_x} & set(terms))
