@@ -28,8 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented ◇ operator from SURVEY.md §2 (101 since
-    r5-final — the late-r5 additions: regexp term patterns (`/body/`
+    """One entry per implemented ◇ operator from SURVEY.md §2 (103 since
+    r5-final — the late-r5 additions: synonym queries (the Lucene
+    SynonymQuery blend: summed member tf under the max-member-df idf,
+    unified AND federated — the oracle computes the group arithmetic
+    from first principles), regexp term patterns (`/body/`
     whole-term atoms under a portable RE2/RLIKE/DuckDB-agreeing
     grammar, unified AND federated — the oracle re-derives the
     expansion with regexp_matches), pattern-mode match surfaces

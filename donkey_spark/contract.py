@@ -144,6 +144,29 @@ BM25_REGEXP_QUERIES: list[tuple[int, str, int]] = [
 ]
 REGEXP_EXPANSION_CAP = 3
 
+#: synonym query set (§2.14 T44 — the Lucene SynonymQuery construct):
+#: a token with a map entry scores as ONE blended clause over
+#: {token} ∪ synonyms (summed tf under the max-member-df idf). The map
+#: exercises a reordering 2-member group, a 3-member group, an OOV
+#: member (drops from its group), an unused head, and a reciprocal
+#: pair (join→merge AND merge→join — each query groups under ITS
+#: head); `window` / `scan` / `sort` / `filter` stay plain clauses.
+BM25_SYN_QUERIES: list[tuple[int, str, int]] = [
+    (0, "join filter", 10),
+    (1, "table scan", 10),
+    (2, "stream window", 10),
+    (3, "key vector", 10),
+    (4, "merge sort", 10),
+]
+SYNONYMS_MAP: dict[str, list[str]] = {
+    "join": ["merge"],
+    "table": ["row", "column"],
+    "stream": ["batch", "zz_oov_syn"],
+    "zz_oov_head": ["spark"],
+    "key": ["value"],
+    "merge": ["join"],
+}
+
 #: pattern-mode MATCH-SET query set (§2.14 T43×T27 — the grep-then-act
 #: shape: count/export/delete "everything matching a pattern"). Mixes
 #: every pattern kind; the last query's pattern matches nothing and
@@ -1870,6 +1893,103 @@ def q_match_counts(spark, sf_dir):
             for qid, text, _k in BM25_QUERIES]
     return spark.createDataFrame(
         rows, "query_id int, mode string, n_matches long")
+
+
+def q_bm25_topk_synonyms(spark, sf_dir):
+    """§2.14 T44 — synonym queries (the Lucene SynonymQuery construct):
+    a query token with a SYNONYMS_MAP entry scores as ONE blended
+    clause over {token} ∪ synonyms — per doc the members' tfs SUM
+    before the BM25 saturation (kernels/wand.SynGroup), under one idf
+    from the MAX member df (Lucene's docFreq blend) — never as
+    independent per-term clauses. The DuckDB twin computes the same
+    group arithmetic from first principles: summed tf per (doc,
+    group), max df per group, one saturation per group."""
+    from .plans.query import Index
+    idx = Index(spark, contract_index_dir(spark, sf_dir))
+    return _rank_rows(spark, idx.search_rows(BM25_SYN_QUERIES,
+                                             synonyms=SYNONYMS_MAP))
+
+
+def q_bm25_topk_synonyms_sharded(spark, sf_dir):
+    """§2.14 T44+T21 — synonym queries over the FEDERATION: members
+    join the global stats probe, so every shard's blended group idf
+    comes from the SAME Σ-shard max-member df a unified index uses;
+    compared against the SAME unified synonyms oracle,
+    key-identified."""
+    from .plans.query import Index
+    from .plans.sharded import search_rows_sharded
+    shards = [Index(spark, d) for d in contract_shard_dirs(spark, sf_dir)]
+    rows = search_rows_sharded(shards, BM25_SYN_QUERIES,
+                               synonyms=SYNONYMS_MAP)
+    return _rank_sharded_rows(spark, rows)
+
+
+def _synonyms_oracle_sql(queries, synonyms) -> str:
+    """The SynonymQuery twin: qset carries a GROUP column (plain term →
+    its own group; a mapped token → one group row per member), then
+    per (doc, query, group) the member tfs SUM, the group df is the
+    MAX member df, and ONE BM25 saturation applies per group — the
+    uniform arithmetic that reduces to the flagship oracle's when
+    every group is a singleton."""
+    from .functions.tokenize import tokenize_py
+    from .plans.query import _normalize_synonyms
+    syn_map = _normalize_synonyms(synonyms, "or", None)
+    rows = []
+    for qid, text, k in queries:
+        for t in sorted(set(tokenize_py(text))):
+            for m in syn_map.get(t, [t]):
+                rows.append(f"({qid}, '{t}', '{m}', {k})")
+    vals = ",\n  ".join(rows)
+    return f"""
+WITH ordered AS (
+  {_ORDERED_SQL}
+), toks AS (
+  SELECT d, unnest({_TOKS_SQL}) AS term FROM ordered
+), dt AS (
+  SELECT d, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dl2 AS (
+  SELECT d, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM ordered) AS n,
+         (SELECT COALESCE(sum(dl), 0)::DOUBLE
+                 / (SELECT count(*) FROM ordered) FROM dl2) AS avgdl
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1
+), qset(query_id, grp, term, k) AS (VALUES
+  {vals}
+), gdf AS (
+  SELECT q.query_id, q.grp, max(f.df) AS df
+  FROM (SELECT DISTINCT query_id, grp, term FROM qset) q
+  JOIN dfreq f ON f.term = q.term
+  GROUP BY 1, 2
+), gtf AS (
+  SELECT q.query_id, q.grp, dt.d, sum(dt.tf)::BIGINT AS tf,
+         max(q.k) AS k
+  FROM (SELECT DISTINCT query_id, grp, term, k FROM qset) q
+  JOIN dt ON dt.term = q.term
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT gtf.query_id, gtf.k, gtf.d AS doc_id,
+         sum( ln(1 + (s.n - g.df + 0.5) / (g.df + 0.5))
+              * gtf.tf * 2.2
+              / (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl2.dl / s.avgdl)) )
+         AS score
+  FROM gtf JOIN gdf g ON g.query_id = gtf.query_id AND g.grp = gtf.grp
+  JOIN dl2 ON dl2.d = gtf.d, stats s
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT scored.query_id, scored.doc_id,
+         ROUND(scored.score, 6) AS score,
+         row_number() OVER (PARTITION BY scored.query_id
+                            ORDER BY ROUND(scored.score, 6) DESC,
+                                     scored.doc_id ASC)
+         AS rank, scored.k
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id, score
+FROM ranked
+WHERE rank <= k
+"""
 
 
 def q_match_counts_pattern(spark, sf_dir):
@@ -3678,6 +3798,10 @@ SELECT 2::INTEGER AS n_epochs,
     "bm25_topk_range_backfill": _BM25_RANGE_ORACLE,
     "match_counts": _match_counts_oracle_sql(),
     "match_counts_pattern": _match_counts_pattern_oracle_sql(),
+    "bm25_topk_synonyms": _synonyms_oracle_sql(BM25_SYN_QUERIES,
+                                               SYNONYMS_MAP),
+    "bm25_topk_synonyms_sharded": _sharded_wrap(
+        _synonyms_oracle_sql(BM25_SYN_QUERIES, SYNONYMS_MAP)),
     "match_cardinality": _match_cardinality_oracle_sql(),
     "significant_terms": _significant_terms_oracle_sql(),
     "bm25_topk_rescored": _rescore_oracle_sql(),
@@ -3900,6 +4024,8 @@ QUERIES = {
     "bm25_topk_range_backfill": q_bm25_topk_range_backfill,
     "match_counts": q_match_counts,
     "match_counts_pattern": q_match_counts_pattern,
+    "bm25_topk_synonyms": q_bm25_topk_synonyms,
+    "bm25_topk_synonyms_sharded": q_bm25_topk_synonyms_sharded,
     "match_cardinality": q_match_cardinality,
     "significant_terms": q_significant_terms,
     "bm25_topk_rescored": q_bm25_topk_rescored,

@@ -53,6 +53,77 @@ class TermBlocks:
         self.ub = self.pot_idf * max(b["block_max_tfpart"] for b in blocks)
 
 
+class SynGroup:
+    """A Lucene-SynonymQuery group [Robertson & Zaragoza 2009 §3.4's
+    blended-term treatment; Lucene SynonymQuery]: the members' postings
+    score as ONE pseudo-term — per doc, member tfs SUM before the BM25
+    saturation, under one shared idf (the caller derives it from the
+    max member df, Lucene's docFreq blend). ``ub`` uses
+    tf_part(Σtf) ≤ Σ member block maxima (tf_part is concave in tf
+    with f(0)=0 at fixed dl ⇒ subadditive), a safe if looser bound:
+    group entries participate in the kernel's entry ordering and
+    suffix bounds, and PLAIN terms in the same query keep their full
+    block-level θ skipping, but a group's own blocks always decode
+    (member doc ranges overlap, so per-block skip tests would need
+    cross-member bounds — not worth it for the human-curated handful
+    of synonyms per query)."""
+
+    __slots__ = ("idf", "members", "ub", "pot_idf")
+
+    def __init__(self, idf: float, members: list[list[dict]],
+                 pot_scale: float = 1.0):
+        # members: one block-list per member term (same dicts
+        # TermBlocks takes)
+        self.idf = float(idf)
+        self.pot_idf = self.idf * float(pot_scale)
+        self.members = members
+        self.ub = self.pot_idf * sum(
+            max(b["block_max_tfpart"] for b in blocks)
+            for blocks in members)
+
+
+def _decode_group(members: list[list[dict]], avgdl: float,
+                  cache: dict | None):
+    """(unique doc_ids, tf_part of the SUMMED tf) across a group's
+    member block lists — the SynonymQuery accumulation. Raw
+    (ids, tf, dl) triples cache under ("raw", id(block)) so they never
+    collide with _decode_parts' (ids, part) entries; a block touched
+    by both a group and a plain term decodes at most twice per salt,
+    never per query."""
+    ids_l, tf_l, dl_l = [], [], []
+    for blocks in members:
+        if cache is None:
+            i, t, d = decode_term_blocks(blocks,
+                                         blocks[0].get("codec", "varint"))
+        else:
+            missing = [b for b in blocks if ("raw", id(b)) not in cache]
+            if missing:
+                mi, mt, md = decode_term_blocks(
+                    missing, missing[0].get("codec", "varint"))
+                off = 0
+                for b in missing:
+                    n = int(b["n_docs"])
+                    cache[("raw", id(b))] = (mi[off:off + n],
+                                             mt[off:off + n],
+                                             md[off:off + n])
+                    off += n
+            chunks = [cache[("raw", id(b))] for b in blocks]
+            i = np.concatenate([c[0] for c in chunks])
+            t = np.concatenate([c[1] for c in chunks])
+            d = np.concatenate([c[2] for c in chunks])
+        ids_l.append(i)
+        tf_l.append(t)
+        dl_l.append(d)
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tf_l)
+    dls = np.concatenate(dl_l)
+    o = np.argsort(ids, kind="stable")
+    ids, tfs, dls = ids[o], tfs[o], dls[o]
+    starts = np.r_[0, np.flatnonzero(np.diff(ids)) + 1]
+    return ids[starts], tf_part(np.add.reduceat(tfs, starts),
+                                dls[starts], avgdl)
+
+
 def _decode_parts(keep: list[dict], codec: str, avgdl: float,
                   cache: dict | None):
     """(doc_ids, tf_part) for a kept block list.
@@ -169,6 +240,25 @@ def score_range_topk(base: int, size: int,
     theta = 0.0
     for i, t in enumerate(order):
         rem = suffix[i]
+        if isinstance(t, SynGroup):
+            # synonym group: summed-tf accumulation under one idf; no
+            # per-block skipping (see SynGroup) — θ and the suffix
+            # bounds still order and bound the entry itself
+            ids, part = _decode_group(t.members, avgdl, cache)
+            acc[ids - base] += t.idf * part
+            if mask is not None:
+                np.multiply(acc, mask, out=acc)
+            elif dead is not None and dead.size:
+                acc[dead] = 0.0
+            if stats is not None:
+                stats["blocks_decoded"] = (
+                    stats.get("blocks_decoded", 0)
+                    + sum(len(m) for m in t.members))
+                stats["postings_scored"] = (
+                    stats.get("postings_scored", 0) + ids.size)
+            if cursor is None and np.count_nonzero(acc) >= k:
+                theta = np.partition(acc, acc.size - k)[acc.size - k]
+            continue
         # Same-term blocks cover DISJOINT ascending doc ranges, so the
         # skip test for every block depends only on acc as of the term's
         # start — decide all skips first, then batch-decode the keepers

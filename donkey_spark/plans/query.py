@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize_py
 from ..kernels.bm25 import idf as bm25_idf
-from ..kernels.wand import (TermBlocks, score_range_topk,
+from ..kernels.wand import (SynGroup, TermBlocks, score_range_topk,
                             score_range_topk_and, score_range_topk_msm)
 from ..operators.postings import term_bucket_py
 
@@ -91,10 +91,43 @@ def _eval_bool_mask(tree, by_term, base, size, avgdl, cache):
     return m
 
 
+def _normalize_synonyms(synonyms, mode, min_match) -> dict | None:
+    """Validate and tokenize a ``synonyms`` map ({term: syn | [syns]})
+    into {head token: sorted member tokens incl. the head}. Synonym
+    scoring is a disjunctive-clause construct (Lucene SynonymQuery):
+    mode="or" only, and it does not compose with min_match (a group is
+    ONE clause; the counting kernel counts terms)."""
+    if not synonyms:
+        return None
+    if mode != "or":
+        raise ValueError(
+            f"synonyms apply to mode='or' only, got mode={mode!r}")
+    if min_match:
+        raise ValueError("synonyms do not compose with min_match")
+    syn_map: dict[str, list[str]] = {}
+    for head, syns in synonyms.items():
+        h = tokenize_py(str(head))
+        if len(h) != 1:
+            raise ValueError(
+                f"synonym head {head!r} must normalize to one token, "
+                f"got {h}")
+        mems = {h[0]}
+        for s in ([syns] if isinstance(syns, str) else syns):
+            st = tokenize_py(str(s))
+            if len(st) != 1:
+                raise ValueError(
+                    f"synonym {s!r} for {head!r} must normalize to "
+                    f"one token, got {st}")
+            mems.add(st[0])
+        syn_map[h[0]] = sorted(mems)
+    return syn_map
+
+
 def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                        tombstones=None, required_groups=None,
                        pot_scale: float = 1.0, bool_trees=None,
-                       cursors=None, boosts=None, min_match=None):
+                       cursors=None, boosts=None, min_match=None,
+                       syn_groups=None):
     """(salt, by_term) -> (qids, doc_ids, scores) — the per-doc-range
     scoring core, shared verbatim by the distributed (mapInArrow) and
     driver-local (pyarrow) paths: identical kernels, identical results.
@@ -176,6 +209,16 @@ def _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
             tbs = [TermBlocks(idf_map[t] * (bw.get(t, 1.0) if bw else 1.0),
                               by_term[t], pot_scale)
                    for t in terms if t in by_term]
+            if syn_groups:
+                # synonym groups (mode "or" only — _plan_search
+                # enforces): one SynGroup per clause, members with
+                # postings in this range; a boost on the HEAD token
+                # scales the group's blended idf like any term boost
+                for idf_g, members, head in syn_groups.get(qid, ()):
+                    pres = [by_term[m] for m in members if m in by_term]
+                    if pres:
+                        w = bw.get(head, 1.0) if bw else 1.0
+                        tbs.append(SynGroup(idf_g * w, pres, pot_scale))
             if not tbs:
                 continue
             cur = cursors.get(qid) if cursors else None
@@ -317,14 +360,16 @@ def _score_block_table(tbl, score_group, codec: str, avgdl: float,
 def _make_arrow_scorer(qplan, idf_map, mode, base_mult, codec, avgdl,
                        tombstones=None, required_groups=None,
                        pot_scale: float = 1.0, bool_trees=None,
-                       cursors=None, boosts=None, min_match=None):
+                       cursors=None, boosts=None, min_match=None,
+                       syn_groups=None):
     """mapInArrow partition function for the distributed path: each
     partition holds complete salts (repartition("salt") upstream), blobs
     stay Arrow buffers end to end — no pandas object conversion of
     posting blobs (measured ~4.5 s of a 50-query batch at local[2])."""
     score_group = _make_group_scorer(qplan, idf_map, mode, base_mult, avgdl,
                                      tombstones, required_groups, pot_scale,
-                                     bool_trees, cursors, boosts, min_match)
+                                     bool_trees, cursors, boosts, min_match,
+                                     syn_groups)
     prefill = len(qplan) >= _PRECOMPUTE_MIN_QUERIES
 
     def score_arrow(batches):
@@ -565,7 +610,8 @@ class Index:
                      filters: dict | None = None,
                      stats: dict | None = None,
                      bool_trees: dict | None = None,
-                     min_match: dict | None = None) -> dict | None:
+                     min_match: dict | None = None,
+                     synonyms: dict | None = None) -> dict | None:
         """The shared planning pass: parse → dictionary probe → facet
         resolution → per-query term plans → bucket pruning → the
         local-vs-distributed cost decision. Returns None when the plan
@@ -596,6 +642,7 @@ class Index:
         if stats is not None and not {"n_docs", "avgdl", "dfs"} <= set(stats):
             raise ValueError(
                 "stats override needs n_docs, avgdl and dfs keys")
+        syn_map = _normalize_synonyms(synonyms, mode, min_match)
         facet_groups: list[tuple[str, list[str]]] = []
         if filters:
             # one shared compilation (equality tags + range trie
@@ -619,8 +666,14 @@ class Index:
                                               set, frozenset))
                             else sorted(set(tokenize_py(q))), k)
                       for qid, q, k in queries}
+        syn_members: set[str] = set()
+        if syn_map:
+            for ts, _ in parsed.values():
+                for t in ts:
+                    if t in syn_map:
+                        syn_members.update(syn_map[t])
         all_terms = sorted({t for ts, _ in parsed.values() for t in ts}
-                           | set(facet_terms))
+                           | set(facet_terms) | syn_members)
         dfs = self._lookup_terms(all_terms)
         if any(kind == "any" and all(t not in dfs for t in g)
                for kind, g in facet_groups):
@@ -651,10 +704,43 @@ class Index:
                        if t in idf_map], k)
                      for qid, (ts, k) in parsed.items()]
         else:
-            qplan = [(qid, [t for t in ts if t in idf_map], k)
+            # a term heading a synonym group scores through its GROUP
+            # (summed tf under the blended idf), never also as a plain
+            # term; other tokens are independent clauses as ever
+            qplan = [(qid, [t for t in ts
+                            if t in idf_map
+                            and not (syn_map and t in syn_map)], k)
                      for qid, (ts, k) in parsed.items()
                      if mode == "or" or all(t in idf_map for t in ts)]
-        qplan = [q for q in qplan if q[1]]
+        syn_groups = None
+        if syn_map:
+            # per query: one SynonymQuery group per syn_map'd token —
+            # live members only; idf from the MAX live-member df
+            # (Lucene's docFreq blend), global dfs under a stats
+            # override exactly like plain terms
+            syn_groups = {}
+            for qid, (ts, k) in parsed.items():
+                gs = []
+                for t in ts:
+                    mems = syn_map.get(t)
+                    if not mems:
+                        continue
+                    # liveness is GLOBAL under a stats override: a
+                    # member absent from this shard's dictionary but
+                    # live elsewhere still sets the blended idf (the
+                    # unified index would see it), it just has no
+                    # postings to decode here
+                    live = [m for m in mems if m in dfs or m in sdfs]
+                    if not live:
+                        continue   # whole clause OOV — drops like one
+                    df_g = max(int(sdfs.get(m, dfs.get(m, 0)))
+                               for m in live)
+                    gs.append((float(bm25_idf(n_eff, df_g)), live, t))
+                if gs:
+                    syn_groups[qid] = gs
+            syn_groups = syn_groups or None
+        qplan = [q for q in qplan
+                 if q[1] or (syn_groups and syn_groups.get(q[0]))]
         if min_match:
             # minimum_should_match counts DISTINCT query terms present
             # in a doc; out-of-dictionary terms can never contribute, so
@@ -676,6 +762,17 @@ class Index:
                           for qid, _, _ in qplan}
         else:
             work_terms = {qid: ts for qid, ts, _ in qplan}
+        if syn_groups:
+            # group members' postings are scanned and decoded like any
+            # scored term — the cost model and fetch set must price them
+            for qid, gs in syn_groups.items():
+                if qid in work_terms:
+                    # locally-present members only: globally-live ones
+                    # without postings here cost (and fetch) nothing
+                    work_terms[qid] = sorted(
+                        set(work_terms[qid])
+                        | {m for _, live, _ in gs for m in live
+                           if m in dfs})
         needed = sorted({t for ts in work_terms.values() for t in ts}
                         | set(facet_terms))
         buckets = sorted({term_bucket_py(t, self.n_buckets)
@@ -704,6 +801,7 @@ class Index:
                 "required": required, "facet_terms": facet_terms,
                 "est_work": est_work, "use_local": use_local,
                 "parsed": parsed, "avgdl": avgdl_eff,
+                "syn_groups": syn_groups,
                 "trees": ({qid: bool_trees[qid] for qid, _, _ in qplan}
                           if mode == "bool" else None),
                 "pot_scale": (max(1.0, avgdl_eff / min_wavg)
@@ -862,7 +960,8 @@ class Index:
                     bool_trees: dict | None = None,
                     cursors: dict | None = None,
                     boosts: dict | None = None,
-                    min_match: int | dict | None = None) -> list[tuple]:
+                    min_match: int | dict | None = None,
+                    synonyms: dict | None = None) -> list[tuple]:
         """queries: [(query_id, text, k)] -> fully-materialized result rows
         [(query_id, rank, doc_id, score, repo, path)] sorted by
         (query_id, rank) — the serving-layer surface (donkey's Hits
@@ -904,19 +1003,34 @@ class Index:
         query's term count reproduces mode="and"'s results; m above the
         query's in-dictionary term count is provably empty (an
         out-of-dictionary term can never be matched). Composes with
-        ``filters``, ``boosts``, tombstones and cursors."""
+        ``filters``, ``boosts``, tombstones and cursors.
+
+        synonyms={"list": ["array", "vec"]} (mode="or" only — the
+        Lucene SynonymQuery construct): a query token with a map entry
+        scores as ONE blended clause over {token} ∪ synonyms — per
+        doc the members' tfs SUM before the BM25 saturation, under one
+        idf from the MAX member df (Lucene's docFreq blend) — instead
+        of as independent per-term clauses; other tokens are
+        unaffected, and a token that is only a VALUE in the map (not a
+        key) still scores alone. Members absent from the dictionary
+        drop from the group; a group with every member OOV drops like
+        an OOV term. A boost on the head token (``list^2``) scales the
+        group's blended idf. Does not compose with ``min_match`` (a
+        group is one clause; the counting kernel counts terms)."""
         from ..functions.boosts import validate_boosts
         validate_boosts(boosts, "search_rows")
         min_match = _validate_min_match(min_match, queries, mode)
         plan = self._plan_search(queries, mode, filters, stats,
                                  bool_trees=bool_trees,
-                                 min_match=min_match)
+                                 min_match=min_match,
+                                 synonyms=synonyms)
         if plan is None:
             return []
         qplan, idf_map, dfs = plan["qplan"], plan["idf_map"], plan["dfs"]
         needed, buckets = plan["needed"], plan["buckets"]
         required, use_local = plan["required"], plan["use_local"]
         avgdl, pot_scale = plan["avgdl"], plan["pot_scale"]
+        syn_groups = plan["syn_groups"]
         spark = self.spark
 
         if use_local:
@@ -928,7 +1042,8 @@ class Index:
                                         self.range_size, avgdl,
                                         self._tombstones, required,
                                         pot_scale, plan["trees"],
-                                        cursors, boosts, min_match)
+                                        cursors, boosts, min_match,
+                                        syn_groups)
             cand = self._local_candidates(
                 needed, buckets, scorer,
                 prefill=len(qplan) >= _PRECOMPUTE_MIN_QUERIES,
@@ -939,7 +1054,8 @@ class Index:
                                              avgdl,
                                              self._tombstones_bc, required,
                                              pot_scale, plan["trees"],
-                                             cursors, boosts, min_match)
+                                             cursors, boosts, min_match,
+                                             syn_groups)
             seg = (self._seg
                    .where(F.col("bucket").isin(buckets)      # dir prune
                           & F.col("term").isin(needed))
@@ -1008,11 +1124,12 @@ class Index:
     def search_batch(self, queries: list[tuple[int, str, int]],
                      mode: str = "or",
                      filters: dict | None = None,
-                     min_match: int | dict | None = None) -> DataFrame:
+                     min_match: int | dict | None = None,
+                     synonyms: dict | None = None) -> DataFrame:
         """DataFrame wrapper over search_rows (same columns/ordering)."""
         return self.spark.createDataFrame(
             self.search_rows(queries, mode, filters=filters,
-                             min_match=min_match),
+                             min_match=min_match, synonyms=synonyms),
             _RESULT_SCHEMA)
 
     def search_rows_bool(self, queries: list[tuple[int, str, int]],

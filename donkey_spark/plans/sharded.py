@@ -102,7 +102,8 @@ def global_stats(shards, terms) -> dict:
 def search_rows_sharded(shards, queries: list[tuple[int, str, int]],
                         mode: str = "or",
                         filters: dict | None = None,
-                        min_match: int | dict | None = None
+                        min_match: int | dict | None = None,
+                        synonyms: dict | None = None
                         ) -> list[tuple]:
     """Top-k over the federation: [(query_id, rank, shard, doc_id,
     score, repo, path)] sorted by (query_id, rank). ``shards`` is a
@@ -112,13 +113,24 @@ def search_rows_sharded(shards, queries: list[tuple[int, str, int]],
     (Index.search_rows' minimum_should_match knob) federates exactly
     with no extra phase: a doc lives in ONE shard and can only contain
     terms present in that shard's dictionary, so its matched-term
-    count is shard-local by construction."""
+    count is shard-local by construction. ``synonyms``
+    (Index.search_rows' Lucene-SynonymQuery map) federates by adding
+    every member term to the global stats probe, so each shard's
+    blended group idf comes from the SAME Σ-shard dfs a unified index
+    would use."""
+    from .query import _normalize_synonyms
+    syn_map = _normalize_synonyms(synonyms, mode, None)
     terms = [t for _, text, _ in queries for t in tokenize_py(text)]
+    if syn_map:
+        heads = [t for t in terms if t in syn_map]   # snapshot: never
+        terms.extend(m for t in heads                # extend the list
+                     for m in syn_map[t])            # being iterated
     stats = global_stats(shards, terms)
     per_shard = _fanout(
         lambda idx: idx.search_rows(queries, mode=mode,
                                     filters=filters, stats=stats,
-                                    min_match=min_match),
+                                    min_match=min_match,
+                                    synonyms=synonyms),
         shards)
     return _merge_ranked(per_shard, {qid: k for qid, _, k in queries})
 
@@ -378,11 +390,12 @@ def open_shards(spark, index_dirs: list[str], **index_opts) -> list:
 def search_sharded(spark, index_dirs: list[str],
                    queries: list[tuple[int, str, int]],
                    mode: str = "or", filters: dict | None = None,
-                   min_match: int | dict | None = None):
+                   min_match: int | dict | None = None,
+                   synonyms: dict | None = None):
     """DataFrame form of ``search_rows_sharded`` over shard dirs."""
     rows = search_rows_sharded(open_shards(spark, index_dirs), queries,
                                mode=mode, filters=filters,
-                               min_match=min_match)
+                               min_match=min_match, synonyms=synonyms)
     return spark.createDataFrame(rows, RESULT_SCHEMA)
 
 

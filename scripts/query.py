@@ -75,6 +75,15 @@ def main() -> None:
                          "that term's BM25 contribution is multiplied "
                          "by W; works on --index and --shards with "
                          "--mode or/and, --filter and --queries")
+    ap.add_argument("--synonym", action="append", default=[],
+                    metavar="HEAD=S1[,S2...]",
+                    help="query-time synonym group (repeatable; the "
+                         "Lucene SynonymQuery construct): a query "
+                         "token equal to HEAD scores as ONE blended "
+                         "clause over {HEAD, S1, ...} — member tfs sum "
+                         "before the BM25 saturation under one idf "
+                         "from the max member df; ranked --mode or "
+                         "search only, on --index and --shards")
     ap.add_argument("--suggest", default=None, metavar="TERM",
                     help="print did-you-mean suggestions for TERM "
                          "(top -k by distance then df) instead of "
@@ -204,6 +213,16 @@ def main() -> None:
         ap.error("--max-expansions applies to ranked --mode pattern "
                  "search only (match surfaces expand at the "
                  "config.MAX_TERM_EXPANSIONS default)")
+    if a.synonym and (
+            a.phrase or a.facet_counts or a.snippets or a.count
+            or a.stats or a.percentiles or a.cardinality or a.collapse
+            or a.significant is not None or a.sort or a.offset
+            or a.after or a.boost or a.export is not None
+            or a.rescore or a.min_match is not None or a.mode != "or"):
+        # same pre-Spark rule as --boost/--min-match: later dispatch
+        # branches would silently drop the groups
+        ap.error("--synonym composes with ranked --mode or search "
+                 "(--query/--queries, --filter) only")
     if a.min_match is not None and (
             a.phrase or a.facet_counts or a.snippets or a.count
             or a.stats or a.percentiles or a.cardinality or a.sort
@@ -248,6 +267,16 @@ def main() -> None:
             or a.queries or a.mode not in ("or", "and", "pattern")):
         ap.error("--cardinality COL takes a single --query (with "
                  "--mode/--filter) only")
+
+    synonyms = None
+    if a.synonym:
+        synonyms = {}
+        for spec in a.synonym:
+            head, sep, vals = spec.partition("=")
+            if not sep or not head or not vals:
+                ap.error(f"--synonym spec {spec!r} must be "
+                         f"HEAD=S1[,S2...]")
+            synonyms[head] = vals.split(",")
 
     from pyspark.sql import SparkSession
     from donkey_spark.plans.query import Index
@@ -593,7 +622,8 @@ def main() -> None:
         else:
             res = search_sharded(spark, a.shards.split(","), batch,
                                  mode=a.mode, filters=filters,
-                                 min_match=a.min_match)
+                                 min_match=a.min_match,
+                                 synonyms=synonyms)
     elif a.facet_counts:
         if a.phrase or a.queries:
             ap.error("--facet-counts takes a single --query "
@@ -638,7 +668,8 @@ def main() -> None:
             _RESULT_SCHEMA)
     else:
         res = idx.search_batch(batch, mode=a.mode, filters=filters,
-                               min_match=a.min_match)
+                               min_match=a.min_match,
+                               synonyms=synonyms)
     if a.out:
         res.write.mode("overwrite").parquet(a.out)
     else:
