@@ -63,10 +63,13 @@ class SynGroup:
     with f(0)=0 at fixed dl ⇒ subadditive), a safe if looser bound:
     group entries participate in the kernel's entry ordering and
     suffix bounds, and PLAIN terms in the same query keep their full
-    block-level θ skipping, but a group's own blocks always decode
-    (member doc ranges overlap, so per-block skip tests would need
-    cross-member bounds — not worth it for the human-curated handful
-    of synonyms per query)."""
+    block-level θ skipping, but a group's own blocks always decode:
+    a whole-entry θ test on range-max acc is vacuous (θ is the k-th
+    largest of acc, so max(acc) ≥ θ always), and per-block tests need
+    cross-member bounds (a doc skipped in one member's block may still
+    accumulate through another's) — not worth it for the human-curated
+    handful of synonyms per query, measured within ~6% of the
+    equivalent plain OR at 400k (BENCH §T44)."""
 
     __slots__ = ("idf", "members", "ub", "pot_idf")
 
@@ -241,9 +244,16 @@ def score_range_topk(base: int, size: int,
     for i, t in enumerate(order):
         rem = suffix[i]
         if isinstance(t, SynGroup):
-            # synonym group: summed-tf accumulation under one idf; no
-            # per-block skipping (see SynGroup) — θ and the suffix
-            # bounds still order and bound the entry itself
+            # synonym group: summed-tf accumulation under one idf; the
+            # group's blocks always decode. A whole-entry θ test on
+            # range-max acc is PROVABLY vacuous (θ is the k-th largest
+            # of acc, so max(acc) ≥ θ always), and a useful per-block
+            # test needs cross-member bounds (a doc skipped in one
+            # member's block may still accumulate through another's) —
+            # the span-max + own-blockmax + Σ other-member-maxima shape.
+            # Not built: groups are human-curated handfuls and the
+            # measured blend prices within ~6% of the equivalent plain
+            # OR (BENCH §T44); revisit only if synonym maps grow hot.
             ids, part = _decode_group(t.members, avgdl, cache)
             acc[ids - base] += t.idf * part
             if mask is not None:

@@ -111,7 +111,10 @@ def _normalize_synonyms(synonyms, mode, min_match) -> dict | None:
             raise ValueError(
                 f"synonym head {head!r} must normalize to one token, "
                 f"got {h}")
-        mems = {h[0]}
+        mems = {h[0]} | set(syn_map.get(h[0], ()))
+        # heads normalizing to the same token MERGE (two raw keys —
+        # "Foo"/"foo" — or repeated CLI flags must never silently
+        # last-wins-drop a group)
         for s in ([syns] if isinstance(syns, str) else syns):
             st = tokenize_py(str(s))
             if len(st) != 1:

@@ -204,11 +204,12 @@ def main() -> None:
         ap.error("--boost composes with --mode or/and, --filter and "
                  "--queries only")
     if a.max_expansions is not None and (
-            a.facet_counts or a.count or a.stats or a.percentiles
+            a.mode != "pattern"
+            or a.facet_counts or a.count or a.stats or a.percentiles
             or a.cardinality or a.significant is not None or a.sort
-            or a.export is not None):
-        # the match surfaces expand at the config default cap; the
-        # per-query cap applies to ranked pattern SEARCH only — refuse
+            or a.export is not None or a.suggest):
+        # the flag is read only by the ranked pattern-search dispatch;
+        # match surfaces expand at the config default cap — refuse
         # rather than silently compute at a different cap than asked
         ap.error("--max-expansions applies to ranked --mode pattern "
                  "search only (match surfaces expand at the "
@@ -217,7 +218,7 @@ def main() -> None:
             a.phrase or a.facet_counts or a.snippets or a.count
             or a.stats or a.percentiles or a.cardinality or a.collapse
             or a.significant is not None or a.sort or a.offset
-            or a.after or a.boost or a.export is not None
+            or a.after or a.boost or a.export is not None or a.suggest
             or a.rescore or a.min_match is not None or a.mode != "or"):
         # same pre-Spark rule as --boost/--min-match: later dispatch
         # branches would silently drop the groups
@@ -276,7 +277,7 @@ def main() -> None:
             if not sep or not head or not vals:
                 ap.error(f"--synonym spec {spec!r} must be "
                          f"HEAD=S1[,S2...]")
-            synonyms[head] = vals.split(",")
+            synonyms.setdefault(head, []).extend(vals.split(","))
 
     from pyspark.sql import SparkSession
     from donkey_spark.plans.query import Index

@@ -177,6 +177,64 @@ def test_synonyms_validation():
     # [a-z0-9_]{2,64}) — refused the same way
     with pytest.raises(ValueError, match="one token"):
         _normalize_synonyms({"a": ["bar"]}, "or", None)
+    # heads normalizing to the same token MERGE, never last-wins-drop
+    assert _normalize_synonyms({"Foo": ["bar"], "foo": ["baz"]},
+                               "or", None) == {
+        "foo": ["bar", "baz", "foo"]}
+
+
+def test_syngroup_exact_under_theta_pressure():
+    """A low-ub group processed AFTER a rare high-idf plain term (θ
+    already set from the top-k) must still accumulate exactly — the
+    kernel's θ machinery orders and bounds group entries but never
+    skips their decode (a whole-entry range-max test is provably
+    vacuous; see SynGroup), so results equal brute force bit for
+    bit."""
+    from donkey_spark.kernels.blocks import build_blocks
+    from donkey_spark.kernels.bm25 import idf as bm25_idf
+    from donkey_spark.kernels.bm25 import tf_part
+    from donkey_spark.kernels.wand import (SynGroup, TermBlocks,
+                                           score_range_topk)
+    rng = np.random.default_rng(11)
+    n, avgdl = 400, 40.0
+    dls = rng.integers(20, 60, n).astype(np.float64)
+
+    def term(p, hi):
+        docs = np.flatnonzero(rng.random(n) < p)
+        return docs, rng.integers(1, hi, docs.size)
+
+    rare = term(0.02, 9)          # high idf — processed first
+    m1, m2 = term(0.5, 2), term(0.5, 2)   # common, low-idf group
+
+    def blocks(t):
+        ids, tfs = t
+        return [dict(r) for r in build_blocks(
+            ids.astype(np.int64), tfs.astype(np.int64), dls[ids],
+            avgdl=avgdl)]
+
+    idf_r = float(bm25_idf(n, rare[0].size))
+    idf_g = float(bm25_idf(n, max(m1[0].size, m2[0].size)))
+    entries = [TermBlocks(idf_r, blocks(rare)),
+               SynGroup(idf_g, [blocks(m1), blocks(m2)])]
+    assert entries[0].ub > entries[1].ub   # rare term orders first
+    stats: dict = {}
+    ids, sc = score_range_topk(0, n, entries, avgdl, k=3, stats=stats)
+    # brute force
+    acc = np.zeros(n)
+    gtf = np.zeros(n)
+    for d, t in (m1, m2):
+        np.add.at(gtf, d, t)
+    nz = gtf > 0
+    acc[nz] += idf_g * tf_part(gtf[nz], dls[nz], avgdl)
+    acc[rare[0]] += idf_r * tf_part(rare[1].astype(np.float64),
+                                    dls[rare[0]], avgdl)
+    order = [i for i in sorted(range(n),
+                               key=lambda i: (-acc[i], i))
+             if acc[i] > 0][:3]
+    assert list(ids) == order
+    np.testing.assert_allclose(sc, acc[order], rtol=1e-12)
+    # every group block decoded — the group is never θ-skipped
+    assert stats["blocks_decoded"] >= len(blocks(m1)) + len(blocks(m2))
 
 
 def test_synonyms_sharded_matches_unified(spark, syn_setup):
