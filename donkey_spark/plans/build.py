@@ -187,10 +187,29 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # assignment; it joins back JVM-side (the id table broadcasts at small
     # scale, SMJ at 10^12).
     pk = corpus.select("repo", "path", "commit")
-    ids, n_keys, n_rows = assign_doc_ids(pk, dedupe=True)
-    deduped = (corpus.dropDuplicates(["repo", "path", "commit"])
-               if n_keys != n_rows else corpus)
-    _mark("assign_ids_dedupe")
+    # r6 (guide §2.6 + §8): the id machinery is 3 small jobs over the
+    # NARROW key frame and the extractor pass only needs content — they
+    # share no data until the attach, so the id jobs run on a driver
+    # thread CONCURRENTLY with the extract job (the extract's task tail
+    # back-fills the cores the id jobs leave idle and vice versa).
+    # Ids then attach to the extracted FEATURES, not to the content:
+    # at cluster scale the attach join's worst case (SMJ at 10^12 docs)
+    # now shuffles ~(keys + unique-term arrays) per doc instead of the
+    # raw payload — move heavy bytes once, decide on light rows.
+    from concurrent.futures import ThreadPoolExecutor
+    _ids_pool = ThreadPoolExecutor(max_workers=1)
+    ids_future = _ids_pool.submit(assign_doc_ids, pk, dedupe=True)
+
+    # r6 (guide §2.5): the extractor UDF and the B1 partials combiner
+    # inherit the corpus SCAN's partitioning — a corpus arriving in
+    # fewer splits than cores (one small parquet file / one row group /
+    # a few unsplittable files) would run the whole per-doc pipeline
+    # nearly serially. Deterministic PK-hash spread; a no-op at cluster
+    # scale (scan splits >= cores).
+    par = spark.sparkContext.defaultParallelism
+    spread = corpus
+    if spread.rdd.getNumPartitions() < par:
+        spread = spread.repartition(par, "repo", "path", "commit")
 
     # ops 8/10/11 fused: content crosses Arrow exactly once and is dropped
     # in the same projection; unique (term, tf) pairs — never raw tokens —
@@ -212,33 +231,43 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                             "lang", "sha256")]
     fcols = [F.col(c).cast("string").alias(c) for c in extra_f]
     fddl = "".join(f"{c} string, " for c in extra_f)
-    base = (deduped.join(ids, ["repo", "path", "commit"])
-            .select("doc_id", "repo", "path", "commit", "lang",
-                    F.sha2(F.col("content"), 256).alias("sha256"),
-                    *fcols, *rcols, "content"))
+    pre = spread.select("repo", "path", "commit", "lang",
+                        F.sha2(F.col("content"), 256).alias("sha256"),
+                        *fcols, *rcols, "content")
     if extractor == "arrow":
-        docs_feat = base.mapInArrow(
+        feats_u = pre.mapInArrow(
             doc_features_arrow,
-            "doc_id long, repo string, path string, commit string, "
+            "repo string, path string, commit string, "
             "lang string, sha256 string, " + fddl + rddl
             + FEATURES_STRUCT_DDL)
     elif extractor == "python":
-        docs_feat = base.select(
-            "doc_id", "repo", "path", "commit", "lang", "sha256",
+        feats_u = pre.select(
+            "repo", "path", "commit", "lang", "sha256",
             *extra_f, *range_facets,
             doc_features_udf(F.col("content")).alias("f"))
     else:
         raise ValueError(f"unknown extractor {extractor!r} "
                          "(expected 'python' or 'arrow')")
-    docs_feat = docs_feat.persist(StorageLevel.MEMORY_AND_DISK)
+    feats_u = feats_u.persist(StorageLevel.MEMORY_AND_DISK)
+    feats_u.count()        # materialize, overlapping the id jobs
+    _mark("extract_persist")
 
-    stats = (docs_feat.agg(F.count("*").alias("n"),
-                           F.sum("f.dl").alias("sum_dl"))
+    ids, n_keys, n_rows = ids_future.result()
+    _ids_pool.shutdown()
+    # dedupe on the FEATURES (light rows) when the key count says the
+    # corpus has repeated PKs — extraction of the (rare-by-contract)
+    # duplicate rows is wasted work, traded for never serializing the
+    # extract behind the id jobs' count on the common clean path
+    feats = (feats_u.dropDuplicates(["repo", "path", "commit"])
+             if n_keys != n_rows else feats_u)
+    docs_feat = feats.join(ids, ["repo", "path", "commit"])
+    stats = (feats.agg(F.count("*").alias("n"),
+                       F.sum("f.dl").alias("sum_dl"))
              .collect()[0])
     n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"] or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     rsize = range_size or default_range_size(n_docs)
-    _mark("extract_persist")
+    _mark("assign_ids_dedupe")
 
     if not resume:
         # fresh build: clear the stale journal AND any stale segment/docs
@@ -263,12 +292,31 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # overwrite) and every reader sees one uniform partitioned layout
     docs = docs_feat.select("doc_id", "repo", "path", "commit", "lang",
                             F.col("f.dl").alias("dl"), "sha256")
-    docs.write.mode("overwrite").parquet(f"{out_dir}/docs/chunk=batch")
-    _mark("docs_write")
+    # r6 (guide §2.6): the docs write and the segment build both read
+    # the persisted docs_feat and touch disjoint output dirs — submit
+    # the docs write from a driver thread so the chunk loop's tasks
+    # back-fill the cores its tail leaves idle; joined (and its errors
+    # re-raised) right after the chunk loop, before finalize.
+    from concurrent.futures import ThreadPoolExecutor
+    _docs_pool = ThreadPoolExecutor(max_workers=1)
+    docs_future = _docs_pool.submit(
+        lambda: docs.write.mode("overwrite")
+        .parquet(f"{out_dir}/docs/chunk=batch"))
+    _mark("docs_write_submit")
 
     # --- chunked, resumable segment build --------------------------------
     chunk_docs = max(rsize, math.ceil(n_docs / max(n_chunks, 1) / rsize) * rsize)
     n_chunks_eff = max(1, math.ceil(n_docs / chunk_docs))
+    # r6 (guide §2.2/§6): size the merge exchange from the DATA, not the
+    # core count — ~2M postings (the merge kernel's flush unit) per
+    # task, sum_dl as the per-chunk upper estimate. At bench scale this
+    # is 1-2 merge tasks writing 1-2 files per bucket dir instead of 32
+    # (577 tiny parquet files measured before: the dictionary pass and
+    # every later query scan paid the per-file open cost); big corpora
+    # hit the parallelism cap and keep today's width.
+    merge_tasks = max(1, min(par,
+                             (sum_dl // max(n_chunks_eff, 1)) // (1 << 21)
+                             + 1))
     manifest_dir = f"{out_dir}/manifest"
     done, attempts = (_manifest_state(spark, manifest_dir) if resume
                       else (set(), {}))
@@ -307,7 +355,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         partials = build_partial_postings(feat_cols, rsize)
         seg = merge_segments(
             merge_partials_to_segments(partials, avgdl, codec=codec,
-                                       block_size=block_size))
+                                       block_size=block_size,
+                                       num_partitions=merge_tasks))
         seg_dir = f"{out_dir}/segments/chunk={cid}"
         # lineage/metrics ride the write job itself (Observation = free
         # accumulator-based aggregates) — no read-back scan of the chunk
@@ -335,6 +384,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         _mark("chunk_metrics_manifest")
         built += 1
 
+    docs_future.result()         # surface any docs-write failure here
+    _docs_pool.shutdown()
+    _mark("docs_write_join")
+
     # --- finalize: dictionary + meta from the committed segments ---------
     # chunk-layout guard (resume against a stale/mismatched layout) via a
     # filesystem listing — no Spark job
@@ -356,16 +409,23 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # each streaming epoch adds its own chunk=stream<eid> partial, so
     # ingest never rewrites the full dictionary (O(epoch), SURVEY §2.10)
     (dictionary_from_segments(seg_all)
-        .repartitionByRange(max(1, N_BUCKETS // 4), "bucket", "term")
+        .repartitionByRange(max(1, min(N_BUCKETS // 4, merge_tasks)),
+                            "bucket", "term")
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{out_dir}/dictionary/chunk=batch"))
     if positions:
         # one extra content pass (the extract projection dropped content
         # immediately, by design); opt-in, so the base build's cost and
-        # byte-identity are untouched
+        # byte-identity are untouched. Content re-joins ids here (the id
+        # table broadcasts at small scale, SMJ on narrow keys at 10^12)
+        # — the main pipeline no longer carries a content+id frame.
         from .positions import write_positions
-        write_positions(spark, base.select("doc_id", "content"), out_dir)
+        cdf = (spread.dropDuplicates(["repo", "path", "commit"])
+               if n_keys != n_rows else spread)
+        write_positions(spark,
+                        cdf.join(ids, ["repo", "path", "commit"])
+                        .select("doc_id", "content"), out_dir)
         _mark("positions_write")
     # total postings from the manifest journal — no second segment scan
     n_postings = int(spark.read.parquet(manifest_dir)
@@ -385,7 +445,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         "n_buckets int, n_chunks int, facets string, "
         "range_facets string, range_step int",
         f"{out_dir}/meta", "overwrite", "meta")
-    docs_feat.unpersist()
+    feats_u.unpersist()
     _mark("dictionary_meta")
     return {"n_docs": n_docs, "avgdl": avgdl, "n_postings": n_postings,
             "range_size": rsize, "codec": codec, "n_chunks": n_chunks_eff,

@@ -545,6 +545,17 @@ class Index:
             spark.sparkContext.broadcast(self._tombstones)
             if self._tombstones.size else None)
         self._df_memo: dict[str, int | None] = {}
+        # r6: "opening the index" includes discovering its files — do the
+        # pyarrow dataset listings here (construction time, the donkey
+        # analog of mapping the index at startup) so the first query's
+        # latency is scoring, not directory walks. Best-effort: a
+        # layout without positions/facet dirs simply skips them.
+        if self.local_bytes > 0:
+            for sub in ("segments", "dictionary", "docs"):
+                try:
+                    self._pa_dataset(sub)
+                except Exception:
+                    pass
         if cache:
             self._seg = self._seg.persist()
             self._seg.count()          # materialize the warm index
