@@ -84,18 +84,58 @@ def _eager_init(spark, cores: int) -> None:
     opening its index before the first request. Runs over spark.range
     only: no user data is read and no result is cached."""
     try:
+        import shutil
+        import tempfile
+
         import pandas as pd
         from pyspark.sql import functions as F
+
+        # this module uses postponed annotation evaluation, so the UDF's
+        # type hints are STRINGS resolved against module globals —
+        # publish pandas there or pandas_udf's hint resolution raises
+        # (and the whole warm-up would silently no-op; caught in r6)
+        globals()["pd"] = pd
 
         @F.pandas_udf("long")
         def _ident(x: pd.Series) -> pd.Series:
             return x
 
-        (spark.range(0, cores, 1, cores)
-         .select(_ident("id").alias("id"))
+        base = spark.range(0, cores, 1, cores)
+        # Arrow-UDF lane + exchange + hash agg (forks the worker pool)
+        (base.select(_ident("id").alias("id"))
          .groupBy(F.pmod("id", F.lit(7)).alias("g"))
          .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
          .collect())
+
+        def _id_arrow(batches):
+            yield from batches
+
+        def _id_pandas(pdfs):
+            yield from pdfs
+
+        # mapInArrow + mapInPandas lanes, range partitioner + sort shapes
+        (base.mapInArrow(_id_arrow, "id long")
+         .mapInPandas(_id_pandas, "id long")
+         .repartitionByRange(2, "id")
+         .sortWithinPartitions("id")
+         .count())
+
+        # local-relation lane: createDataFrame(list, DDL string) +
+        # collect — the serving surface wraps result rows this way and
+        # its first call measured 1.7s of parser/conversion init
+        spark.createDataFrame([(0, "w", 0.0)],
+                              "i int, s string, d double").collect()
+
+        # parquet write committer/codec + read path (file index, footer
+        # reader, vectorized scan, filter pushdown machinery) — measured
+        # ~2.4s on the first real corpus read and ~1.5s on the first
+        # write when left to the first timed query
+        tmp = tempfile.mkdtemp(prefix="donkey_warm_")
+        try:
+            spark.range(0, 8).write.mode("overwrite").parquet(f"{tmp}/p")
+            spark.read.parquet(f"{tmp}/p").where(F.col("id") > 2).collect()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     except Exception:
         pass          # warm-up is best-effort, never load-bearing
 
@@ -134,8 +174,12 @@ def get_spark(app: str = "donkey_spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # DONKEY_EAGER_INIT=0 skips the warm-up — for one-shot CLI
+    # invocations where process startup latency matters more than the
+    # first query's (the warm-up moves cost, it does not remove it)
     app_id = spark.sparkContext.applicationId
-    if app_id not in _WARMED:
+    if (app_id not in _WARMED
+            and os.environ.get("DONKEY_EAGER_INIT", "1") != "0"):
         _WARMED.add(app_id)
         _eager_init(spark, cores)
     return spark
