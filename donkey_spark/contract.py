@@ -296,8 +296,26 @@ def contract_shard_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 def q_tokenize_tf(spark, sf_dir):
-    """ops 10/11/12/14 — tokenizer + explode + tf."""
-    return _doc_terms(spark, sf_dir).select("doc_id", "term", "tf")
+    """ops 10/11/12/14 — tokenizer + explode + tf. r6: the per-doc tfs
+    come pre-counted from the fused extractor (the build's 'python'
+    extractor — one Arrow pass, C regex + Counter per doc), so the plan
+    has NO aggregation at all: spread → extract → explode zip → rows.
+    The old explode + groupBy(doc_id, term) shape hashed 1.1M pairs and
+    compiled an aggregation stage for a relation the extractor already
+    produces per doc (guide §2.3 "aggregate before you shuffle" taken to
+    its limit: zero exchanges after the spread). Same (doc_id, term, tf)
+    relation, proven hash-equal against the unchanged DuckDB oracle;
+    the _arrow twin certifies the kernels/exttok.py extractor the same
+    way this pair now certifies the pandas one."""
+    from .functions.tokenize import doc_features_udf
+    feats = (_spread(_docs(spark, sf_dir).select("doc_id", "text"),
+                     "doc_id")
+             .select("doc_id", doc_features_udf(F.col("text")).alias("f")))
+    return (feats
+            .select("doc_id", F.explode(
+                F.arrays_zip("f.terms", "f.tfs")).alias("e"))
+            .select("doc_id", F.col("e.terms").alias("term"),
+                    F.col("e.tfs").cast("long").alias("tf")))
 
 
 def q_tokenize_tf_arrow(spark, sf_dir):
