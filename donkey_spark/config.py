@@ -126,6 +126,11 @@ def _eager_init(spark, cores: int) -> None:
         spark.createDataFrame([(0, "w", 0.0)],
                               "i int, s string, d double").collect()
 
+        # broadcast-hash-join lane (HashedRelation build + broadcast
+        # exchange classes) — the join/agg queries' first run otherwise
+        # pays it
+        base.join(F.broadcast(spark.range(0, 4)), "id", "left").count()
+
         # parquet write committer/codec + read path (file index, footer
         # reader, vectorized scan, filter pushdown machinery) — measured
         # ~2.4s on the first real corpus read and ~1.5s on the first

@@ -260,10 +260,17 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # extract behind the id jobs' count on the common clean path
     feats = (feats_u.dropDuplicates(["repo", "path", "commit"])
              if n_keys != n_rows else feats_u)
-    docs_feat = feats.join(ids, ["repo", "path", "commit"])
-    stats = (feats.agg(F.count("*").alias("n"),
-                       F.sum("f.dl").alias("sum_dl"))
+    # persist the ATTACHED frame and materialize it through the stats
+    # agg, then drop the pre-join cache: a lazy join here re-executed —
+    # and re-shuffled/re-broadcast the id table — once per downstream
+    # action, measured +15-34s on the segments phase of the 1M-file
+    # build; one cache-to-cache join pass bounds that cost to once
+    docs_feat = (feats.join(ids, ["repo", "path", "commit"])
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = (docs_feat.agg(F.count("*").alias("n"),
+                           F.sum("f.dl").alias("sum_dl"))
              .collect()[0])
+    feats_u.unpersist()
     n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"] or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     rsize = range_size or default_range_size(n_docs)
@@ -445,7 +452,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         "n_buckets int, n_chunks int, facets string, "
         "range_facets string, range_step int",
         f"{out_dir}/meta", "overwrite", "meta")
-    feats_u.unpersist()
+    docs_feat.unpersist()
     _mark("dictionary_meta")
     return {"n_docs": n_docs, "avgdl": avgdl, "n_postings": n_postings,
             "range_size": rsize, "codec": codec, "n_chunks": n_chunks_eff,
