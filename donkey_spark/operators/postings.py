@@ -185,7 +185,8 @@ def _binary_concat(arr) -> memoryview:
 def merge_partials_to_segments(partials: DataFrame, avgdl: float,
                                codec: str = "varint",
                                block_size: int = BLOCK_SIZE,
-                               num_partitions: int | None = None
+                               num_partitions: int | None = None,
+                               bucket_partition: bool = False
                                ) -> DataFrame:
     """Stage B2: shuffle compressed partials by (term, salt), merge each
     group's sorted runs, and emit final block rows.
@@ -211,9 +212,26 @@ def merge_partials_to_segments(partials: DataFrame, avgdl: float,
 
     spark = partials.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    dt = (partials
-          .repartition(n_part, "term", "salt")
-          .sortWithinPartitions("term", "salt"))
+    # r6 (guide §2.2/§6 + event-log evidence): two partitioning regimes.
+    # SMALL merges (estimated work ≲ a few tasks) used to run 1-2 fat
+    # tasks — each touching ALL n_buckets dirs — so the stage serialized
+    # ~the whole merge on one core AND wrote tasks x buckets files.
+    # Hashing on the term's BUCKET instead gives up to n_buckets-way
+    # parallelism while writing EXACTLY ONE file per bucket dir (a
+    # bucket's terms cannot split across tasks). The (term, salt)
+    # grouping invariant holds a fortiori: bucket is a function of term.
+    # BIG merges keep the full-width (term, salt) hash — bucket hashing
+    # would cap parallelism at n_buckets and expose per-bucket skew, and
+    # at that scale per-file open cost is amortized anyway. The caller
+    # picks the regime from its data-size estimate (bucket_partition).
+    if bucket_partition:
+        dt = (partials
+              .repartition(n_part, term_bucket_col(F.col("term")))
+              .sortWithinPartitions("term", "salt"))
+    else:
+        dt = (partials
+              .repartition(n_part, "term", "salt")
+              .sortWithinPartitions("term", "salt"))
 
     out_type = to_arrow_segment_schema()
     flush_postings = 1 << 21      # ≈2M postings per kernel call

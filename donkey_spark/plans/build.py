@@ -75,6 +75,28 @@ def _write_small(spark: SparkSession, rows: list[tuple], schema: str,
     pq.write_table(tbl, os.path.join(p, f"part-{name}.parquet"))
 
 
+def _manifest_postings_total(spark: SparkSession, manifest_dir: str) -> int:
+    """Sum of n_postings over committed chunks. The manifest is a handful
+    of rows the build itself wrote with `_write_small` — when it lives on
+    the LOCAL filesystem (fsutil.fs_is_local, same gate as the writer)
+    read it back with pyarrow instead of paying a whole Spark job in the
+    build's serial finalize path (r6, guide §5 "the driver should do
+    almost no data work" — this IS driver-sized work). Cluster URIs keep
+    the Spark read."""
+    from ..fsutil import fs_is_local, local_path
+    if fs_is_local(spark, manifest_dir):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(local_path(manifest_dir),
+                            columns=["status", "n_postings"])
+        done = tbl.filter(pc.equal(tbl["status"], "done"))
+        return int(pc.sum(done["n_postings"]).as_py() or 0)
+    return int(spark.read.parquet(manifest_dir)
+               .where(F.col("status") == "done")
+               .agg(F.coalesce(F.sum("n_postings"), F.lit(0)))
+               .collect()[0][0])
+
+
 def _check_dictionary_layout(spark: SparkSession, out_dir: str) -> None:
     """Fail fast on a pre-chunked (meta version 1) dictionary layout.
 
@@ -316,14 +338,19 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     n_chunks_eff = max(1, math.ceil(n_docs / chunk_docs))
     # r6 (guide §2.2/§6): size the merge exchange from the DATA, not the
     # core count — ~2M postings (the merge kernel's flush unit) per
-    # task, sum_dl as the per-chunk upper estimate. At bench scale this
-    # is 1-2 merge tasks writing 1-2 files per bucket dir instead of 32
-    # (577 tiny parquet files measured before: the dictionary pass and
-    # every later query scan paid the per-file open cost); big corpora
-    # hit the parallelism cap and keep today's width.
-    merge_tasks = max(1, min(par,
-                             (sum_dl // max(n_chunks_eff, 1)) // (1 << 21)
-                             + 1))
+    # task, sum_dl as the per-chunk upper estimate; big corpora hit the
+    # parallelism cap and keep full width. SMALL merges (work estimate
+    # under ~half the bucket count of tasks) switch to BUCKET-hash
+    # partitioning: up to n_buckets parallel merge tasks that still
+    # write exactly ONE file per bucket dir — the fat-task shape this
+    # replaced ran the whole merge on 1-2 cores for seconds while the
+    # rest of the box idled, AND wrote tasks x buckets tiny files (577
+    # measured in r5; the dictionary pass and every query scan paid the
+    # per-file opens).
+    merge_est = (sum_dl // max(n_chunks_eff, 1)) // (1 << 21) + 1
+    merge_by_bucket = merge_est <= N_BUCKETS // 2
+    merge_tasks = (min(par, N_BUCKETS) if merge_by_bucket
+                   else max(1, min(par, merge_est)))
     manifest_dir = f"{out_dir}/manifest"
     done, attempts = (_manifest_state(spark, manifest_dir) if resume
                       else (set(), {}))
@@ -363,7 +390,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         seg = merge_segments(
             merge_partials_to_segments(partials, avgdl, codec=codec,
                                        block_size=block_size,
-                                       num_partitions=merge_tasks))
+                                       num_partitions=merge_tasks,
+                                       bucket_partition=merge_by_bucket))
         seg_dir = f"{out_dir}/segments/chunk={cid}"
         # lineage/metrics ride the write job itself (Observation = free
         # accumulator-based aggregates) — no read-back scan of the chunk
@@ -415,9 +443,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # term — associative): a batch build writes one chunk=batch partial,
     # each streaming epoch adds its own chunk=stream<eid> partial, so
     # ingest never rewrites the full dictionary (O(epoch), SURVEY §2.10)
+    # hash-repartition on bucket (r6, was repartitionByRange(bucket,
+    # term)): the range exchange pays a driver-visible SAMPLING pass of
+    # its input to pick boundaries (guide §2.4 — an exchange you can
+    # remove); hashing on bucket alone needs no sample, AND it lands
+    # every bucket's terms wholly in one task, so each bucket=<b> dir is
+    # one term-sorted file with tight per-row-group term min/max stats
+    # (range splitting could cut a bucket across two files). Same rows,
+    # same per-file sort order — readers sum df/cf per term either way.
     (dictionary_from_segments(seg_all)
-        .repartitionByRange(max(1, min(N_BUCKETS // 4, merge_tasks)),
-                            "bucket", "term")
+        .repartition(max(1, min(N_BUCKETS // 4, merge_tasks)), "bucket")
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{out_dir}/dictionary/chunk=batch"))
@@ -434,11 +469,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                         cdf.join(ids, ["repo", "path", "commit"])
                         .select("doc_id", "content"), out_dir)
         _mark("positions_write")
-    # total postings from the manifest journal — no second segment scan
-    n_postings = int(spark.read.parquet(manifest_dir)
-                     .where(F.col("status") == "done")
-                     .agg(F.coalesce(F.sum("n_postings"), F.lit(0)))
-                     .collect()[0][0])
+    # total postings from the manifest journal — no second segment scan,
+    # and no Spark job at all on a local filesystem (r6)
+    n_postings = _manifest_postings_total(spark, manifest_dir)
     from ..operators.ranges import RANGE_STEP
     from .positions import meta_version
     meta = [(meta_version(positions), n_docs, float(avgdl),
