@@ -107,6 +107,11 @@ def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = ("repo", "path",
             yield out
 
     result = part.mapInPandas(add_ids, schema=out_schema)
+    # the persisted range-partitioned source backs every consumption of
+    # `result`; callers that know when they are done with the ids can
+    # release it (build_index does at finalize — r6: one build leaked
+    # one cached copy of the key frame per invocation before)
+    result._donkey_source_cache = part
     if dedupe:
         return result, acc, n_rows
     return (result, acc) if return_count else result

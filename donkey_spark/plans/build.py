@@ -271,7 +271,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         raise ValueError(f"unknown extractor {extractor!r} "
                          "(expected 'python' or 'arrow')")
     feats_u = feats_u.persist(StorageLevel.MEMORY_AND_DISK)
-    feats_u.count()        # materialize, overlapping the id jobs
+    # materialize the cache AND collect the corpus stats in the SAME
+    # job, still overlapping the id jobs (r6: this used to be a bare
+    # count() followed by a SERIAL stats agg after the ids attach — one
+    # whole extra job on the critical path; the agg is the same cache-
+    # filling pass and the stats are free map-side aggregates)
+    stats = feats_u.agg(F.count("*").alias("n"),
+                        F.sum("f.dl").alias("sum_dl")).collect()[0]
     _mark("extract_persist")
 
     ids, n_keys, n_rows = ids_future.result()
@@ -282,17 +288,32 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # extract behind the id jobs' count on the common clean path
     feats = (feats_u.dropDuplicates(["repo", "path", "commit"])
              if n_keys != n_rows else feats_u)
-    # persist the ATTACHED frame and materialize it through the stats
-    # agg, then drop the pre-join cache: a lazy join here re-executed —
-    # and re-shuffled/re-broadcast the id table — once per downstream
-    # action, measured +15-34s on the segments phase of the 1M-file
-    # build; one cache-to-cache join pass bounds that cost to once
     docs_feat = (feats.join(ids, ["repo", "path", "commit"])
                  .persist(StorageLevel.MEMORY_AND_DISK))
-    stats = (docs_feat.agg(F.count("*").alias("n"),
-                           F.sum("f.dl").alias("sum_dl"))
-             .collect()[0])
-    feats_u.unpersist()
+    # Bounding the attach join to ONE execution: left lazy, every
+    # downstream action re-runs it — measured +15-34s on the 1M-file
+    # build's segments phase when the join is an SMJ. One serial
+    # materializing pass bounds that — but it is only WORTH a serial
+    # job when the join is expensive: with a broadcast-sized id table
+    # (the common serving/bench case; ~100B/key under
+    # autoBroadcastJoinThreshold=64m caps comfortably around 500k keys) each
+    # consumer re-pays only a tiny broadcast over the cached features,
+    # so the docs write and the first chunk job are left to fill the
+    # cache concurrently instead (guide §2.6 — strictly more overlap).
+    # The dedupe path also recomputes stats post-dedupe here (rare).
+    # (the deferred fast path takes the overlapped feats-side stats —
+    # identical to the attached frame's because n_keys == n_rows means
+    # the inner join is 1:1 on the non-null PK contract; the other
+    # regimes recompute on the attached frame exactly as before, and
+    # that agg doubles as the serial materializing pass)
+    deferred_attach = n_keys == n_rows and n_keys <= 500_000
+    if not deferred_attach:
+        stats = (docs_feat.agg(F.count("*").alias("n"),
+                               F.sum("f.dl").alias("sum_dl"))
+                 .collect()[0])
+        feats_u.unpersist()
+    # deferred case: feats_u must STAY cached until docs_feat is fully
+    # materialized by the concurrent consumers — released at finalize
     n_docs, sum_dl = int(stats["n"]), int(stats["sum_dl"] or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     rsize = range_size or default_range_size(n_docs)
@@ -486,6 +507,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         "range_facets string, range_step int",
         f"{out_dir}/meta", "overwrite", "meta")
     docs_feat.unpersist()
+    if deferred_attach:
+        feats_u.unpersist()        # held for the concurrent cache fill
+    # release the id assignment's persisted key frame (held until here
+    # because the positions path re-joins `ids` during finalize)
+    _ids_cache = getattr(ids, "_donkey_source_cache", None)
+    if _ids_cache is not None:
+        _ids_cache.unpersist()
     _mark("dictionary_meta")
     return {"n_docs": n_docs, "avgdl": avgdl, "n_postings": n_postings,
             "range_size": rsize, "codec": codec, "n_chunks": n_chunks_eff,
