@@ -208,6 +208,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # exist. The payload never range-shuffles or round-trips Arrow for id
     # assignment; it joins back JVM-side (the id table broadcasts at small
     # scale, SMJ at 10^12).
+    if extractor not in ("python", "arrow"):
+        # validated BEFORE the concurrent id jobs are submitted — a
+        # late ValueError used to leak the running jobs and their
+        # persisted key frame (review r6)
+        raise ValueError(f"unknown extractor {extractor!r} "
+                         "(expected 'python' or 'arrow')")
     pk = corpus.select("repo", "path", "commit")
     # r6 (guide §2.6 + §8): the id machinery is 3 small jobs over the
     # NARROW key frame and the extractor pass only needs content — they
@@ -221,6 +227,20 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     from concurrent.futures import ThreadPoolExecutor
     _ids_pool = ThreadPoolExecutor(max_workers=1)
     ids_future = _ids_pool.submit(assign_doc_ids, pk, dedupe=True)
+
+    def _release_ids_on_failure() -> None:
+        """Best-effort cleanup when the main thread fails while the id
+        jobs are in flight: wait them out, drop their persisted key
+        frame, shut the pool — a long-lived session (serving, notebook)
+        must not accumulate one cached key frame per failed build."""
+        try:
+            r = ids_future.result()
+            src = getattr(r[0], "_donkey_source_cache", None)
+            if src is not None:
+                src.unpersist()
+        except Exception:
+            pass
+        _ids_pool.shutdown()
 
     # r6 (guide §2.5): the extractor UDF and the B1 partials combiner
     # inherit the corpus SCAN's partitioning — a corpus arriving in
@@ -262,22 +282,31 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             "repo string, path string, commit string, "
             "lang string, sha256 string, " + fddl + rddl
             + FEATURES_STRUCT_DDL)
-    elif extractor == "python":
+    else:
         feats_u = pre.select(
             "repo", "path", "commit", "lang", "sha256",
             *extra_f, *range_facets,
             doc_features_udf(F.col("content")).alias("f"))
-    else:
-        raise ValueError(f"unknown extractor {extractor!r} "
-                         "(expected 'python' or 'arrow')")
     feats_u = feats_u.persist(StorageLevel.MEMORY_AND_DISK)
     # materialize the cache AND collect the corpus stats in the SAME
     # job, still overlapping the id jobs (r6: this used to be a bare
     # count() followed by a SERIAL stats agg after the ids attach — one
     # whole extra job on the critical path; the agg is the same cache-
-    # filling pass and the stats are free map-side aggregates)
-    stats = feats_u.agg(F.count("*").alias("n"),
-                        F.sum("f.dl").alias("sum_dl")).collect()[0]
+    # filling pass and the stats are free map-side aggregates). The
+    # null-PK count guards the deferred fast path below: the attach
+    # join's null-unsafe equality would drop null-keyed rows, so stats
+    # taken on THIS side are only valid when no PK field is null.
+    try:
+        stats = feats_u.agg(
+            F.count("*").alias("n"),
+            F.sum("f.dl").alias("sum_dl"),
+            F.count_if(F.col("repo").isNull() | F.col("path").isNull()
+                       | F.col("commit").isNull()).alias("null_pk")
+        ).collect()[0]
+    except BaseException:
+        _release_ids_on_failure()
+        feats_u.unpersist()
+        raise
     _mark("extract_persist")
 
     ids, n_keys, n_rows = ids_future.result()
@@ -306,7 +335,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # the inner join is 1:1 on the non-null PK contract; the other
     # regimes recompute on the attached frame exactly as before, and
     # that agg doubles as the serial materializing pass)
-    deferred_attach = n_keys == n_rows and n_keys <= 500_000
+    deferred_attach = (n_keys == n_rows and n_keys <= 500_000
+                       and int(stats["null_pk"] or 0) == 0)
     if not deferred_attach:
         stats = (docs_feat.agg(F.count("*").alias("n"),
                                F.sum("f.dl").alias("sum_dl"))
@@ -346,8 +376,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # the persisted docs_feat and touch disjoint output dirs — submit
     # the docs write from a driver thread so the chunk loop's tasks
     # back-fill the cores its tail leaves idle; joined (and its errors
-    # re-raised) right after the chunk loop, before finalize.
-    from concurrent.futures import ThreadPoolExecutor
+    # re-raised) right after the chunk loop, before finalize — and
+    # ALSO on a chunk failure (review r6: an unjoined thread left an
+    # in-flight Spark write running while callers' cleanup deleted the
+    # output dir under it).
     _docs_pool = ThreadPoolExecutor(max_workers=1)
     docs_future = _docs_pool.submit(
         lambda: docs.write.mode("overwrite")
@@ -381,64 +413,76 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         "n_blocks long, bytes_out long, wall_ms long, attempt int, "
         "job_id string")
     built, skipped = 0, 0
-    for cid in range(n_chunks_eff):
-        if cid in done:
-            skipped += 1
-            continue
-        tc0 = time.monotonic()
-        att = attempts.get(cid, 0) + 1
-        # journal the attempt BEFORE building: a crash mid-chunk leaves the
-        # 'start' row, so the retry commits as attempt att+1 (file names are
-        # attempt-unique — the journal is append-only)
-        _write_small(
-            spark, [(cid, "start", 0, 0, 0, 0, 0, att, job_id)],
-            _MANIFEST_SCHEMA, manifest_dir, "append",
-            f"{job_id}-{cid}-s{att}")
-        lo, hi = cid * chunk_docs, (cid + 1) * chunk_docs
-        chunk = docs_feat.where((F.col("doc_id") >= lo)
-                                & (F.col("doc_id") < hi))
-        # ops 22/23, two-stage: per-partition combiner (no shuffle) then a
-        # partials-only exchange + vectorized merge — the shuffle moves
-        # ~2.5 B/posting of compressed runs instead of 26 B/posting rows.
-        from ..operators.facets import append_facet_terms
-        from ..operators.ranges import append_range_terms
-        fterms, ftfs = append_facet_terms(F.col("f.terms"), F.col("f.tfs"),
-                                          facets)
-        fterms, ftfs = append_range_terms(fterms, ftfs, range_facets)
-        feat_cols = chunk.select("doc_id", F.col("f.dl").alias("dl"),
-                                 fterms.alias("terms"), ftfs.alias("tfs"))
-        partials = build_partial_postings(feat_cols, rsize)
-        seg = merge_segments(
-            merge_partials_to_segments(partials, avgdl, codec=codec,
-                                       block_size=block_size,
-                                       num_partitions=merge_tasks,
-                                       bucket_partition=merge_by_bucket))
-        seg_dir = f"{out_dir}/segments/chunk={cid}"
-        # lineage/metrics ride the write job itself (Observation = free
-        # accumulator-based aggregates) — no read-back scan of the chunk
-        from pyspark.sql import Observation
-        obs = Observation(f"chunk{cid}")
-        seg = seg.observe(
-            obs,
-            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.coalesce(F.sum(F.length("docids_blob") + F.length("tfs_blob")
-                             + F.length("dls_blob")), F.lit(0))
-            .alias("bytes_out"))
-        # no extra layout shuffle: the encode stage's partitions are already
-        # sorted by (term, salt), so each bucket=<b> file written here keeps
-        # term-clustered rows → tight parquet min/max stats for the query
-        # path's term row-group pruning.
-        seg.write.mode("overwrite").partitionBy("bucket").parquet(seg_dir)
-        _mark("segments_encode_write")
-        m = obs.get
-        row = [(cid, "done", int(min(hi, n_docs) - lo), int(m["n_postings"]),
-                int(m["n_blocks"]), int(m["bytes_out"]),
-                int((time.monotonic() - tc0) * 1000), att, job_id)]
-        _write_small(spark, row, _MANIFEST_SCHEMA,
-                     manifest_dir, "append", f"{job_id}-{cid}-d{att}")
-        _mark("chunk_metrics_manifest")
-        built += 1
+    try:
+          for cid in range(n_chunks_eff):
+            if cid in done:
+                skipped += 1
+                continue
+            tc0 = time.monotonic()
+            att = attempts.get(cid, 0) + 1
+            # journal the attempt BEFORE building: a crash mid-chunk leaves the
+            # 'start' row, so the retry commits as attempt att+1 (file names are
+            # attempt-unique — the journal is append-only)
+            _write_small(
+                spark, [(cid, "start", 0, 0, 0, 0, 0, att, job_id)],
+                _MANIFEST_SCHEMA, manifest_dir, "append",
+                f"{job_id}-{cid}-s{att}")
+            lo, hi = cid * chunk_docs, (cid + 1) * chunk_docs
+            chunk = docs_feat.where((F.col("doc_id") >= lo)
+                                    & (F.col("doc_id") < hi))
+            # ops 22/23, two-stage: per-partition combiner (no shuffle) then a
+            # partials-only exchange + vectorized merge — the shuffle moves
+            # ~2.5 B/posting of compressed runs instead of 26 B/posting rows.
+            from ..operators.facets import append_facet_terms
+            from ..operators.ranges import append_range_terms
+            fterms, ftfs = append_facet_terms(F.col("f.terms"), F.col("f.tfs"),
+                                              facets)
+            fterms, ftfs = append_range_terms(fterms, ftfs, range_facets)
+            feat_cols = chunk.select("doc_id", F.col("f.dl").alias("dl"),
+                                     fterms.alias("terms"), ftfs.alias("tfs"))
+            partials = build_partial_postings(feat_cols, rsize)
+            seg = merge_segments(
+                merge_partials_to_segments(partials, avgdl, codec=codec,
+                                           block_size=block_size,
+                                           num_partitions=merge_tasks,
+                                           bucket_partition=merge_by_bucket))
+            seg_dir = f"{out_dir}/segments/chunk={cid}"
+            # lineage/metrics ride the write job itself (Observation = free
+            # accumulator-based aggregates) — no read-back scan of the chunk
+            from pyspark.sql import Observation
+            obs = Observation(f"chunk{cid}")
+            seg = seg.observe(
+                obs,
+                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_postings"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.coalesce(F.sum(F.length("docids_blob") + F.length("tfs_blob")
+                                 + F.length("dls_blob")), F.lit(0))
+                .alias("bytes_out"))
+            # no extra layout shuffle: the encode stage's partitions are already
+            # sorted by (term, salt), so each bucket=<b> file written here keeps
+            # term-clustered rows → tight parquet min/max stats for the query
+            # path's term row-group pruning.
+            seg.write.mode("overwrite").partitionBy("bucket").parquet(seg_dir)
+            _mark("segments_encode_write")
+            m = obs.get
+            row = [(cid, "done", int(min(hi, n_docs) - lo), int(m["n_postings"]),
+                    int(m["n_blocks"]), int(m["bytes_out"]),
+                    int((time.monotonic() - tc0) * 1000), att, job_id)]
+            _write_small(spark, row, _MANIFEST_SCHEMA,
+                         manifest_dir, "append", f"{job_id}-{cid}-d{att}")
+            _mark("chunk_metrics_manifest")
+            built += 1
+
+    except BaseException:
+        # a chunk failure must not orphan the in-flight docs write:
+        # join it (best-effort) so no Spark job is still writing
+        # out_dir when the caller sees the exception and cleans up
+        try:
+            docs_future.result()
+        except Exception:
+            pass
+        _docs_pool.shutdown()
+        raise
 
     docs_future.result()         # surface any docs-write failure here
     _docs_pool.shutdown()

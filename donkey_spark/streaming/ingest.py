@@ -455,6 +455,11 @@ def _append_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         rows = (ids.withColumn("doc_id", F.col("doc_id") + F.lit(n_before))
                 .persist())
         rows.count()
+        # rows is materialized; release the id pass's persisted ranged
+        # key frame now instead of leaking one copy per catch-up epoch
+        _ids_src = getattr(ids, "_donkey_source_cache", None)
+        if _ids_src is not None:
+            _ids_src.unpersist()
     else:
         batch = batch_df.dropDuplicates(["repo", "path", "commit"])
         rows = (batch.select(*feats)
